@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One engine operator exposed through the driver contract.
+  *
+  * @param name   stable key used in `SparkEntry.queries`
+  * @param doc    short description + SURVEY.md §2 operator ids covered
+  * @param oracle equivalent ANSI SQL for the DuckDB oracle; None for
+  *               operators whose semantics are not SQL-expressible
+  *               (approximate LSH, custom hashes) — driver then records a
+  *               weaker rows-only check.
+  */
+final case class GraftQuery(
+    name: String,
+    doc: String,
+    oracle: Option[String],
+    run: (SparkSession, String) => DataFrame)
+
+/** Shared helpers: table loading + oracle-exact numeric discipline.
+  *
+  * All money/measure doubles are cast to exact decimals BEFORE aggregation
+  * and back to double AFTER, so Spark and DuckDB produce bit-identical
+  * results regardless of summation order (double addition is not
+  * associative; decimal addition is).
+  */
+object T {
+  val tableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Exact 2-decimal view of a double measure column (prices, discounts). */
+  def money(c: Column): Column = c.cast(DecimalType(18, 2))
+  def money(name: String): Column = money(col(name))
+
+  /** Order-insensitive exact sum of a 2-decimal measure, returned as double. */
+  def dsum(c: Column): Column = sum(money(c)).cast("double")
+
+  /** price * (1 - discount) with exact decimal arithmetic, scale 4. */
+  def discPrice(price: Column, discount: Column): Column =
+    (money(price) * (lit(1).cast(DecimalType(18, 2)) - money(discount)))
+      .cast(DecimalType(18, 4))
+
+  /** disc_price * (1 + tax), exact, scale 6 (fits decimal(27,6)). */
+  def charge(price: Column, discount: Column, tax: Column): Column =
+    (discPrice(price, discount) * (lit(1).cast(DecimalType(18, 2)) + money(tax)))
+      .cast(DecimalType(27, 6))
+
+  /** DuckDB-side equivalents of the helpers above (string templates). */
+  def sqlMoney(c: String): String = s"CAST($c AS DECIMAL(18,2))"
+  def sqlDsum(c: String): String = s"CAST(SUM(${sqlMoney(c)}) AS DOUBLE)"
+  def sqlDiscPrice(p: String, d: String): String =
+    s"CAST(${sqlMoney(p)} * (1 - ${sqlMoney(d)}) AS DECIMAL(18,4))"
+  def sqlCharge(p: String, d: String, t: String): String =
+    s"CAST(${sqlDiscPrice(p, d)} * (1 + ${sqlMoney(t)}) AS DECIMAL(27,6))"
+}
+
+/** Central inventory; SparkEntry derives `queries`/`oracleSql` from this. */
+object Registry {
+  def all: Seq[GraftQuery] =
+    relational.Relational.queries ++
+      events.EventAnalytics.queries ++
+      parity.Parity.queries ++
+      llmops.LlmOps.queries
+
+  def byName(name: String): GraftQuery = all.find(_.name == name).get
+}

@@ -1,0 +1,197 @@
+package graft.events
+
+import graft.{GraftQuery, T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Event-stream analytics in batch form (SURVEY.md §2.11 E5): time
+  * bucketing, sessionization, funnel, semi-structured props extraction.
+  * The same logic runs incrementally in graft.streaming over
+  * `readStream` (see EventStreams); these batch forms are the
+  * oracle-checkable twins.
+  *
+  * Scale posture: sessionization partitions by user_id — the natural
+  * shuffle key; state per user is bounded by that user's events, so the
+  * plan holds at 100 TB as long as no single user dominates (skew →
+  * AQE skew-join handles the join case; for windows, a salted two-phase
+  * variant would be the escape hatch).
+  */
+object EventAnalytics {
+
+  import T._
+
+  /** events.ts is parquet timestamp[ns]; Spark may surface it as
+    * LongType (nanos) depending on reader config. Normalize to
+    * TimestampType (µs — the source data is µs-aligned so truncation is
+    * lossless). DuckDB reads the same column as TIMESTAMP_NS; oracle SQL
+    * therefore never emits raw timestamps — only date_format strings and
+    * epoch bigints, which agree across precisions. */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    val df = T(s, dir, "events")
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => df
+    }
+  }
+
+  /** Hourly tumbling buckets via Spark's window() generator. */
+  private val hourly = GraftQuery(
+    "e5_hourly_event_stats",
+    "tumbling 1-hour window agg over events (E5/§2.10 batch twin)",
+    Some(s"""
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour_bucket,
+        event_type,
+        COUNT(*) AS n_events,
+        ${sqlDsum("value")} AS total_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY 1, 2"""),
+    (s, dir) =>
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:00").as("hour_bucket"),
+          col("event_type"), col("n_events"), col("total_value"))
+        .orderBy("hour_bucket", "event_type"))
+
+  /** Gap-based sessionization: a >30 min silence starts a new session.
+    * Two stacked windows: lag() to flag session starts, running sum to
+    * assign session ids, then per-user rollup. */
+  private val sessionize = GraftQuery(
+    "e5_sessionization",
+    "lag + cumulative-sum session assignment, per-user rollup (E5)",
+    Some("""
+      WITH flagged AS (
+        SELECT user_id, ts, event_id,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+               THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ), sessions AS (
+        SELECT user_id, event_id,
+          SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged
+      )
+      SELECT user_id,
+        CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+        COUNT(*) AS n_events
+      FROM sessions
+      GROUP BY user_id
+      ORDER BY user_id"""),
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir)
+        .withColumn("new_session",
+          when(lag(col("ts"), 1).over(w).isNull ||
+            col("ts") > lag(col("ts"), 1).over(w) + expr("INTERVAL 30 MINUTES"), 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("new_session")).over(wRun))
+        .groupBy(col("user_id"))
+        .agg(
+          max(col("session_id")).cast("long").as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    })
+
+  /** Per-session stats → histogram of session sizes. */
+  private val sessionHistogram = GraftQuery(
+    "e5_session_size_histogram",
+    "two-level aggregation: session stats then distribution (E5/A3 shape)",
+    Some("""
+      WITH flagged AS (
+        SELECT user_id, ts, event_id,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+               THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ), sessions AS (
+        SELECT user_id,
+          SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged
+      ), per_session AS (
+        SELECT user_id, session_id, COUNT(*) AS session_events
+        FROM sessions GROUP BY user_id, session_id
+      )
+      SELECT session_events, COUNT(*) AS n_sessions
+      FROM per_session
+      GROUP BY session_events
+      ORDER BY session_events"""),
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir)
+        .withColumn("new_session",
+          when(lag(col("ts"), 1).over(w).isNull ||
+            col("ts") > lag(col("ts"), 1).over(w) + expr("INTERVAL 30 MINUTES"), 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("new_session")).over(wRun))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("session_events"))
+        .groupBy(col("session_events"))
+        .agg(count(lit(1)).as("n_sessions"))
+        .orderBy("session_events")
+    })
+
+  /** Semi-structured extraction from the JSON `props` string (§2.9 C6).
+    * regexp-based so the oracle needs no JSON extension. */
+  private val jsonProps = GraftQuery(
+    "e5_props_extraction",
+    "JSON-ish field extraction from string props + agg (C6/E5)",
+    Some(s"""
+      SELECT event_type,
+        COUNT(*) AS n_events,
+        SUM(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS sum_k,
+        ${sqlDsum("value")} AS total_value
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""),
+    (s, dir) =>
+      events(s, dir)
+        .withColumn("k", regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("long"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("k")).as("sum_k"),
+          dsum(col("value")).as("total_value"))
+        .orderBy("event_type"))
+
+  /** Conversion funnel: users whose first view < first click < first
+    * purchase (min-over-case conditional aggregation). */
+  private val funnel = GraftQuery(
+    "e5_conversion_funnel",
+    "ordered funnel via conditional min timestamps (E5)",
+    Some("""
+      SELECT user_id FROM (
+        SELECT user_id,
+          MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+          MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+          MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events GROUP BY user_id)
+      WHERE t_view IS NOT NULL AND t_click IS NOT NULL AND t_purchase IS NOT NULL
+        AND t_view < t_click AND t_click < t_purchase
+      ORDER BY user_id"""),
+    (s, dir) =>
+      events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+          min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+        .filter(col("t_view").isNotNull && col("t_click").isNotNull &&
+          col("t_purchase").isNotNull &&
+          col("t_view") < col("t_click") && col("t_click") < col("t_purchase"))
+        .select(col("user_id"))
+        .orderBy("user_id"))
+
+  def queries: Seq[GraftQuery] =
+    Seq(hourly, sessionize, sessionHistogram, jsonProps, funnel)
+}
