@@ -63,10 +63,13 @@ object T {
 /** Central inventory; SparkEntry derives `queries`/`oracleSql` from this. */
 object Registry {
   def all: Seq[GraftQuery] =
-    relational.Relational.queries ++
+    parity.Parity.queries ++
+      relational.Relational.queries ++
       events.EventAnalytics.queries ++
-      parity.Parity.queries ++
-      llmops.LlmOps.queries
+      llmops.LlmOps.queries ++
+      llmops.Multimodal.queries
 
-  def byName(name: String): GraftQuery = all.find(_.name == name).get
+  def byName(name: String): GraftQuery =
+    all.find(_.name == name).getOrElse(
+      sys.error(s"unknown query: $name; valid: ${all.map(_.name).mkString(", ")}"))
 }

@@ -149,7 +149,7 @@ object EventAnalytics {
     Some(s"""
       SELECT event_type,
         COUNT(*) AS n_events,
-        SUM(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS sum_k,
+        SUM(TRY_CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS sum_k,
         ${sqlDsum("value")} AS total_value
       FROM events
       GROUP BY event_type

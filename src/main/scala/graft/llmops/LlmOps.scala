@@ -1,0 +1,458 @@
+package graft.llmops
+
+import graft.{GraftQuery, T}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators (SURVEY.md §2.11 E1-E4 + the
+  * driver's north-star extensions): deduplication (exact, n-gram Jaccard,
+  * MinHash LSH, SimHash), similarity search (exact cosine top-k and
+  * LSH-bucketed ANN), and text analysis (term frequencies, quality
+  * scoring, language ID, fingerprinting) over the `documents` and
+  * `embeddings` testdata tables.
+  *
+  * Scale posture (the part that matters at 100 TB):
+  *  - NOTHING here does an all-pairs crossJoin over documents. Candidate
+  *    generation is always an inverted-index shuffle join (shared shingle /
+  *    shared LSH band / shared SimHash chunk), which is the standard
+  *    linear-ish-in-corpus path; the quadratic blowup is confined to
+  *    within-bucket pairs.
+  *  - Exact-dedup is one hash-shuffle (map-side partial agg first).
+  *  - Similarity SEARCH broadcasts the (fixed, small) query set, never the
+  *    corpus: a BroadcastNestedLoopJoin that scans the corpus once.
+  *  - Frequent-shingle skew: a df-cap (maxShingleDf) drops
+  *    stop-shingles from candidate generation the same way production
+  *    near-dup pipelines do. Kept OFF (None) in the oracle-checked query so
+  *    the SQL stays equivalent; the LSH variants are the skew-safe path.
+  */
+object LlmOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = T(s, dir, "documents")
+  private def embeddings(s: SparkSession, dir: String): DataFrame = T(s, dir, "embeddings")
+
+  /** Whitespace tokens. The corpus is whitespace-delimited words (see
+    * TESTDATA.md); a BPE-ish regex tokenizer is exercised in e4_quality. */
+  private def toks(text: Column): Column = split(text, " ", -1)
+
+  /** Distinct 3-token shingles of `t` (docs shorter than 3 tokens are
+    * filtered out by callers). */
+  private val shingleExpr =
+    "array_distinct(transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2])))"
+
+  /** doc_id, s (one row per distinct shingle). The inverted-index input. */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(expr(shingleExpr)).as("s"))
+
+  // ---------------------------------------------------------------------
+  // E1: exact dedup
+  // ---------------------------------------------------------------------
+
+  /** Exact dedup via content hash: one row per distinct text, canonical =
+    * min(doc_id), plus copy count. sha2 is computed map-side; the only
+    * shuffle is the partial+final agg on the 256-bit key — at 100 TB this
+    * is the cheapest possible dedup (no text comparison after hashing). */
+  private val e1 = GraftQuery(
+    "llm_e1_exact_dedup",
+    "sha256 content hash -> canonical doc per cluster (E1)",
+    Some("""
+      SELECT sha256(text) AS content_hash,
+             min(doc_id) AS canonical_id,
+             count(*) AS n_copies
+      FROM documents
+      GROUP BY sha256(text)
+      ORDER BY content_hash"""),
+    (s, dir) =>
+      docs(s, dir)
+        .groupBy(sha2(col("text"), 256).as("content_hash"))
+        .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+        .orderBy("content_hash"))
+
+  /** Dedup summary: corpus size before/after exact dedup. */
+  private val e1Stats = GraftQuery(
+    "llm_e1_dedup_stats",
+    "dedup cardinality summary (E1)",
+    Some("""
+      SELECT count(*) AS n_total,
+             count(DISTINCT text) AS n_unique,
+             count(*) - count(DISTINCT text) AS n_duplicates
+      FROM documents"""),
+    (s, dir) =>
+      docs(s, dir).agg(
+        count(lit(1)).as("n_total"),
+        countDistinct(col("text")).as("n_unique"),
+        (count(lit(1)) - countDistinct(col("text"))).as("n_duplicates")))
+
+  // ---------------------------------------------------------------------
+  // E2: near-duplicate detection
+  // ---------------------------------------------------------------------
+
+  /** EXACT n-gram Jaccard near-dup pairs via inverted-index self-join:
+    * explode distinct 3-shingles, join docs sharing a shingle (any pair
+    * with Jaccard > 0 MUST share one, so this finds every qualifying pair
+    * — it is exact, unlike LSH), count shared shingles, Jaccard =
+    * |A∩B| / (|A|+|B|-|A∩B|). The join fans out per-shingle, not
+    * per-doc-pair: cost is sum over shingles of df², the standard
+    * inverted-index bound. The skew escape hatch at 100 TB is dropping
+    * high-df stop-shingles (see header note); the checked query keeps the
+    * exact semantics. */
+  private val e2Jaccard = GraftQuery(
+    "llm_e2_ngram_jaccard_pairs",
+    "exact 3-gram Jaccard >= 0.5 pairs, inverted-index join (E2)",
+    Some("""
+      WITH toksrc AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE len(string_split(text, ' ')) >= 3),
+      idx AS (
+        SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toksrc),
+      sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM idx),
+      n AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+      pairs AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+      SELECT p.da, p.db, p.shared,
+             p.shared / (na.nsh + nb.nsh - p.shared) AS jaccard
+      FROM pairs p
+      JOIN n na ON p.da = na.doc_id
+      JOIN n nb ON p.db = nb.doc_id
+      WHERE p.shared / (na.nsh + nb.nsh - p.shared) >= 0.5
+      ORDER BY da, db"""),
+    (s, dir) => {
+      val sh = shingles(s, dir)
+      val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+      val pairs = sh.as("a")
+        .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(count(lit(1)).as("shared"))
+      pairs
+        .join(n.as("na"), col("da") === col("na.doc_id"))
+        .join(n.as("nb"), col("db") === col("nb.doc_id"))
+        .withColumn("jaccard", col("shared") / (col("na.nsh") + col("nb.nsh") - col("shared")))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("da"), col("db"), col("shared"), col("jaccard"))
+        .orderBy("da", "db")
+    })
+
+  private val minhashK = 16 // signature length
+  private val minhashBands = 4 // 4 bands x 4 rows: catches Jaccard >~ 0.7 pairs w.h.p.
+
+  /** MinHash signature columns h0..h15: min over shingles of a seeded
+    * 64-bit hash. Seeding via a literal prefix column to xxhash64 gives k
+    * independent hash families without custom expressions. */
+  private def minhashSignatures(sh: DataFrame): DataFrame = {
+    val aggs = (0 until minhashK).map(j => min(xxhash64(lit(j), col("s"))).as(s"h$j"))
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash + LSH banding near-dup candidates (the 100 TB-scale path for
+    * E2): signature -> band hashes -> bucket join on (band, hash) ->
+    * candidate pairs with estimated Jaccard = matching-minhash fraction.
+    * Never materializes all pairs; the shuffle key is the band bucket.
+    * No SQL oracle (xxhash64 is Spark-specific); the exact-Jaccard twin
+    * above is the semantic cross-check, covered in LlmOpsSpec. */
+  private val e2MinHash = GraftQuery(
+    "llm_e2_minhash_lsh_candidates",
+    "MinHash(16) + 4-band LSH bucket join, estimated Jaccard (E2, approx)",
+    None,
+    (s, dir) => {
+      val sig = minhashSignatures(shingles(s, dir))
+      val bandCols = (0 until minhashBands).map { b =>
+        xxhash64((4 * b until 4 * b + 4).map(j => col(s"h$j")): _*)
+      }
+      val banded = sig.select(col("doc_id"),
+        posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
+      val cand = banded.as("a")
+        .join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .distinct()
+      val matches = (0 until minhashK)
+        .map(j => when(col(s"sa.h$j") === col(s"sb.h$j"), 1).otherwise(0))
+        .reduce(_ + _)
+      cand
+        .join(sig.as("sa"), col("da") === col("sa.doc_id"))
+        .join(sig.as("sb"), col("db") === col("sb.doc_id"))
+        .select(col("da"), col("db"),
+          (matches.cast("double") / minhashK).as("est_jaccard"))
+        .filter(col("est_jaccard") >= 0.5)
+        .orderBy("da", "db")
+    })
+
+  /** SimHash near-dup: 64-bit signature = sign of per-bit tf-weighted
+    * sums of token hashes; near-dup candidates via 16-bit chunk
+    * pigeonholing (hamming <= 6 implies at least one of four 16-bit chunks
+    * equal... not strictly — <=3 guarantees it; 6 is the usual recall
+    * trade-off), verified with bit_count on the XOR. No SQL oracle
+    * (xxhash64); invariants covered in LlmOpsSpec. */
+  private val e2SimHash = GraftQuery(
+    "llm_e2_simhash_pairs",
+    "SimHash64 signatures + chunk-bucketed hamming<=6 pairs (E2, approx)",
+    None,
+    (s, dir) => {
+      val tokCnt = docs(s, dir)
+        .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+        .withColumn("h", xxhash64(col("tok")))
+      val bitSums = (0 until 64).map { i =>
+        sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, col("tf"))
+          .otherwise(-col("tf"))).as(s"b$i")
+      }
+      val sums = tokCnt.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      val simhash = (0 until 64)
+        .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+        .reduce(_ bitwiseOR _)
+      val sig = sums.select(col("doc_id"), simhash.as("simhash"))
+      val chunks = sig.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(c =>
+          shiftright(col("simhash"), 16 * c).bitwiseAND(lit(0xFFFFL))): _*))
+          .as(Seq("chunk", "cv")))
+      chunks.as("a")
+        .join(chunks.as("b"),
+          col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 6)
+        .orderBy("da", "db")
+    })
+
+  // ---------------------------------------------------------------------
+  // E3: similarity search over embeddings
+  // ---------------------------------------------------------------------
+
+  /** embeddings with double-cast vector + L2 norm. Element-wise ops via
+    * codegen'd higher-order functions; the sequential fold order matches
+    * DuckDB's list_reduce, so sums are bit-identical across engines. */
+  private def normed(s: SparkSession, dir: String): DataFrame =
+    embeddings(s, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm", expr("sqrt(aggregate(transform(v, x -> x * x), 0D, (a, x) -> a + x))"))
+
+  private val dotExpr = "aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (a, x) -> a + x)"
+
+  /** Exact brute-force cosine top-5 for a fixed query set (vec_id < 10):
+    * the query side is broadcast (it is small BY CONSTRUCTION — a search
+    * has few queries), the corpus is scanned once; per-query ranking is a
+    * bounded row_number window. Cosine is rounded to 4dp before ranking so
+    * cross-engine ulp noise cannot flip ranks. */
+  private val e3TopK = GraftQuery(
+    "llm_e3_cosine_topk",
+    "exact cosine top-5 per query vector, broadcast queries (E3)",
+    Some("""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      n AS (
+        SELECT vec_id, v,
+               sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+        FROM e),
+      q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+      scored AS (
+        SELECT q.q_id, c.vec_id AS neighbor_id,
+               round(list_reduce(list_transform(list_zip(q.qv, c.v), p -> p[1] * p[2]),
+                                 (a, b) -> a + b) / (q.qn * c.nrm), 4) AS cosine
+        FROM q CROSS JOIN n c
+        WHERE c.vec_id <> q.q_id),
+      ranked AS (
+        SELECT q_id, neighbor_id, cosine,
+               CAST(row_number() OVER (PARTITION BY q_id
+                                       ORDER BY cosine DESC, neighbor_id) AS INT) AS rn
+        FROM scored)
+      SELECT q_id, rn, neighbor_id, cosine
+      FROM ranked WHERE rn <= 5
+      ORDER BY q_id, rn"""),
+    (s, dir) => {
+      val n = normed(s, dir)
+      val q = n.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+      n.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .withColumn("cosine", round(expr(dotExpr) / (col("qn") * col("nrm")), 4))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cosine"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("q_id"), col("rn"), col("neighbor_id"), col("cosine"))
+        .orderBy("q_id", "rn")
+    })
+
+  private val annPlanes = 8
+
+  /** Deterministic random hyperplanes (fixed seed) as literal columns —
+    * computed once on the driver, broadcast inside the plan for free. */
+  private def hyperplanes(dim: Int): Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(annPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** ANN via random-hyperplane LSH (the scale path for E3): 8 sign bits ->
+    * 256 buckets; candidates = same-bucket vectors; exact cosine + top-3
+    * within the bucket. One shuffle on the bucket id regardless of corpus
+    * size; recall is tunable with more tables/fewer planes. No SQL oracle
+    * (approximate by design — bucket boundaries are hash-specific); recall
+    * vs the exact top-k is asserted in LlmOpsSpec. */
+  private val e3Ann = GraftQuery(
+    "llm_e3_ann_lsh_topk",
+    "random-hyperplane LSH bucketed ANN top-3 (E3, approx)",
+    None,
+    (s, dir) => {
+      val planes = hyperplanes(64)
+      val bucketBits = planes.zipWithIndex.map { case (p, i) =>
+        val pl = array(p.map(lit): _*)
+        val dot = expr(s"aggregate(zip_with(v, plane$i, (x, y) -> x * y), 0D, (a, x) -> a + x)")
+        (p, i, pl, dot)
+      }
+      var df = normed(s, dir)
+      bucketBits.foreach { case (_, i, pl, _) => df = df.withColumn(s"plane$i", pl) }
+      val bucket = bucketBits
+        .map { case (_, i, _, dot) => when(dot > 0, lit(1 << i)).otherwise(lit(0)) }
+        .reduce(_ + _)
+      val bucketed = df.withColumn("bucket", bucket)
+        .select(col("vec_id"), col("v"), col("nrm"), col("bucket"))
+      val q = bucketed.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn"), col("bucket").as("qb"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+      bucketed.join(broadcast(q), col("bucket") === col("qb") && col("vec_id") =!= col("q_id"))
+        .withColumn("cosine", round(expr(dotExpr) / (col("qn") * col("nrm")), 4))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cosine"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("q_id"), col("rn"), col("neighbor_id"), col("cosine"))
+        .orderBy("q_id", "rn")
+    })
+
+  // ---------------------------------------------------------------------
+  // E4: text analysis
+  // ---------------------------------------------------------------------
+
+  /** Term frequencies: the classic explode + group-count. Partial
+    * aggregation makes this one small shuffle of (term, count) pairs. */
+  private val e4Terms = GraftQuery(
+    "llm_e4_term_frequencies",
+    "tokenize + explode + group-count term frequencies (E4)",
+    Some("""
+      SELECT tok AS term, count(*) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY tok
+      ORDER BY freq DESC, term"""),
+    (s, dir) =>
+      docs(s, dir)
+        .select(explode(toks(col("text"))).as("term"))
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("term")))
+
+  private val stopwords = Seq("the", "a")
+
+  /** Per-document quality metrics: token counts (whitespace + a BPE-ish
+    * regex token count), distinct ratio, stopword ratio, punctuation
+    * count, and a boolean quality gate — the usual pre-training corpus
+    * filters. All single-division doubles (exact operands), so
+    * cross-engine hashes match without rounding. */
+  private val e4Quality = GraftQuery(
+    "llm_e4_doc_quality",
+    "per-doc quality stats: token/distinct/stopword/punct metrics (E4)",
+    Some(s"""
+      WITH q AS (
+        SELECT doc_id, lang, n_chars,
+               string_split(text, ' ') AS t,
+               len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpeish,
+               length(text) - length(replace(replace(text, ',', ''), '.', '')) AS n_punct
+        FROM documents)
+      SELECT doc_id, lang, n_chars,
+             len(t) AS n_tokens,
+             n_bpeish,
+             len(list_distinct(t)) AS n_distinct,
+             len(list_filter(t, x -> x IN (${stopwords.map(w => s"'$w'").mkString(", ")}))) AS n_stop,
+             CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS distinct_ratio,
+             CAST(len(list_filter(t, x -> x IN (${stopwords.map(w => s"'$w'").mkString(", ")}))) AS DOUBLE) / len(t) AS stop_ratio,
+             n_punct,
+             (len(t) >= 20 AND CAST(len(list_distinct(t)) AS DOUBLE) / len(t) >= 0.15) AS quality_ok
+      FROM q
+      ORDER BY doc_id"""),
+    (s, dir) => {
+      val stopPred = stopwords.map(w => s"x = '$w'").mkString(" OR ")
+      docs(s, dir)
+        .withColumn("t", toks(col("text")))
+        .withColumn("n_tokens", size(col("t")))
+        .withColumn("n_bpeish",
+          size(expr("regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]', 0)")))
+        .withColumn("n_distinct", size(array_distinct(col("t"))))
+        .withColumn("n_stop", size(expr(s"filter(t, x -> $stopPred)")))
+        .withColumn("n_punct",
+          length(col("text")) - length(regexp_replace(col("text"), "[,.]", "")))
+        .select(
+          col("doc_id"), col("lang"), col("n_chars"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          col("n_bpeish").cast("long").as("n_bpeish"),
+          col("n_distinct").cast("long").as("n_distinct"),
+          col("n_stop").cast("long").as("n_stop"),
+          (col("n_distinct").cast("double") / col("n_tokens")).as("distinct_ratio"),
+          (col("n_stop").cast("double") / col("n_tokens")).as("stop_ratio"),
+          col("n_punct").cast("long").as("n_punct"),
+          (col("n_tokens") >= 20 &&
+            col("n_distinct").cast("double") / col("n_tokens") >= 0.15).as("quality_ok"))
+        .orderBy("doc_id")
+    })
+
+  /** Language ID, n-gram-heuristic style: score = stopword-token hit rate
+    * against a (deliberately tiny) per-language profile. The synthetic
+    * corpus shares one English-ish vocabulary across langs, so the honest
+    * output of any content-based LID here is 'en'/'und' — the point is the
+    * operator shape (profile scoring + argmax), not the model. */
+  private val e4LangId = GraftQuery(
+    "llm_e4_language_id",
+    "heuristic stopword-profile language ID vs labeled lang (E4)",
+    Some("""
+      WITH scored AS (
+        SELECT doc_id, lang,
+               CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS en_score
+        FROM documents)
+      SELECT lang,
+             CASE WHEN en_score > 0 THEN 'en' ELSE 'und' END AS predicted,
+             count(*) AS n_docs
+      FROM scored
+      GROUP BY 1, 2
+      ORDER BY 1, 2"""),
+    (s, dir) =>
+      docs(s, dir)
+        .withColumn("t", toks(col("text")))
+        .withColumn("en_score",
+          size(expr("filter(t, x -> x = 'the' OR x = 'a')")).cast("double") / size(col("t")))
+        .withColumn("predicted", when(col("en_score") > 0, "en").otherwise("und"))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "predicted"))
+
+  /** Document fingerprints: exact content hash (md5) + order-insensitive
+    * bag-of-words hash — the two standard dedup keys (exact and
+    * shuffled-content). */
+  private val e4Fingerprint = GraftQuery(
+    "llm_e4_fingerprints",
+    "content md5 + sorted-bag md5 fingerprints (E4)",
+    Some("""
+      SELECT doc_id,
+             md5(text) AS content_fp,
+             md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bag_fp
+      FROM documents
+      ORDER BY doc_id"""),
+    (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          md5(col("text")).as("content_fp"),
+          md5(array_join(array_sort(array_distinct(toks(col("text")))), " ")).as("bag_fp"))
+        .orderBy("doc_id"))
+
+  def queries: Seq[GraftQuery] = Seq(
+    e1, e1Stats, e2Jaccard, e2MinHash, e2SimHash,
+    e3TopK, e3Ann, e4Terms, e4Quality, e4LangId, e4Fingerprint)
+}

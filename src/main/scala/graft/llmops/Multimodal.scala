@@ -1,0 +1,118 @@
+package graft.llmops
+
+import graft.{GraftQuery, T}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing (driver north star: image/audio/video as
+  * opaque `binary` columns with typed metadata).
+  *
+  * Real decoders (JPEG/PNG/audio codecs) are NOT in this container, so the
+  * decode step is a clearly-marked deterministic FAKE: it derives
+  * "metadata" (width/height/duration) from the payload's md5 — the Spark
+  * side of the pipeline (binary schema, per-row feature extraction inside
+  * whole-stage codegen, frame fan-out via a generator, batch-friendly
+  * partitioning) is real and oracle-checked. Swapping in a real decoder
+  * means replacing [[fakeDecodeWidth]]/[[fakeDecodeHeight]] with a
+  * mapPartitions/Pandas-UDF-style batch decode behind the same schema; the
+  * plan shape does not change.
+  *
+  * The binary payloads are derived on the fly from documents.text (the
+  * testdata has no binary column); since the text is ASCII, the DuckDB
+  * oracle computes the same bytes on the VARCHAR side (DuckDB 1.0 lacks
+  * BLOB md5/substring).
+  *
+  * Scale posture: everything is a per-row projection or a bounded
+  * generator — no shuffle at all until the final ORDER BY (verify-output
+  * determinism only). At 100 TB the binary payloads dominate scan cost;
+  * metadata extraction adds no data movement, and frame sampling fans out
+  * rows in the same stage (no join).
+  */
+object Multimodal {
+
+  /** The typed schema a multimodal table carries: opaque payload + typed
+    * metadata struct. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("payload", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("mime", StringType),
+      StructField("n_bytes", LongType),
+      StructField("width", LongType),
+      StructField("height", LongType))))))
+
+  /** FAKE decode: "width" from md5 hex chars 1-4. A real impl would parse
+    * the image header here. Deterministic + cross-engine reproducible. */
+  def fakeDecodeWidth(payloadMd5: Column): Column =
+    (conv(substring(payloadMd5, 1, 4), 16, 10).cast("long") % 2048) + 16
+
+  /** FAKE decode: "height" from md5 hex chars 5-8. */
+  def fakeDecodeHeight(payloadMd5: Column): Column =
+    (conv(substring(payloadMd5, 5, 4), 16, 10).cast("long") % 2048) + 16
+
+  private def media(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents").select(
+      col("doc_id").as("media_id"),
+      col("text").cast(BinaryType).as("payload"),
+      col("lang"))
+
+  /** Binary ingestion + typed-metadata extraction: payload stays opaque;
+    * md5/length are codegen'd builtins; width/height are the stubbed
+    * decode. */
+  private val mmFeatures = GraftQuery(
+    "mm_binary_features",
+    "opaque binary payload -> typed metadata (md5/bytes/fake-decode dims)",
+    Some("""
+      SELECT doc_id AS media_id,
+             octet_length(encode(text)) AS n_bytes,
+             md5(text) AS content_md5,
+             (CAST('0x' || substr(md5(text), 1, 4) AS BIGINT) % 2048) + 16 AS width,
+             (CAST('0x' || substr(md5(text), 5, 4) AS BIGINT) % 2048) + 16 AS height
+      FROM documents
+      ORDER BY media_id"""),
+    (s, dir) => {
+      val m = media(s, dir).withColumn("content_md5", md5(col("payload")))
+      m.select(
+        col("media_id"),
+        octet_length(col("payload")).cast("long").as("n_bytes"),
+        col("content_md5"),
+        fakeDecodeWidth(col("content_md5")).as("width"),
+        fakeDecodeHeight(col("content_md5")).as("height"))
+        .orderBy("media_id")
+    })
+
+  private val frameBytes = 32
+
+  /** Frame sampling: fan each payload out into fixed-size "frames"
+    * (sequence + posexplode generator — no shuffle), fingerprint each
+    * frame. The video-decode analog of mapInPandas batch processing; a
+    * real codec would replace the substring with a frame extractor. */
+  private val mmFrames = GraftQuery(
+    "mm_frame_sample",
+    "binary payload -> fixed-size frame fan-out + per-frame fingerprint",
+    Some(s"""
+      WITH m AS (
+        SELECT doc_id AS media_id, text,
+               CAST(ceil(octet_length(encode(text)) / $frameBytes.0) AS BIGINT) AS n_frames
+        FROM documents),
+      f AS (
+        SELECT media_id, text, unnest(generate_series(0, n_frames - 1)) AS frame_idx
+        FROM m)
+      SELECT media_id, frame_idx,
+             md5(substring(text, CAST(frame_idx * $frameBytes + 1 AS INT), $frameBytes)) AS frame_md5
+      FROM f
+      ORDER BY media_id, frame_idx"""),
+    (s, dir) =>
+      media(s, dir)
+        .withColumn("n_frames",
+          ceil(octet_length(col("payload")) / lit(frameBytes.toDouble)).cast("long"))
+        .select(col("media_id"), col("payload"),
+          posexplode(expr("sequence(0, n_frames - 1)")).as(Seq("p", "frame_idx")))
+        .select(col("media_id"), col("frame_idx"),
+          md5(expr(s"substring(payload, cast(frame_idx * $frameBytes + 1 as int), $frameBytes)"))
+            .as("frame_md5"))
+        .orderBy("media_id", "frame_idx"))
+
+  def queries: Seq[GraftQuery] = Seq(mmFeatures, mmFrames)
+}

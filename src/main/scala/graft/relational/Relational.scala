@@ -10,10 +10,12 @@ import org.apache.spark.sql.types._
   * windows, §2.7 sorts/limits, §2.8 set ops, §2.9 scalar functions —
   * extension family E6) over the TPC-H-ish testdata.
   *
-  * Scale posture: every join keeps the small side broadcastable
-  * (dimension tables region/nation/supplier/customer are tiny relative to
-  * fact tables at any SF; `broadcast()` hints make that explicit so the
-  * plan survives statistics drift at 100 TB). Fact-fact joins
+  * Scale posture: explicit `broadcast()` hints ONLY on the
+  * fixed-cardinality dims (nation=25 rows, region=5 rows — constants of
+  * the schema, broadcastable at any SF). customer/supplier/part scale
+  * linearly with SF, so their join strategy is left to AQE/statistics:
+  * broadcast at bench scale, shuffle-hash/sort-merge at 100 TB — a forced
+  * broadcast there would OOM every executor. Fact-fact joins
   * (orders⋈lineitem) shuffle on the join key — the natural co-partition
   * key for bucketing in a real deployment. Aggregations are all
   * partial+final hash aggregates (map-side combine) by construction.
@@ -58,8 +60,8 @@ object Relational {
         .orderBy("l_returnflag", "l_linestatus")
     })
 
-  /** TPC-H Q3 shape: 3-way join + agg + top-k. customer is the small
-    * side (broadcast); orders⋈lineitem shuffles on orderkey. */
+  /** TPC-H Q3 shape: 3-way join + agg + top-k; orders⋈lineitem shuffles
+    * on orderkey, customer join strategy left to AQE (SF-scaled table). */
   private val q3 = GraftQuery(
     "q3_top_unshipped_orders",
     "3-way join + group + global top-k with tiebreak (E6/O1)",
@@ -82,8 +84,10 @@ object Relational {
         .filter(col("o_orderdate") < expr("timestamp'1998-01-01 00:00:00'"))
       val li = T(s, dir, "lineitem")
         .filter(col("l_shipdate") > expr("timestamp'1998-01-01 00:00:00'"))
+      // customer scales with SF — no forced broadcast; AQE/statistics pick
+      // the join strategy (broadcast at small SF, shuffle join at 100 TB)
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
         .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
           .cast("double").as("revenue"))
@@ -94,8 +98,8 @@ object Relational {
     })
 
   /** TPC-H Q5 shape: 6-way star join through region→nation→customer and
-    * supplier co-location condition. All dims broadcast; only the
-    * orders⋈lineitem edge shuffles. */
+    * supplier co-location condition. Fixed-cardinality nation/region
+    * broadcast; SF-scaled customer/supplier left to AQE. */
   private val q5 = GraftQuery(
     "q5_region_revenue",
     "6-way star join + agg + sort (E6); dims broadcast",
@@ -120,9 +124,12 @@ object Relational {
       val li = T(s, dir, "lineitem")
       val region = T(s, dir, "region").filter(col("r_name") === "ASIA")
       val nation = T(s, dir, "nation")
+      // customer/supplier scale with SF — leave their join strategy to
+      // AQE; only the fixed-cardinality dims (nation=25, region=5) get
+      // explicit broadcast hints
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(T(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(T(s, dir, "supplier")),
+        .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(T(s, dir, "supplier"),
           col("l_suppkey") === col("s_suppkey") &&
             col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
@@ -182,8 +189,9 @@ object Relational {
     (s, dir) => {
       val w = Window.partitionBy(col("c_custkey"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      // customer scales with SF — AQE picks the strategy
       T(s, dir, "orders")
-        .join(broadcast(T(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)

@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Local correctness harness: mimics the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+
+For each query dumped by graft.Verify: load the Spark parquet result and
+run the paired oracle SQL in DuckDB over the same tables; sort columns by
+name, sort rows, compare values exactly. Reports per-query PASS/FAIL.
+(Builder-side tool only — not part of the library.)
+"""
+import sys, json, math, glob, os
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if hasattr(v, "hex") and isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, norm(x)) for k, x in v.items()))
+    return v
+
+
+def canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda t: tuple((x is None, str(type(x)), str(x)) for x in t))
+    return [cols[i] for i in order], out
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    results = {}
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if not os.path.isdir(d):
+            continue
+        files = glob.glob(f"{d}/*.parquet")
+        if not files:
+            results[name] = "NO_SPARK_OUTPUT"
+            continue
+        sdf = con.execute(f"SELECT * FROM read_parquet('{d}/*.parquet')")
+        scols = [c[0] for c in sdf.description]
+        srows = sdf.fetchall()
+        if name not in oracle:
+            results[name] = f"ROWS_ONLY rows={len(srows)}" + (" EMPTY!" if not srows else "")
+            continue
+        try:
+            odf = con.execute(oracle[name])
+            ocols = [c[0] for c in odf.description]
+            orows = odf.fetchall()
+        except Exception as e:
+            results[name] = f"ORACLE_SQL_ERROR: {str(e)[:200]}"
+            continue
+        sc, sr = canon(scols, srows)
+        oc, orr = canon(ocols, orows)
+        if sc != oc:
+            results[name] = f"SCHEMA_MISMATCH spark={sc} oracle={oc}"
+        elif len(sr) != len(orr):
+            results[name] = f"ROWCOUNT_MISMATCH spark={len(sr)} oracle={len(orr)}"
+        elif sr != orr:
+            diffs = [(a, b) for a, b in zip(sr, orr) if a != b][:3]
+            results[name] = f"VALUE_MISMATCH rows={len(sr)} first_diffs={diffs}"
+        else:
+            results[name] = f"PASS rows={len(sr)}"
+    npass = sum(1 for v in results.values() if v.startswith("PASS"))
+    nrows_only = sum(1 for v in results.values() if v.startswith("ROWS_ONLY"))
+    for k, v in sorted(results.items()):
+        flag = "  " if v.startswith(("PASS", "ROWS_ONLY")) else "!!"
+        print(f"{flag} {k}: {v}")
+    print(f"\n{npass} PASS, {nrows_only} rows-only, "
+          f"{len(results) - npass - nrows_only} FAIL of {len(results)}")
+    return 0 if npass + nrows_only == len(results) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
