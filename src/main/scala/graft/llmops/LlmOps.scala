@@ -139,7 +139,11 @@ object LlmOps {
     })
 
   private val minhashK = 16 // signature length
-  private val minhashBands = 4 // 4 bands x 4 rows: catches Jaccard >~ 0.7 pairs w.h.p.
+  // 8 bands x 2 rows tuned for the 0.5 threshold: P(candidate | J) =
+  // 1-(1-J^2)^8 -> 0.90 at J=0.5, ~1.0 at J=0.9. (4x4 banding missed real
+  // J>=0.9 pairs on the testdata — caught by LlmOpsSpec's recall check.)
+  private val minhashBands = 8
+  private val minhashRows = minhashK / minhashBands
 
   /** MinHash signature columns h0..h15: min over shingles of a seeded
     * 64-bit hash. Seeding via a literal prefix column to xxhash64 gives k
@@ -157,12 +161,12 @@ object LlmOps {
     * above is the semantic cross-check, covered in LlmOpsSpec. */
   private val e2MinHash = GraftQuery(
     "llm_e2_minhash_lsh_candidates",
-    "MinHash(16) + 4-band LSH bucket join, estimated Jaccard (E2, approx)",
+    "MinHash(16) + 8-band LSH bucket join, estimated Jaccard (E2, approx)",
     None,
     (s, dir) => {
       val sig = minhashSignatures(shingles(s, dir))
       val bandCols = (0 until minhashBands).map { b =>
-        xxhash64((4 * b until 4 * b + 4).map(j => col(s"h$j")): _*)
+        xxhash64((minhashRows * b until minhashRows * (b + 1)).map(j => col(s"h$j")): _*)
       }
       val banded = sig.select(col("doc_id"),
         posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
@@ -283,46 +287,59 @@ object LlmOps {
         .orderBy("q_id", "rn")
     })
 
-  private val annPlanes = 8
+  // Multi-table hyperplane LSH: L independent tables of b sign bits each.
+  // Recall for a pair at angle θ is 1-(1-(1-θ/π)^b)^L — one table of many
+  // planes has near-zero recall on mid-cosine neighbors (the testdata's
+  // true top-1s sit at cosine ~0.35), so production ANN uses several
+  // coarser tables and unions their candidates.
+  private val annTables = 8
+  private val annPlanesPerTable = 4
 
-  /** Deterministic random hyperplanes (fixed seed) as literal columns —
-    * computed once on the driver, broadcast inside the plan for free. */
-  private def hyperplanes(dim: Int): Seq[Array[Double]] = {
-    val rnd = new scala.util.Random(42)
-    Seq.fill(annPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  /** Deterministic random hyperplanes (fixed seed per table) as literal
+    * columns — computed once on the driver, shipped in the plan for free. */
+  private def hyperplanes(dim: Int, table: Int): Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(42 + table)
+    Seq.fill(annPlanesPerTable)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** ANN via random-hyperplane LSH (the scale path for E3): 8 sign bits ->
-    * 256 buckets; candidates = same-bucket vectors; exact cosine + top-3
-    * within the bucket. One shuffle on the bucket id regardless of corpus
-    * size; recall is tunable with more tables/fewer planes. No SQL oracle
-    * (approximate by design — bucket boundaries are hash-specific); recall
-    * vs the exact top-k is asserted in LlmOpsSpec. */
+  /** ANN via multi-table random-hyperplane LSH (the scale path for E3):
+    * per table, b sign bits -> bucket id; candidates = same-(table,bucket)
+    * vectors unioned over tables; exact cosine + top-3 within candidates.
+    * The shuffle key is (table, bucket) regardless of corpus size —
+    * candidate count per query is L x bucket-occupancy, never the corpus.
+    * No SQL oracle (approximate by design — bucket boundaries are
+    * hash-specific); recall vs the exact top-k is asserted in LlmOpsSpec. */
   private val e3Ann = GraftQuery(
     "llm_e3_ann_lsh_topk",
-    "random-hyperplane LSH bucketed ANN top-3 (E3, approx)",
+    "multi-table random-hyperplane LSH ANN top-3 (E3, approx)",
     None,
     (s, dir) => {
-      val planes = hyperplanes(64)
-      val bucketBits = planes.zipWithIndex.map { case (p, i) =>
-        val pl = array(p.map(lit): _*)
-        val dot = expr(s"aggregate(zip_with(v, plane$i, (x, y) -> x * y), 0D, (a, x) -> a + x)")
-        (p, i, pl, dot)
+      val bucketCols = (0 until annTables).map { t =>
+        val bits = hyperplanes(64, t).zipWithIndex.map { case (p, i) =>
+          val dot = expr(
+            s"aggregate(zip_with(v, array(${p.mkString(", ")}), (x, y) -> x * y), 0D, (a, x) -> a + x)")
+          when(dot > 0, lit(1 << i)).otherwise(lit(0))
+        }
+        bits.reduce(_ + _)
       }
-      var df = normed(s, dir)
-      bucketBits.foreach { case (_, i, pl, _) => df = df.withColumn(s"plane$i", pl) }
-      val bucket = bucketBits
-        .map { case (_, i, _, dot) => when(dot > 0, lit(1 << i)).otherwise(lit(0)) }
-        .reduce(_ + _)
-      val bucketed = df.withColumn("bucket", bucket)
-        .select(col("vec_id"), col("v"), col("nrm"), col("bucket"))
+      val bucketed = normed(s, dir)
+        .select(col("vec_id"), col("v"), col("nrm"),
+          posexplode(array(bucketCols: _*)).as(Seq("tbl", "bucket")))
       val q = bucketed.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"),
-          col("nrm").as("qn"), col("bucket").as("qb"))
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+          col("tbl").as("qtbl"), col("bucket").as("qb"))
+      // union candidates over tables, dedup before the (exact) scoring pass
+      val cand = bucketed
+        .join(broadcast(q),
+          col("tbl") === col("qtbl") && col("bucket") === col("qb") &&
+            col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("qv"), col("qn"),
+          col("vec_id").as("neighbor_id"), col("v"), col("nrm"))
+        .dropDuplicates("q_id", "neighbor_id")
       val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("neighbor_id"))
-      bucketed.join(broadcast(q), col("bucket") === col("qb") && col("vec_id") =!= col("q_id"))
+      cand
         .withColumn("cosine", round(expr(dotExpr) / (col("qn") * col("nrm")), 4))
-        .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cosine"))
+        .select(col("q_id"), col("neighbor_id"), col("cosine"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("q_id"), col("rn"), col("neighbor_id"), col("cosine"))

@@ -37,8 +37,9 @@ object Parity {
     Annotate.annotated(docs(s, dir))
 
   /** F1 flatten: record row ∪ tag rows. tag_count uses
-    * coalesce(size(tags), 0) — Spark's size(NULL) is -1 while the
-    * reference's len(result.get("tags", [])) is 0 (SURVEY.md §7.4.2). */
+    * coalesce(size(tags), 0) — Spark's size(NULL) is NULL (or -1 under the
+    * legacy conf) while the reference's len(result.get("tags", [])) is 0
+    * (SURVEY.md §7.4.2). */
   def flatten(ann: DataFrame): DataFrame = {
     val base = ann.select(
       col("doc_id"), col("lang"), col("source"),
