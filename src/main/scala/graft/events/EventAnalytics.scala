@@ -192,6 +192,44 @@ object EventAnalytics {
         .select(col("user_id"))
         .orderBy("user_id"))
 
+  /** Native session_window generator (§2.10), batch-bound: the SAME
+    * transform graft.streaming.EventStreams.sessionWindows runs
+    * incrementally under readStream (withWatermark is a no-op in batch).
+    * Oracle reproduces gap-merged sessions via lag + cumulative sum;
+    * timestamps exported as epoch micros (ns-vs-µs precision never hits
+    * the hash compare). */
+  private val sessionWindowQ = GraftQuery(
+    "e5_session_window",
+    "native session_window gap sessionization, batch twin of the stream (§2.10/E5)",
+    Some("""
+      WITH flagged AS (
+        SELECT user_id, ts, event_id,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+               THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ), sessions AS (
+        SELECT user_id, ts,
+          SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged
+      )
+      SELECT user_id,
+        epoch_us(min(ts)) AS session_start_us,
+        epoch_us(max(ts)) + 1800000000 AS session_end_us,
+        COUNT(*) AS session_events
+      FROM sessions
+      GROUP BY user_id, session_id
+      ORDER BY user_id, session_start_us"""),
+    (s, dir) =>
+      graft.streaming.EventStreams.sessionWindows(events(s, dir))
+        .select(col("user_id"),
+          unix_micros(col("session_start")).as("session_start_us"),
+          unix_micros(col("session_end")).as("session_end_us"),
+          col("session_events"))
+        .orderBy("user_id", "session_start_us"))
+
   def queries: Seq[GraftQuery] =
-    Seq(hourly, sessionize, sessionHistogram, jsonProps, funnel)
+    Seq(hourly, sessionize, sessionHistogram, jsonProps, funnel, sessionWindowQ)
 }

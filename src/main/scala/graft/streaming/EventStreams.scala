@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming twins of the batch event analytics (SURVEY.md
+  * §2.10; graft.events.EventAnalytics holds the oracle-checkable batch
+  * forms). Transforms are source-agnostic: they take any streaming (or
+  * batch — the same plans bind in both modes) DataFrame with the events
+  * schema, so tests drive them from MemoryStream and production from
+  * readStream over a file/Kafka source.
+  *
+  * Scale posture: state is keyed by user_id / window — bounded per key and
+  * evicted by watermark; no stream-side global state. The same shuffle
+  * keys as the batch twins, so a 100 TB/day stream partitions identically
+  * to the batch backfill.
+  */
+object EventStreams {
+
+  /** events table schema (driver testdata events.parquet). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Production entry: an unbounded stream over a growing parquet
+    * directory (each new file = one micro-batch of events). */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+
+  /** Streaming twin of e5_hourly_event_stats: tumbling 1-hour windows,
+    * late data admitted up to `watermark`. Append-mode-ready (watermarked
+    * windows finalize and evict). */
+  def hourlyStats(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:00").as("hour_bucket"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Streaming sessionization via the native session_window generator:
+    * one row per (user, gap-merged session). The batch lag+cumsum twin
+    * (e5_sessionization) produces the same sessions; boundary semantics
+    * differ only when a gap is EXACTLY 30 minutes (session_window treats
+    * the half-open [ts, ts+gap) as non-overlapping, the batch `> gap`
+    * test keeps it in-session) — µs-grained real data never hits it. */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("session_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("session_events"))
+
+  /** One event for the typed stateful path. */
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  /** Per-user running aggregate carried across micro-batches. */
+  final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long,
+      last_ts: Long)
+
+  private val gapMicros: Long = 30L * 60 * 1000 * 1000
+
+  /** Custom-state streaming (KeyValueGroupedDataset.flatMapGroupsWithState):
+    * per-user session counting with the exact batch gap rule (`> 30 min`
+    * starts a new session), state = (count so far, last event time). This
+    * is the shape for logic session_window can't express (e.g. carrying
+    * counters across sessions); emits the updated per-user row each batch
+    * (Update mode). */
+  def userSessionStats(events: Dataset[Event]): Dataset[UserSessions] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserSessions, UserSessions](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, batch: Iterator[Event], state: GroupState[UserSessions]) =>
+          // µs-exact epoch (Timestamp.getTime is ms-truncated; the data is µs)
+          def micros(t: java.sql.Timestamp): Long =
+            Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+          val prev = state.getOption.getOrElse(UserSessions(user, 0L, 0L, Long.MinValue))
+          // micro-batch iterators are not time-ordered; restore event order
+          val sorted = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          val next = sorted.foldLeft(prev) { (st, e) =>
+            val tsMicros = micros(e.ts)
+            val newSession = st.last_ts == Long.MinValue || tsMicros - st.last_ts > gapMicros
+            UserSessions(user,
+              st.n_sessions + (if (newSession) 1 else 0),
+              st.n_events + 1,
+              tsMicros)
+          }
+          if (sorted.isEmpty) Iterator.empty
+          else { state.update(next); Iterator.single(next) }
+      }
+  }
+}

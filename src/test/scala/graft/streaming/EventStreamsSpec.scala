@@ -1,0 +1,101 @@
+package graft.streaming
+
+import graft.{Registry, SparkSpec}
+import graft.events.EventAnalytics
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming twins vs batch oracles: the same transforms bound to a
+  * MemoryStream must converge to the batch answers, including state
+  * carried across micro-batches. */
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val batchEvents = EventAnalytics.events(spark, sfDir).cache()
+
+  private def toEvents(rows: Array[Row]): Seq[EventStreams.Event] =
+    rows.map(r => EventStreams.Event(
+      r.getAs[Long]("event_id"), r.getAs[java.sql.Timestamp]("ts"),
+      r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+      r.getAs[Double]("value"), r.getAs[String]("props"))).toSeq
+
+  test("streaming hourlyStats converges to the batch e5_hourly_event_stats") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[EventStreams.Event]
+    // two micro-batches: same hour buckets must merge across them
+    // (AvailableNow only sees data queued BEFORE start)
+    val all = toEvents(batchEvents.collect())
+    val (b1, b2) = all.splitAt(all.size / 2)
+    stream.addData(b1); stream.addData(b2)
+    val q = EventStreams.hourlyStats(stream.toDF())
+      .writeStream.format("memory").queryName("hourly_t")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("hourly_t")
+      .select($"hour_bucket", $"event_type", $"n_events", $"total_value")
+      .as[(String, String, Long, Double)].collect().toSet
+    val batch = Registry.byName("e5_hourly_event_stats").run(spark, sfDir)
+      .as[(String, String, Long, Double)].collect().toSet
+    streamed shouldBe batch
+  }
+
+  test("streaming session_window (append + watermark) matches the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[EventStreams.Event]
+    val all = toEvents(batchEvents.collect())
+    val (b1, b2) = all.splitAt(all.size / 2)
+    stream.addData(b1)
+    stream.addData(b2)
+    // append mode only emits sessions finalized by the watermark: push it
+    // past every real event with a sentinel user, then filter it out
+    val maxTs = batchEvents.agg(max($"ts")).as[java.sql.Timestamp].head()
+    val sentinel = EventStreams.Event(-1L,
+      java.sql.Timestamp.from(maxTs.toInstant.plusSeconds(24 * 3600)),
+      -1L, "sentinel", 0.0, "{}")
+    stream.addData(Seq(sentinel))
+    val q = EventStreams.sessionWindows(stream.toDF())
+      .writeStream.format("memory").queryName("sessions_t")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("sessions_t")
+      .filter($"user_id" =!= -1L)
+      .select($"user_id", unix_micros($"session_start"), unix_micros($"session_end"),
+        $"session_events")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val batch = Registry.byName("e5_session_window").run(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    streamed shouldBe batch
+  }
+
+  test("flatMapGroupsWithState carries per-user session state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[EventStreams.Event]
+    val updates = scala.collection.mutable.ArrayBuffer[EventStreams.UserSessions]()
+    // time-ordered feed split mid-stream: users spanning the split must
+    // NOT double-count the session at the boundary (state carry)
+    val all = toEvents(batchEvents.orderBy($"ts", $"event_id").collect())
+    val (b1, b2) = all.splitAt(all.size / 2)
+    stream.addData(b1); stream.addData(b2)
+    val q = EventStreams.userSessionStats(stream.toDS())
+      .writeStream.outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[EventStreams.UserSessions], _: Long) =>
+        updates.synchronized { updates ++= batch.collect() }; ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    // last update per user = final running totals
+    val finalPerUser = updates.groupBy(_.user_id).map { case (u, us) =>
+      u -> { val last = us.last; (last.n_sessions, last.n_events) }
+    }
+    val batch = Registry.byName("e5_sessionization").run(spark, sfDir)
+      .select($"user_id", $"n_sessions", $"n_events")
+      .as[(Long, Long, Long)].collect()
+      .map { case (u, s, n) => u -> ((s, n)) }.toMap
+    finalPerUser shouldBe batch
+  }
+}
