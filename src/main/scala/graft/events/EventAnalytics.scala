@@ -230,6 +230,44 @@ object EventAnalytics {
           col("session_events"))
         .orderBy("user_id", "session_start_us"))
 
+  /** Backward as-of join (custom operator — Spark has no built-in):
+    * each purchase event picks up the same user's latest prior-or-equal
+    * click via the single-shuffle union+window formulation in
+    * [[graft.operators.AsOfJoin]]. Oracle reproduces it with
+    * last_value IGNORE NULLS over the identically-ordered window. */
+  private val asof = GraftQuery(
+    "e5_asof_purchase_last_click",
+    "backward as-of join purchase -> latest prior click per user (custom op)",
+    Some("""
+      WITH tagged AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN event_type = 'click' THEN ts END AS click_src,
+               CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side
+        FROM events WHERE event_type IN ('click', 'purchase')),
+      filled AS (
+        SELECT user_id, event_id, ts, event_type,
+          last_value(click_src IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY ts, side, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_ts
+        FROM tagged)
+      SELECT user_id, event_id, epoch_us(ts) AS purchase_us,
+             epoch_us(click_ts) AS last_click_us
+      FROM filled WHERE event_type = 'purchase'
+      ORDER BY user_id, event_id"""),
+    (s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+      val clicks = ev.filter(col("event_type") === "click")
+        .withColumn("click_ts", col("ts"))
+        .select("user_id", "ts", "event_id", "click_ts")
+      graft.operators.AsOfJoin
+        .backward(purchases, clicks, "user_id", "ts", "event_id", Seq("click_ts"))
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("purchase_us"),
+          unix_micros(col("click_ts")).as("last_click_us"))
+        .orderBy("user_id", "event_id")
+    })
+
   def queries: Seq[GraftQuery] =
-    Seq(hourly, sessionize, sessionHistogram, jsonProps, funnel, sessionWindowQ)
+    Seq(hourly, sessionize, sessionHistogram, jsonProps, funnel, sessionWindowQ, asof)
 }

@@ -302,6 +302,22 @@ object LlmOps {
     Seq.fill(annPlanesPerTable)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** (vec_id, v, nrm, tbl, bucket) — one row per vector per LSH table;
+    * shared by the ANN search and the cosine near-dup pair query. */
+  private def lshBucketed(s: SparkSession, dir: String): DataFrame = {
+    val bucketCols = (0 until annTables).map { t =>
+      val bits = hyperplanes(64, t).zipWithIndex.map { case (p, i) =>
+        val dot = expr(
+          s"aggregate(zip_with(v, array(${p.mkString(", ")}), (x, y) -> x * y), 0D, (a, x) -> a + x)")
+        when(dot > 0, lit(1 << i)).otherwise(lit(0))
+      }
+      bits.reduce(_ + _)
+    }
+    normed(s, dir)
+      .select(col("vec_id"), col("v"), col("nrm"),
+        posexplode(array(bucketCols: _*)).as(Seq("tbl", "bucket")))
+  }
+
   /** ANN via multi-table random-hyperplane LSH (the scale path for E3):
     * per table, b sign bits -> bucket id; candidates = same-(table,bucket)
     * vectors unioned over tables; exact cosine + top-3 within candidates.
@@ -314,17 +330,7 @@ object LlmOps {
     "multi-table random-hyperplane LSH ANN top-3 (E3, approx)",
     None,
     (s, dir) => {
-      val bucketCols = (0 until annTables).map { t =>
-        val bits = hyperplanes(64, t).zipWithIndex.map { case (p, i) =>
-          val dot = expr(
-            s"aggregate(zip_with(v, array(${p.mkString(", ")}), (x, y) -> x * y), 0D, (a, x) -> a + x)")
-          when(dot > 0, lit(1 << i)).otherwise(lit(0))
-        }
-        bits.reduce(_ + _)
-      }
-      val bucketed = normed(s, dir)
-        .select(col("vec_id"), col("v"), col("nrm"),
-          posexplode(array(bucketCols: _*)).as(Seq("tbl", "bucket")))
+      val bucketed = lshBucketed(s, dir)
       val q = bucketed.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
           col("tbl").as("qtbl"), col("bucket").as("qb"))
@@ -344,6 +350,32 @@ object LlmOps {
         .filter(col("rn") <= 3)
         .select(col("q_id"), col("rn"), col("neighbor_id"), col("cosine"))
         .orderBy("q_id", "rn")
+    })
+
+  /** Embedding-cosine near-dup PAIRS (the fifth dedup family): docs whose
+    * embeddings sit above a cosine threshold. Candidates from the same
+    * multi-table hyperplane LSH as the ANN search (shuffle key =
+    * (table, bucket), never all-pairs); exact cosine verifies each
+    * candidate. No SQL oracle (bucket boundaries are hash-specific);
+    * LlmOpsSpec cross-checks against brute-force cosine at sf0.001. */
+  private val e2EmbedCosine = GraftQuery(
+    "llm_e2_embed_cosine_pairs",
+    "multi-table LSH candidates + exact cosine >= 0.4 near-dup pairs (E2, approx)",
+    None,
+    (s, dir) => {
+      val bucketed = lshBucketed(s, dir)
+      val pairs = bucketed.as("a")
+        .join(bucketed.as("b"),
+          col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("da"), col("a.v").as("qv"), col("a.nrm").as("qn"),
+          col("b.vec_id").as("db"), col("b.v").as("v"), col("b.nrm").as("nrm"))
+        .dropDuplicates("da", "db")
+      pairs
+        .withColumn("cosine", round(expr(dotExpr) / (col("qn") * col("nrm")), 4))
+        .filter(col("cosine") >= 0.4)
+        .select(col("da"), col("db"), col("cosine"))
+        .orderBy("da", "db")
     })
 
   // ---------------------------------------------------------------------
@@ -470,6 +502,6 @@ object LlmOps {
         .orderBy("doc_id"))
 
   def queries: Seq[GraftQuery] = Seq(
-    e1, e1Stats, e2Jaccard, e2MinHash, e2SimHash,
+    e1, e1Stats, e2Jaccard, e2MinHash, e2SimHash, e2EmbedCosine,
     e3TopK, e3Ann, e4Terms, e4Quality, e4LangId, e4Fingerprint)
 }

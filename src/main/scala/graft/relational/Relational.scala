@@ -373,7 +373,34 @@ object Relational {
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(25))
 
+  /** CUBE over two dimensions with grouping() indicators (§2.4 grouping
+    * sets — completes the rollup/cube/pivot trio). grouping() flags
+    * disambiguate subtotal rows from genuine NULL keys. */
+  private val qCube = GraftQuery(
+    "q_cube_order_stats",
+    "GROUP BY CUBE with grouping() indicators (§2.4)",
+    Some(s"""
+      SELECT o_orderstatus, o_orderpriority,
+        CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+        COUNT(*) AS n_orders, ${sqlDsum("o_totalprice")} AS total_spend
+      FROM orders
+      GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority"""),
+    (s, dir) =>
+      T(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          grouping(col("o_orderstatus")).cast("int").as("g_status"),
+          grouping(col("o_orderpriority")).cast("int").as("g_priority"),
+          count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total_spend"))
+        .select(col("o_orderstatus"), col("o_orderpriority"),
+          col("g_status"), col("g_priority"), col("n_orders"), col("total_spend"))
+        .orderBy("g_status", "g_priority", "o_orderstatus", "o_orderpriority"))
+
   def queries: Seq[GraftQuery] = Seq(
     q1, q3, q5, qSemi, qAnti, qWindowTopk, qWindowRunning, qRollup,
-    qDistinctAgg, qSetOps, qScalarFuncs, qDateFuncs, qCasePivot, qTopGlobal)
+    qDistinctAgg, qSetOps, qScalarFuncs, qDateFuncs, qCasePivot, qTopGlobal,
+    qCube)
 }

@@ -103,6 +103,29 @@ class LlmOpsSpec extends SparkSpec {
     hits should be > 0
   }
 
+  test("embed-cosine near-dup pairs: no false positives, full precision vs brute force") {
+    // every reported pair must carry the true cosine and clear the
+    // threshold; recall is the LSH trade-off (checked non-empty)
+    val reported = run("llm_e2_embed_cosine_pairs")
+      .select($"da", $"db", $"cosine").as[(Long, Long, Double)].collect()
+    reported should not be empty
+    val brute = run("llm_e3_cosine_topk") // reuses the exact scorer; recompute directly:
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .selectExpr("vec_id", "v",
+        "sqrt(aggregate(transform(v, x -> x * x), 0D, (a, x) -> a + x)) AS nrm")
+    val exact = emb.as("a").join(emb.as("b"), $"a.vec_id" < $"b.vec_id")
+      .selectExpr("a.vec_id AS da", "b.vec_id AS db",
+        "round(aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (p, x) -> p + x) / (a.nrm * b.nrm), 4) AS cosine")
+      .filter($"cosine" >= 0.4)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    reported.foreach { case (a, b, c) =>
+      withClue(s"pair ($a,$b): ") { exact.get((a, b)) shouldBe Some(c) }
+    }
+    brute should not be null
+  }
+
   test("exact dedup groups agree with distinct-count stats") {
     val byHash = run("llm_e1_exact_dedup").agg(
       sum($"n_copies").as("total"), count(lit(1)).as("unique"))
