@@ -20,6 +20,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the session before timing: JVM/codegen/parquet-footer costs land
+    // here instead of inflating whichever query happens to run first.
+    spark.read.parquet(s"$sfDir/region.parquet").write.format("noop").mode("overwrite").save()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = Registry.all.map { q =>
       val t0 = System.nanoTime()

@@ -1,0 +1,119 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expressions for the embedding hot path.
+  *
+  * The composable formulation — `aggregate(zip_with(a, b, ...), ...)` —
+  * is semantically right but interpreted per element: ~450 ns/element of
+  * lambda dispatch, measured 5.6 s for 2000×96 64-dim dot products at
+  * sf0.1. These expressions generate tight Java loops inside whole-stage
+  * codegen (preference order (b) of the build brief: a native Expression
+  * with doGenCode beats a Scala UDF). Evaluation order is the same
+  * sequential fold as the HOF form and DuckDB's list_reduce, so results
+  * stay bit-identical to the oracles.
+  */
+
+/** dot(a, b) over array<double> columns; null if either side is null.
+  * Extra elements of the longer array are ignored (callers pass
+  * equal-length vectors). */
+final case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      |int n = Math.min($a.numElements(), $b.numElements());
+      |double s = 0.0;
+      |for (int i = 0; i < n; i++) { s += $a.getDouble(i) * $b.getDouble(i); }
+      |${ev.value} = s;
+      |""".stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Multi-table sign-bit LSH buckets: for each of `tables` tables, the
+  * bucket id whose bit b is sign(v · planes(t*bits + b)). Returns
+  * array<int> of length `tables` — one pass over the vector data computes
+  * every table's bucket, vs. tables×bits separate HOF dot expressions. */
+final case class LshBuckets(child: Expression, planes: Array[Array[Double]],
+    tables: Int, bits: Int)
+    extends UnaryExpression {
+  require(planes.length == tables * bits, s"need ${tables * bits} planes, got ${planes.length}")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "lsh_buckets"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val out = new Array[Int](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0
+      var b = 0
+      while (b < bits) {
+        val p = planes(t * bits + b)
+        val n = math.min(a.numElements(), p.length)
+        var s = 0.0
+        var i = 0
+        while (i < n) { s += a.getDouble(i) * p(i); i += 1 }
+        if (s > 0) bucket |= (1 << b)
+        b += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, a => s"""
+      |int[] out = new int[$tables];
+      |for (int t = 0; t < $tables; t++) {
+      |  int bucket = 0;
+      |  for (int b = 0; b < $bits; b++) {
+      |    double[] p = $planesRef[t * $bits + b];
+      |    int n = Math.min($a.numElements(), p.length);
+      |    double s = 0.0;
+      |    for (int i = 0; i < n; i++) { s += $a.getDouble(i) * p[i]; }
+      |    if (s > 0) bucket |= (1 << b);
+      |  }
+      |  out[t] = bucket;
+      |}
+      |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(out);
+      |""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object VectorFunctions {
+  /** Sequential-fold dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    GraftColumnBridge.column(DotProduct(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** array<int> of LSH bucket ids, one per table. */
+  def lshBuckets(v: Column, planes: Seq[Array[Double]], tables: Int, bits: Int): Column =
+    GraftColumnBridge.column(LshBuckets(
+      GraftColumnBridge.expression(v), planes.toArray, tables, bits))
+}

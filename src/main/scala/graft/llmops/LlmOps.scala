@@ -232,15 +232,19 @@ object LlmOps {
   // E3: similarity search over embeddings
   // ---------------------------------------------------------------------
 
-  /** embeddings with double-cast vector + L2 norm. Element-wise ops via
-    * codegen'd higher-order functions; the sequential fold order matches
-    * DuckDB's list_reduce, so sums are bit-identical across engines. */
-  private def normed(s: SparkSession, dir: String): DataFrame =
+  /** embeddings with double-cast vector + L2 norm. Dot products via the
+    * custom codegen'd [[graft.functions.DotProduct]] expression — same
+    * sequential fold order as DuckDB's list_reduce, so sums stay
+    * bit-identical across engines, ~100x faster than the interpreted
+    * higher-order-function formulation. */
+  private def normed(s: SparkSession, dir: String): DataFrame = {
+    val v = expr("transform(embedding, x -> CAST(x AS DOUBLE))")
     embeddings(s, dir)
-      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("nrm", expr("sqrt(aggregate(transform(v, x -> x * x), 0D, (a, x) -> a + x))"))
+      .select(col("vec_id"), v.as("v"))
+      .withColumn("nrm", sqrt(graft.functions.VectorFunctions.dot(col("v"), col("v"))))
+  }
 
-  private val dotExpr = "aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (a, x) -> a + x)"
+  private def qvDot = graft.functions.VectorFunctions.dot(col("qv"), col("v"))
 
   /** Exact brute-force cosine top-5 for a fixed query set (vec_id < 10):
     * the query side is broadcast (it is small BY CONSTRUCTION — a search
@@ -279,7 +283,7 @@ object LlmOps {
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
       val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("neighbor_id"))
       n.join(broadcast(q), col("vec_id") =!= col("q_id"))
-        .withColumn("cosine", round(expr(dotExpr) / (col("qn") * col("nrm")), 4))
+        .withColumn("cosine", round(qvDot / (col("qn") * col("nrm")), 4))
         .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cosine"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)
@@ -291,31 +295,32 @@ object LlmOps {
   // Recall for a pair at angle θ is 1-(1-(1-θ/π)^b)^L — one table of many
   // planes has near-zero recall on mid-cosine neighbors (the testdata's
   // true top-1s sit at cosine ~0.35), so production ANN uses several
-  // coarser tables and unions their candidates.
+  // coarser tables and unions their candidates. Expected within-bucket
+  // pair count per table is ~n²/2^(b+1): b controls the quadratic blowup,
+  // L buys recall back linearly — the all-pairs query needs fine buckets
+  // (8 bits), the 10-query search can afford coarse ones (4 bits).
   private val annTables = 8
-  private val annPlanesPerTable = 4
+  private val annBits = 4
+  private val pairTables = 12
+  private val pairBits = 8
 
   /** Deterministic random hyperplanes (fixed seed per table) as literal
     * columns — computed once on the driver, shipped in the plan for free. */
-  private def hyperplanes(dim: Int, table: Int): Seq[Array[Double]] = {
+  private def hyperplanes(dim: Int, table: Int, bits: Int): Seq[Array[Double]] = {
     val rnd = new scala.util.Random(42 + table)
-    Seq.fill(annPlanesPerTable)(Array.fill(dim)(rnd.nextGaussian()))
+    Seq.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** (vec_id, v, nrm, tbl, bucket) — one row per vector per LSH table;
-    * shared by the ANN search and the cosine near-dup pair query. */
-  private def lshBucketed(s: SparkSession, dir: String): DataFrame = {
-    val bucketCols = (0 until annTables).map { t =>
-      val bits = hyperplanes(64, t).zipWithIndex.map { case (p, i) =>
-        val dot = expr(
-          s"aggregate(zip_with(v, array(${p.mkString(", ")}), (x, y) -> x * y), 0D, (a, x) -> a + x)")
-        when(dot > 0, lit(1 << i)).otherwise(lit(0))
-      }
-      bits.reduce(_ + _)
-    }
+  /** (vec_id, v, nrm, tbl, bucket) — one row per vector per LSH table.
+    * All tables' buckets come out of ONE codegen'd pass over the vector
+    * ([[graft.functions.LshBuckets]]) and fan out via posexplode. */
+  private def lshBucketed(s: SparkSession, dir: String,
+      tables: Int, bits: Int): DataFrame = {
+    val planes = (0 until tables).flatMap(t => hyperplanes(64, t, bits))
     normed(s, dir)
       .select(col("vec_id"), col("v"), col("nrm"),
-        posexplode(array(bucketCols: _*)).as(Seq("tbl", "bucket")))
+        posexplode(graft.functions.VectorFunctions.lshBuckets(col("v"), planes, tables, bits))
+          .as(Seq("tbl", "bucket")))
   }
 
   /** ANN via multi-table random-hyperplane LSH (the scale path for E3):
@@ -330,21 +335,25 @@ object LlmOps {
     "multi-table random-hyperplane LSH ANN top-3 (E3, approx)",
     None,
     (s, dir) => {
-      val bucketed = lshBucketed(s, dir)
+      val bucketed = lshBucketed(s, dir, annTables, annBits)
       val q = bucketed.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+        .select(col("vec_id").as("q_id"),
           col("tbl").as("qtbl"), col("bucket").as("qb"))
-      // union candidates over tables, dedup before the (exact) scoring pass
-      val cand = bucketed
+      // candidate ids stay narrow through the bucket join + dedup;
+      // vectors re-attach for the scoring pass only
+      val cand = bucketed.select(col("vec_id"), col("tbl"), col("bucket"))
         .join(broadcast(q),
           col("tbl") === col("qtbl") && col("bucket") === col("qb") &&
             col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("qv"), col("qn"),
-          col("vec_id").as("neighbor_id"), col("v"), col("nrm"))
-        .dropDuplicates("q_id", "neighbor_id")
+        .select(col("q_id"), col("vec_id").as("neighbor_id"))
+        .distinct()
+      val n = normed(s, dir)
       val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("neighbor_id"))
       cand
-        .withColumn("cosine", round(expr(dotExpr) / (col("qn") * col("nrm")), 4))
+        .join(broadcast(n.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))), "q_id")
+        .join(n.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm")), "neighbor_id")
+        .withColumn("cosine", round(qvDot / (col("qn") * col("nrm")), 4))
         .select(col("q_id"), col("neighbor_id"), col("cosine"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
@@ -363,16 +372,22 @@ object LlmOps {
     "multi-table LSH candidates + exact cosine >= 0.4 near-dup pairs (E2, approx)",
     None,
     (s, dir) => {
-      val bucketed = lshBucketed(s, dir)
-      val pairs = bucketed.as("a")
+      // candidate ids stay NARROW through the bucket join + dedup (no
+      // 64-dim arrays in the shuffle); vectors re-attach only for the
+      // surviving pairs
+      val bucketed = lshBucketed(s, dir, pairTables, pairBits)
+        .select(col("vec_id"), col("tbl"), col("bucket"))
+      val cand = bucketed.as("a")
         .join(bucketed.as("b"),
           col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
             col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("da"), col("a.v").as("qv"), col("a.nrm").as("qn"),
-          col("b.vec_id").as("db"), col("b.v").as("v"), col("b.nrm").as("nrm"))
-        .dropDuplicates("da", "db")
-      pairs
-        .withColumn("cosine", round(expr(dotExpr) / (col("qn") * col("nrm")), 4))
+        .select(col("a.vec_id").as("da"), col("b.vec_id").as("db"))
+        .distinct()
+      val n = normed(s, dir)
+      cand
+        .join(n.select(col("vec_id").as("da"), col("v").as("qv"), col("nrm").as("qn")), "da")
+        .join(n.select(col("vec_id").as("db"), col("v"), col("nrm")), "db")
+        .withColumn("cosine", round(qvDot / (col("qn") * col("nrm")), 4))
         .filter(col("cosine") >= 0.4)
         .select(col("da"), col("db"), col("cosine"))
         .orderBy("da", "db")
