@@ -268,6 +268,33 @@ object EventAnalytics {
         .orderBy("user_id", "event_id")
     })
 
+  /** C6 proper: from_json with an EXPLICIT schema (inference would scan
+    * twice) and to_json re-serialization — the declarative JSON path the
+    * reference's json.loads/passthrough maps to (call-debias.py:56,154).
+    * Rows with no k field are filtered on both sides (Spark's to_json
+    * drops null fields — '{}' vs SQL NULL would diverge). */
+  private val jsonRoundtrip = GraftQuery(
+    "e5_props_json_roundtrip",
+    "from_json explicit schema + to_json canonicalization + agg (C6)",
+    Some("""
+      SELECT event_type,
+        SUM(CAST(props->>'k' AS BIGINT)) AS sum_k,
+        COUNT(DISTINCT '{"k":' || (props->>'k') || '}') AS n_payloads
+      FROM events
+      WHERE props->>'k' IS NOT NULL
+      GROUP BY event_type
+      ORDER BY event_type"""),
+    (s, dir) =>
+      events(s, dir)
+        .withColumn("p", from_json(col("props"), "k BIGINT", Map.empty[String, String]))
+        .filter(col("p.k").isNotNull)
+        .withColumn("canon", to_json(struct(col("p.k").as("k"))))
+        .groupBy(col("event_type"))
+        .agg(sum(col("p.k")).as("sum_k"),
+          countDistinct(col("canon")).as("n_payloads"))
+        .orderBy("event_type"))
+
   def queries: Seq[GraftQuery] =
-    Seq(hourly, sessionize, sessionHistogram, jsonProps, funnel, sessionWindowQ, asof)
+    Seq(hourly, sessionize, sessionHistogram, jsonProps, funnel, sessionWindowQ, asof,
+      jsonRoundtrip)
 }

@@ -199,20 +199,10 @@ object LlmOps {
     "SimHash64 signatures + chunk-bucketed hamming<=6 pairs (E2, approx)",
     None,
     (s, dir) => {
-      val tokCnt = docs(s, dir)
-        .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
-        .groupBy(col("doc_id"), col("tok"))
-        .agg(count(lit(1)).as("tf"))
-        .withColumn("h", xxhash64(col("tok")))
-      val bitSums = (0 until 64).map { i =>
-        sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, col("tf"))
-          .otherwise(-col("tf"))).as(s"b$i")
-      }
-      val sums = tokCnt.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-      val simhash = (0 until 64)
-        .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-        .reduce(_ bitwiseOR _)
-      val sig = sums.select(col("doc_id"), simhash.as("simhash"))
+      // one codegen'd pass per doc (SimHash64 expression) — no explode, no
+      // 64-column aggregate, no shuffle until the chunk-bucket join
+      val sig = docs(s, dir).select(col("doc_id"),
+        graft.functions.TextFunctions.simhash64(toks(col("text"))).as("simhash"))
       val chunks = sig.select(col("doc_id"), col("simhash"),
         posexplode(array((0 until 4).map(c =>
           shiftright(col("simhash"), 16 * c).bitwiseAND(lit(0xFFFFL))): _*))
