@@ -218,6 +218,126 @@ object LlmOps {
         .orderBy("da", "db")
     })
 
+  /** Min-label propagation connected components over an undirected edge
+    * set: every node starts labeled with itself; each round pushes labels
+    * across edges and keeps the min; fixpoint after diameter rounds. Each
+    * round is one shuffle; the driver only ever reads a one-row aggregate
+    * (sum of labels — strictly decreasing until the fixpoint), never the
+    * data. This is the simple form of the large-star/small-star algorithm
+    * used for dedup-cluster collapse at corpus scale; dup-cluster graphs
+    * have tiny diameters so the round count stays low. */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    // nodes: (doc_id); edges: (da, db) — made undirected here. The edge
+    // set is persisted: it is re-joined every round, and its lineage (an
+    // inverted-index or LSH candidate join) is far more expensive than
+    // the propagation itself.
+    val und = edges.select(col("da").as("src"), col("db").as("dst"))
+      .unionByName(edges.select(col("db").as("src"), col("da").as("dst")))
+      .persist()
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("label")).persist()
+    var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val prev = labels
+      val pushed = und.join(labels, col("src") === col("doc_id"))
+        .select(col("dst").as("doc_id"), col("label"))
+      labels = labels.unionByName(pushed)
+        .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
+        .persist()
+      val s = labels.agg(sum(col("label"))).head().getLong(0)
+      prev.unpersist()
+      converged = s == prevSum
+      prevSum = s
+      iter += 1
+    }
+    und.unpersist()
+    labels
+  }
+
+  /** Dedup clusters: connected components over the union of exact-dup
+    * edges (equal sha256) and near-dup edges (3-gram Jaccard >= 0.5);
+    * canonical = min doc_id per cluster. The oracle reproduces the
+    * components with a recursive transitive-closure CTE — fine at oracle
+    * scale, where Spark runs the linear-shuffle label propagation. */
+  private val e2Clusters = GraftQuery(
+    "llm_e2_dedup_clusters",
+    "connected-component dedup clusters over exact+near-dup edges (E2)",
+    Some("""
+      WITH RECURSIVE toksrc AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE len(string_split(text, ' ')) >= 3),
+      idx AS (
+        SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toksrc),
+      sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM idx),
+      n AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+      jpairs AS (
+        SELECT da, db FROM (
+          SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2) p
+        JOIN n na ON p.da = na.doc_id
+        JOIN n nb ON p.db = nb.doc_id
+        WHERE p.shared / (na.nsh + nb.nsh - p.shared) >= 0.5),
+      epairs AS (
+        SELECT a.doc_id AS da, b.doc_id AS db
+        FROM documents a JOIN documents b
+          ON a.text = b.text AND a.doc_id < b.doc_id),
+      und AS (
+        SELECT da AS s, db AS t FROM jpairs UNION SELECT db, da FROM jpairs
+        UNION SELECT da, db FROM epairs UNION SELECT db, da FROM epairs),
+      reach(s, t) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.s, u.t FROM reach r JOIN und u ON r.t = u.s)
+      SELECT s AS doc_id, min(t) AS cluster_id FROM reach
+      GROUP BY s
+      ORDER BY doc_id"""),
+    (s, dir) => {
+      val d = docs(s, dir)
+      val exact = d.as("a").join(d.as("b"),
+          col("a.text") === col("b.text") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      val near = byName("llm_e2_ngram_jaccard_pairs").run(s, dir)
+        .select(col("da"), col("db"))
+      connectedComponents(d.select(col("doc_id")), exact.unionByName(near))
+        .select(col("doc_id"), col("label").as("cluster_id"))
+        .orderBy("doc_id")
+    })
+
+  private def byName(n: String): GraftQuery = queries.find(_.name == n).get
+
+  /** Deterministic corpus split (train/val/test) by content hash — the
+    * standard leakage-safe way to split training data (split follows the
+    * CONTENT, so exact duplicates land in the same split; random() would
+    * not be reproducible across engines or runs). 8 hex chars of md5 →
+    * bucket mod 100 → 90/5/5. */
+  private val e4Split = GraftQuery(
+    "llm_e4_hash_split",
+    "deterministic content-hash train/val/test split + per-split stats (E4)",
+    Some("""
+      WITH b AS (
+        SELECT doc_id, lang, n_chars,
+               CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 AS bucket
+        FROM documents)
+      SELECT CASE WHEN bucket < 90 THEN 'train'
+                  WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+             lang,
+             COUNT(*) AS n_docs,
+             SUM(n_chars) AS total_chars
+      FROM b
+      GROUP BY 1, 2
+      ORDER BY 1, 2"""),
+    (s, dir) =>
+      docs(s, dir)
+        .withColumn("bucket", conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long") % 100)
+        .withColumn("split",
+          when(col("bucket") < 90, "train").when(col("bucket") < 95, "val").otherwise("test"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy("split", "lang"))
+
   // ---------------------------------------------------------------------
   // E3: similarity search over embeddings
   // ---------------------------------------------------------------------
@@ -507,6 +627,6 @@ object LlmOps {
         .orderBy("doc_id"))
 
   def queries: Seq[GraftQuery] = Seq(
-    e1, e1Stats, e2Jaccard, e2MinHash, e2SimHash, e2EmbedCosine,
-    e3TopK, e3Ann, e4Terms, e4Quality, e4LangId, e4Fingerprint)
+    e1, e1Stats, e2Jaccard, e2MinHash, e2SimHash, e2EmbedCosine, e2Clusters,
+    e3TopK, e3Ann, e4Terms, e4Quality, e4LangId, e4Fingerprint, e4Split)
 }

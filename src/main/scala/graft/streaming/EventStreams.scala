@@ -64,6 +64,20 @@ object EventStreams {
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("session_events"))
 
+  /** S5 streaming analog: append-mode parquet sink for the watermarked
+    * hourly aggregation — windows finalize when the watermark passes,
+    * each micro-batch appends its finalized buckets exactly once
+    * (checkpointed offsets make restarts idempotent). */
+  def startHourlyParquetSink(events: DataFrame, outPath: String,
+      checkpointPath: String): org.apache.spark.sql.streaming.StreamingQuery =
+    hourlyStats(events)
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpointPath)
+      .start()
+
   /** One event for the typed stateful path. */
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double, props: String)

@@ -126,6 +126,29 @@ class LlmOpsSpec extends SparkSpec {
     brute should not be null
   }
 
+  test("connected components: chains collapse to min label across rounds") {
+    // path graph 5-4, 4-3, 3-2, 2-1 plus isolated 10: labels must
+    // propagate the min (1) down the whole chain — requires multiple
+    // propagation rounds, not a single hop
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 10L).toDF("doc_id")
+    val edges = Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L)).toDF("da", "db")
+    val labels = LlmOps.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    labels shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 10L -> 10L)
+  }
+
+  test("dedup clusters put planted exact+near dups in one cluster") {
+    val clusters = Registry.byName("llm_e2_dedup_clusters").run(spark, plantedDir)
+      .as[(Long, Long)].collect().toMap
+    // planted: 0 == 20 (exact), 0 ~ 23 (near) -> {0,20,23} share a cluster;
+    // 1 == 21 == 22 (triple)
+    clusters(20L) shouldBe clusters(0L)
+    clusters(23L) shouldBe clusters(0L)
+    clusters(21L) shouldBe clusters(1L)
+    clusters(22L) shouldBe clusters(1L)
+    clusters(0L) should not be clusters(1L)
+  }
+
   test("exact dedup groups agree with distinct-count stats") {
     val byHash = run("llm_e1_exact_dedup").agg(
       sum($"n_copies").as("total"), count(lit(1)).as("unique"))

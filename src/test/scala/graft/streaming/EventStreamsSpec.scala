@@ -71,6 +71,29 @@ class EventStreamsSpec extends SparkSpec {
     streamed shouldBe batch
   }
 
+  test("append-mode parquet sink writes watermark-finalized hourly buckets") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[EventStreams.Event]
+    val all = toEvents(batchEvents.collect())
+    stream.addData(all)
+    // push the watermark past every event so all windows finalize
+    val maxTs = batchEvents.agg(max($"ts")).as[java.sql.Timestamp].head()
+    stream.addData(Seq(EventStreams.Event(-1L,
+      java.sql.Timestamp.from(maxTs.toInstant.plusSeconds(48 * 3600)),
+      -1L, "sentinel", 0.0, "{}")))
+    val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val q = EventStreams.startHourlyParquetSink(stream.toDF(), out, ckpt)
+    q.processAllAvailable(); q.stop()
+
+    val written = spark.read.parquet(out)
+      .filter($"event_type" =!= "sentinel")
+      .as[(String, String, Long, Double)].collect().toSet
+    val batch = Registry.byName("e5_hourly_event_stats").run(spark, sfDir)
+      .as[(String, String, Long, Double)].collect().toSet
+    written shouldBe batch
+  }
+
   test("flatMapGroupsWithState carries per-user session state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[EventStreams.Event]
