@@ -294,7 +294,67 @@ object EventAnalytics {
           countDistinct(col("canon")).as("n_payloads"))
         .orderBy("event_type"))
 
+  /** Skew escape hatch, demonstrated: the same hourly aggregation as a
+    * SALTED two-phase aggregate — phase 1 groups by (key, salt) spreading
+    * any hot key over `salts` reducers, phase 2 merges the partials.
+    * Result provably identical to the direct aggregation (same oracle as
+    * e5_hourly_event_stats). Decimal partials make the two-phase sum
+    * order-insensitive, so correctness survives the extra merge. */
+  private val hourlySalted = GraftQuery(
+    "e5_hourly_salted_agg",
+    "salted two-phase aggregation, identical result to the direct agg (skew path)",
+    Some(s"""
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour_bucket,
+        event_type,
+        COUNT(*) AS n_events,
+        ${sqlDsum("value")} AS total_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY 1, 2"""),
+    (s, dir) => {
+      val salts = 8
+      events(s, dir)
+        .withColumn("salt", pmod(xxhash64(col("event_id")), lit(salts)))
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"), col("salt"))
+        .agg(count(lit(1)).as("pc"), sum(money("value")).as("pv"))
+        .groupBy(col("window"), col("event_type"))
+        .agg(sum(col("pc")).as("n_events"), sum(col("pv")).cast("double").as("total_value"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:00").as("hour_bucket"),
+          col("event_type"), col("n_events"), col("total_value"))
+        .orderBy("hour_bucket", "event_type")
+    })
+
+  /** Analytic-function coverage beyond rank/sum: lag/lead with defaults,
+    * first/last over a running frame, ntile, percent_rank — one window
+    * spec, deterministic tiebreaks (§2.6). */
+  private val windowAnalytics = GraftQuery(
+    "e5_window_analytics",
+    "lag/lead/first/last/ntile/percent_rank over per-user event order (§2.6)",
+    Some("""
+      SELECT user_id, event_id,
+        lag(event_type, 1, 'none') OVER w AS prev_type,
+        lead(event_type, 1, 'none') OVER w AS next_type,
+        first_value(event_type) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_type,
+        CAST(ntile(4) OVER w AS INT) AS quartile,
+        round(percent_rank() OVER w, 6) AS pr
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, event_id"""),
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          lag(col("event_type"), 1, "none").over(w).as("prev_type"),
+          lead(col("event_type"), 1, "none").over(w).as("next_type"),
+          first(col("event_type")).over(wRun).as("first_type"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pr"))
+        .orderBy("user_id", "event_id")
+    })
+
   def queries: Seq[GraftQuery] =
     Seq(hourly, sessionize, sessionHistogram, jsonProps, funnel, sessionWindowQ, asof,
-      jsonRoundtrip)
+      jsonRoundtrip, hourlySalted, windowAnalytics)
 }

@@ -21,10 +21,10 @@ import org.apache.spark.sql.functions._
   *  - Exact-dedup is one hash-shuffle (map-side partial agg first).
   *  - Similarity SEARCH broadcasts the (fixed, small) query set, never the
   *    corpus: a BroadcastNestedLoopJoin that scans the corpus once.
-  *  - Frequent-shingle skew: a df-cap (maxShingleDf) drops
-  *    stop-shingles from candidate generation the same way production
-  *    near-dup pipelines do. Kept OFF (None) in the oracle-checked query so
-  *    the SQL stays equivalent; the LSH variants are the skew-safe path.
+  *  - Frequent-shingle skew: the MinHash path drops stop-shingles via a
+  *    document-frequency cap (shinglesCapped) the same way production
+  *    near-dup pipelines do; the oracle-checked exact-Jaccard query keeps
+  *    uncapped shingles so the SQL stays equivalent.
   */
 object LlmOps {
 
@@ -46,6 +46,20 @@ object LlmOps {
       .select(col("doc_id"), toks(col("text")).as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), explode(expr(shingleExpr)).as("s"))
+
+  /** Shingles with a document-frequency cap: shingles appearing in more
+    * than `maxDf` docs are dropped from candidate generation (a shingle
+    * shared by half the corpus generates df² candidate pairs and carries
+    * no near-dup signal — the skew escape hatch production near-dup
+    * pipelines use). Semi-join keeps the shuffle narrow (shingle, df)
+    * and lets the MinHash agg stay map-side partial. */
+  private def shinglesCapped(s: SparkSession, dir: String, maxDf: Int): DataFrame = {
+    val sh = shingles(s, dir)
+    val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("s"))
+    sh.join(rare, "s", "left_semi")
+  }
 
   // ---------------------------------------------------------------------
   // E1: exact dedup
@@ -164,7 +178,10 @@ object LlmOps {
     "MinHash(16) + 8-band LSH bucket join, estimated Jaccard (E2, approx)",
     None,
     (s, dir) => {
-      val sig = minhashSignatures(shingles(s, dir))
+      // df-capped shingles: stop-shingles (df > 1000) are pure candidate
+      // fan-out with no near-dup signal; at these SFs no shingle hits the
+      // cap, so the spec's exact-twin recall check is unaffected
+      val sig = minhashSignatures(shinglesCapped(s, dir, maxDf = 1000))
       val bandCols = (0 until minhashBands).map { b =>
         xxhash64((minhashRows * b until minhashRows * (b + 1)).map(j => col(s"h$j")): _*)
       }

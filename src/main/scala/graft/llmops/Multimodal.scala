@@ -114,5 +114,65 @@ object Multimodal {
             .as("frame_md5"))
         .orderBy("media_id", "frame_idx"))
 
-  def queries: Seq[GraftQuery] = Seq(mmFeatures, mmFrames)
+  /** Pluggable batch decoder (the mapInPandas-batch analog in Scala): a
+    * real implementation would decode image/audio payloads a batch at a
+    * time (amortizing codec/model setup per batch, exactly like a Pandas
+    * UDF amortizes per-batch Arrow conversion). The default is the
+    * clearly-marked deterministic FAKE — md5-derived dimensions — so the
+    * pipeline shape is oracle-checkable without codecs. */
+  trait MediaDecoder extends Serializable {
+    /** One metadata tuple (width, height, n_bytes) per payload, in order. */
+    def decodeBatch(payloads: Seq[Array[Byte]]): Seq[(Long, Long, Long)]
+  }
+
+  final class FakeMediaDecoder extends MediaDecoder {
+    override def decodeBatch(payloads: Seq[Array[Byte]]): Seq[(Long, Long, Long)] =
+      payloads.map { p =>
+        val md5 = java.security.MessageDigest.getInstance("MD5").digest(p)
+          .map("%02x".format(_)).mkString
+        val w = (java.lang.Long.parseLong(md5.substring(0, 4), 16) % 2048) + 16
+        val h = (java.lang.Long.parseLong(md5.substring(4, 8), 16) % 2048) + 16
+        (w, h, p.length.toLong)
+      }
+  }
+
+  final case class MediaRow(media_id: Long, payload: Array[Byte])
+  final case class DecodedRow(media_id: Long, width: Long, height: Long, n_bytes: Long)
+
+  /** The executor-side batch-decode plumbing: rows grouped into
+    * fixed-size batches inside each partition, one decoder call per
+    * batch, typed rows out. Swapping [[FakeMediaDecoder]] for a real
+    * codec changes no plan shape — partitioning, batch size, and schema
+    * stay as tested. */
+  def decodeBatched(media: org.apache.spark.sql.Dataset[MediaRow],
+      decoder: MediaDecoder, batchSize: Int = 64): org.apache.spark.sql.Dataset[DecodedRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.lazyZip(decoder.decodeBatch(batch.map(_.payload)))
+          .map { case (m, (w, h, b)) => DecodedRow(m.media_id, w, h, b) }
+      }
+    }
+  }
+
+  /** Batch-decode query: same answer as the column-pure mm_binary_features
+    * dims (the oracle proves the mapPartitions path agrees with the
+    * codegen'd path — the X1-annotator pattern applied to media). */
+  private val mmBatchDecode = GraftQuery(
+    "mm_batch_decode",
+    "mapPartitions batched media decode behind a pluggable trait (stub codec)",
+    Some("""
+      SELECT doc_id AS media_id,
+             (CAST('0x' || substr(md5(text), 1, 4) AS BIGINT) % 2048) + 16 AS width,
+             (CAST('0x' || substr(md5(text), 5, 4) AS BIGINT) % 2048) + 16 AS height,
+             octet_length(encode(text)) AS n_bytes
+      FROM documents
+      ORDER BY media_id"""),
+    (s, dir) => {
+      import s.implicits._
+      val m = media(s, dir).select(col("media_id"), col("payload")).as[MediaRow]
+      decodeBatched(m, new FakeMediaDecoder).toDF().orderBy("media_id")
+    })
+
+  def queries: Seq[GraftQuery] = Seq(mmFeatures, mmFrames, mmBatchDecode)
 }
