@@ -643,7 +643,43 @@ object LlmOps {
           md5(array_join(array_sort(array_distinct(toks(col("text")))), " ")).as("bag_fp"))
         .orderBy("doc_id"))
 
+  /** Rolling-hash fingerprint (winnowing/MOSS-style): polynomial rolling
+    * hash over every 16-char window (h = fold (h*257 + c) mod 1e9+7 —
+    * identical fold on both engines), fingerprint = min window hash, plus
+    * distinct-window cardinality. The min-hash-of-windows survives small
+    * edits anywhere except the minimal window — the standard
+    * shift-robust near-dup key that content hashes (md5) cannot give. */
+  private val e4Rolling = GraftQuery(
+    "llm_e4_rolling_fingerprint",
+    "polynomial rolling-hash 16-char windows, winnowed min fingerprint (E4)",
+    Some("""
+      WITH w AS (
+        SELECT doc_id,
+          list_transform(generate_series(1, length(text) - 15), i ->
+            list_reduce(
+              list_transform(generate_series(0, 15),
+                j -> CAST(ord(substr(text, CAST(i + j AS INT), 1)) AS BIGINT)),
+              (h, c) -> (h * 257 + c) % 1000000007)) AS ws
+        FROM documents
+        WHERE length(text) >= 16)
+      SELECT doc_id,
+        list_min(ws) AS min_window_hash,
+        CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_windows
+      FROM w
+      ORDER BY doc_id"""),
+    (s, dir) =>
+      docs(s, dir)
+        .filter(length(col("text")) >= 16)
+        .withColumn("ws", expr("""
+          transform(sequence(1, length(text) - 15), i ->
+            aggregate(sequence(0, 15), 0L,
+              (h, j) -> (h * 257 + ascii(substring(text, CAST(i + j AS INT), 1))) % 1000000007))"""))
+        .select(col("doc_id"),
+          array_min(col("ws")).as("min_window_hash"),
+          size(array_distinct(col("ws"))).cast("long").as("n_distinct_windows"))
+        .orderBy("doc_id"))
+
   def queries: Seq[GraftQuery] = Seq(
     e1, e1Stats, e2Jaccard, e2MinHash, e2SimHash, e2EmbedCosine, e2Clusters,
-    e3TopK, e3Ann, e4Terms, e4Quality, e4LangId, e4Fingerprint, e4Split)
+    e3TopK, e3Ann, e4Terms, e4Quality, e4LangId, e4Fingerprint, e4Rolling, e4Split)
 }

@@ -78,6 +78,16 @@ object EventStreams {
       .option("checkpointLocation", checkpointPath)
       .start()
 
+  /** Streaming exact-dedup (E1's streaming twin): drop events whose
+    * event_id was already seen, with state bounded by the watermark —
+    * duplicates arriving within `watermark` of the original are dropped,
+    * state for older keys is evicted. The streaming half of the
+    * batch sha-dedup: same key discipline, incremental. */
+  def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** One event for the typed stateful path. */
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double, props: String)

@@ -94,6 +94,24 @@ class EventStreamsSpec extends SparkSpec {
     written shouldBe batch
   }
 
+  test("streaming dedup drops cross-batch duplicates within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[EventStreams.Event]
+    val all = toEvents(batchEvents.limit(200).collect())
+    val (b1, b2) = all.splitAt(100)
+    // duplicates: batch 2 replays half of batch 1 plus its own rows
+    stream.addData(b1)
+    stream.addData(b1.take(50) ++ b2)
+    val q = EventStreams.dedupEvents(stream.toDF())
+      .writeStream.format("memory").queryName("dedup_t")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    val ids = spark.table("dedup_t").select($"event_id").as[Long].collect()
+    ids.length shouldBe 200                       // replayed 50 dropped
+    ids.toSet shouldBe all.map(_.event_id).toSet  // nothing lost
+  }
+
   test("flatMapGroupsWithState carries per-user session state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[EventStreams.Event]
