@@ -21,10 +21,10 @@ import org.apache.spark.sql.functions._
   *  - Exact-dedup is one hash-shuffle (map-side partial agg first).
   *  - Similarity SEARCH broadcasts the (fixed, small) query set, never the
   *    corpus: a BroadcastNestedLoopJoin that scans the corpus once.
-  *  - Frequent-shingle skew: the MinHash path drops stop-shingles via a
-  *    document-frequency cap (shinglesCapped) the same way production
-  *    near-dup pipelines do; the oracle-checked exact-Jaccard query keeps
-  *    uncapped shingles so the SQL stays equivalent.
+  *  - Frequent-shingle skew: both the MinHash path and the exact-Jaccard
+  *    query drop stop-shingles via a document-frequency cap
+  *    (shinglesCapped) the same way production near-dup pipelines do; the
+  *    oracle SQL applies the identical cap so semantics stay aligned.
   */
 object LlmOps {
 
@@ -104,26 +104,33 @@ object LlmOps {
   // E2: near-duplicate detection
   // ---------------------------------------------------------------------
 
+  // df-cap applied IDENTICALLY in the Spark plan and the oracle SQL:
+  // semantics stay aligned while stop-shingle skew (the df² fan-out
+  // killer at corpus scale) is bounded. No shingle reaches the cap at
+  // test SFs, so results equal the uncapped formulation there.
+  private val jaccardMaxDf = 1000
+
   /** EXACT n-gram Jaccard near-dup pairs via inverted-index self-join:
-    * explode distinct 3-shingles, join docs sharing a shingle (any pair
-    * with Jaccard > 0 MUST share one, so this finds every qualifying pair
-    * — it is exact, unlike LSH), count shared shingles, Jaccard =
-    * |A∩B| / (|A|+|B|-|A∩B|). The join fans out per-shingle, not
-    * per-doc-pair: cost is sum over shingles of df², the standard
-    * inverted-index bound. The skew escape hatch at 100 TB is dropping
-    * high-df stop-shingles (see header note); the checked query keeps the
-    * exact semantics. */
+    * explode distinct 3-shingles, drop stop-shingles past the df-cap
+    * (both engines), join docs sharing a surviving shingle, count shared
+    * shingles, Jaccard = |A∩B| / (|A|+|B|-|A∩B|) over capped shingle
+    * sets. The join fans out per-shingle, not per-doc-pair: cost is sum
+    * over shingles of min(df, cap)², the inverted-index bound made
+    * skew-safe. */
   private val e2Jaccard = GraftQuery(
     "llm_e2_ngram_jaccard_pairs",
     "exact 3-gram Jaccard >= 0.5 pairs, inverted-index join (E2)",
-    Some("""
+    Some(s"""
       WITH toksrc AS (
         SELECT doc_id, string_split(text, ' ') AS t FROM documents
         WHERE len(string_split(text, ' ')) >= 3),
       idx AS (
         SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toksrc),
-      sh AS (
+      sh0 AS (
         SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM idx),
+      rare AS (
+        SELECT s FROM sh0 GROUP BY s HAVING count(*) <= $jaccardMaxDf),
+      sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN rare USING (s)),
       n AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
       pairs AS (
         SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
@@ -137,7 +144,7 @@ object LlmOps {
       WHERE p.shared / (na.nsh + nb.nsh - p.shared) >= 0.5
       ORDER BY da, db"""),
     (s, dir) => {
-      val sh = shingles(s, dir)
+      val sh = shinglesCapped(s, dir, jaccardMaxDf)
       val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
       val pairs = sh.as("a")
         .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -280,14 +287,17 @@ object LlmOps {
   private val e2Clusters = GraftQuery(
     "llm_e2_dedup_clusters",
     "connected-component dedup clusters over exact+near-dup edges (E2)",
-    Some("""
+    Some(s"""
       WITH RECURSIVE toksrc AS (
         SELECT doc_id, string_split(text, ' ') AS t FROM documents
         WHERE len(string_split(text, ' ')) >= 3),
       idx AS (
         SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toksrc),
-      sh AS (
+      sh0 AS (
         SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM idx),
+      rare AS (
+        SELECT s FROM sh0 GROUP BY s HAVING count(*) <= $jaccardMaxDf),
+      sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN rare USING (s)),
       n AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
       jpairs AS (
         SELECT da, db FROM (
