@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -72,8 +72,77 @@ final case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Polynomial rolling hashes of every `window`-char substring: one O(n)
+  * pass using the rolling recurrence h' = ((h - c_out·B^(w-1))·B + c_in)
+  * mod M — the HOF formulation recomputes each window from scratch with
+  * an O(pos) substring seek, i.e. O(n·w) interpreted steps (measured
+  * 57s at sf0.1; this expression: <1s). Character values are Unicode
+  * code points (= DuckDB's ord()); hash values are identical to the
+  * window-by-window fold since the recurrence is exact mod M. Returns
+  * array<long>, empty for strings shorter than the window. */
+final case class RollingHashes(child: Expression, window: Int, base: Long, mod: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "rolling_hashes"
+
+  // B^(window-1) mod M, the coefficient of the outgoing character
+  private lazy val pow: Long = {
+    var p = 1L
+    var i = 0
+    while (i < window - 1) { p = p * base % mod; i += 1 }
+    p
+  }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String]
+    val cps = s.toString.codePoints().toArray
+    val n = cps.length
+    if (n < window) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](n - window + 1)
+    var h = 0L
+    var i = 0
+    while (i < window) { h = (h * base + cps(i)) % mod; i += 1 }
+    out(0) = h
+    i = window
+    while (i < n) {
+      h = ((h - cps(i - window) * pow % mod + mod) % mod * base + cps(i)) % mod
+      out(i - window + 1) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => s"""
+      |int[] cps = $a.toString().codePoints().toArray();
+      |int n = cps.length;
+      |long[] out;
+      |if (n < $window) {
+      |  out = new long[0];
+      |} else {
+      |  out = new long[n - $window + 1];
+      |  long h = 0L;
+      |  for (int i = 0; i < $window; i++) { h = (h * $base + cps[i]) % $mod; }
+      |  out[0] = h;
+      |  for (int i = $window; i < n; i++) {
+      |    h = ((h - cps[i - $window] * ${pow}L % $mod + $mod) % $mod * $base + cps[i]) % $mod;
+      |    out[i - $window + 1] = h;
+      |  }
+      |}
+      |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(out);
+      |""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   /** 64-bit SimHash of an array<string> token column. */
   def simhash64(tokens: Column): Column =
     GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(tokens)))
+
+  /** Rolling polynomial hashes of every `window`-char substring. */
+  def rollingHashes(text: Column, window: Int, base: Long, mod: Long): Column =
+    GraftColumnBridge.column(RollingHashes(
+      GraftColumnBridge.expression(text), window, base, mod))
 }

@@ -180,7 +180,13 @@ object Parity {
   /** A5 payload build (reference call-debias.py:43-48,143-147): all values
     * of one (language, file) group collected into one request payload.
     * Fingerprinted (md5 of the sorted concatenation) so the verify output
-    * stays narrow; count kept alongside. */
+    * stays narrow; count kept alongside.
+    *
+    * Scale note: collect_list is safe here BECAUSE the group key mirrors
+    * the reference's per-(language, file) payload — one API request's
+    * worth of lines, bounded by file size, never a corpus-proportional
+    * group. For unbounded groups the order-insensitive alternative is a
+    * commutative hash aggregate (sum of per-row hashes), not a list. */
   private val a5 = GraftQuery(
     "parity_a5_payload_build",
     "per-group collect_list payload, deterministic fingerprint (A5)",
