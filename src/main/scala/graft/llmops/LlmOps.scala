@@ -533,6 +533,79 @@ object LlmOps {
         .orderBy("da", "db")
     })
 
+  private val ivfCells = 16
+  private val ivfProbes = 4
+
+  /** ANN via IVF (inverted-file index — the other scale path the north
+    * star names alongside LSH): a k-means coarse quantizer assigns every
+    * vector to its nearest centroid cell; each query probes only its
+    * `ivfProbes` nearest cells and scores those candidates exactly.
+    * Corpus scan cost per query drops to probes/cells of the data;
+    * centroids are a driver-side constant (k x 64 doubles) shipped into
+    * the plan, so cell assignment is a codegen'd projection, and the
+    * candidate join shuffles on the cell id. Training is one MLlib
+    * KMeans fit (seeded — deterministic); at 100 TB you train on a
+    * sample, which is exactly what KMeans does internally. Rows-only
+    * (centroid geometry is seed-specific); recall vs the exact top-k is
+    * asserted in LlmOpsSpec. */
+  private val e3Ivf = GraftQuery(
+    "llm_e3_ivf_topk",
+    "IVF: k-means cells + nprobe cell-scan ANN top-3 (E3, approx)",
+    None,
+    (s, dir) => {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.linalg.Vectors
+      import org.apache.spark.ml.functions.array_to_vector
+      val n = normed(s, dir)
+      val train = n.select(col("vec_id"), array_to_vector(col("v")).as("features"))
+      val model = new KMeans().setK(ivfCells).setSeed(7L).setMaxIter(10).fit(train)
+      val centroids = model.clusterCenters.map(_.toArray)
+      // nearest-cell id as a codegen'd projection over the centroid
+      // literals (same DotProduct expression as the scorer)
+      def cellOf(vcol: Column): Column = {
+        val dists = centroids.zipWithIndex.map { case (c, i) =>
+          val cc = array(c.map(lit): _*)
+          struct(
+            (graft.functions.VectorFunctions.dot(vcol, vcol)
+              - lit(2.0) * graft.functions.VectorFunctions.dot(vcol, cc)
+              + lit(c.map(x => x * x).sum)).as("d2"),
+            lit(i).as("cell"))
+        }
+        array_min(array(dists: _*)).getField("cell")
+      }
+      val cells = n.withColumn("cell", cellOf(col("v")))
+      // each query probes its `ivfProbes` nearest cells
+      val qCells = n.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qv_full"))
+        .withColumn("probe_cells", {
+          val dists = centroids.zipWithIndex.map { case (c, i) =>
+            val cc = array(c.map(lit): _*)
+            struct(
+              (lit(-2.0) * graft.functions.VectorFunctions.dot(col("qv_full"), cc)
+                + lit(c.map(x => x * x).sum)).as("d2"),
+              lit(i).as("cell"))
+          }
+          slice(transform(array_sort(array(dists: _*)), x => x.getField("cell")), 1, ivfProbes)
+        })
+        .select(col("q_id"), explode(col("probe_cells")).as("cell"))
+      val cand = cells.select(col("vec_id"), col("cell"))
+        .join(broadcast(qCells), Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"))
+        .distinct()
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+      cand
+        .join(broadcast(n.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))), "q_id")
+        .join(n.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm")), "neighbor_id")
+        .withColumn("cosine", round(qvDot / (col("qn") * col("nrm")), 4))
+        .select(col("q_id"), col("neighbor_id"), col("cosine"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("q_id"), col("rn"), col("neighbor_id"), col("cosine"))
+        .orderBy("q_id", "rn")
+    })
+
   // ---------------------------------------------------------------------
   // E4: text analysis
   // ---------------------------------------------------------------------
@@ -695,5 +768,5 @@ object LlmOps {
 
   def queries: Seq[GraftQuery] = Seq(
     e1, e1Stats, e2Jaccard, e2MinHash, e2SimHash, e2EmbedCosine, e2Clusters,
-    e3TopK, e3Ann, e4Terms, e4Quality, e4LangId, e4Fingerprint, e4Rolling, e4Split)
+    e3TopK, e3Ann, e3Ivf, e4Terms, e4Quality, e4LangId, e4Fingerprint, e4Rolling, e4Split)
 }

@@ -103,6 +103,26 @@ class LlmOpsSpec extends SparkSpec {
     hits should be > 0
   }
 
+  test("IVF top-k: candidates carry true cosines; nprobe=4/16 recall beats zero") {
+    val exact = run("llm_e3_cosine_topk")
+      .filter($"rn" === 1).select($"q_id", $"neighbor_id").as[(Long, Long)]
+      .collect().toMap
+    val exactScores = run("llm_e3_cosine_topk")
+      .select($"q_id", $"neighbor_id", $"cosine").as[(Long, Long, Double)]
+      .collect().map { case (q, n, c) => (q, n) -> c }.toMap
+    val ivf = run("llm_e3_ivf_topk")
+      .select($"q_id", $"neighbor_id", $"cosine").as[(Long, Long, Double)].collect()
+    ivf should not be empty
+    ivf.foreach { case (q, n, c) =>
+      exactScores.get((q, n)).foreach { ec =>
+        withClue(s"pair ($q,$n): ") { c shouldBe ec }
+      }
+    }
+    // deterministic (seeded k-means): some queries' true top-1 lives in a
+    // probed cell
+    ivf.count { case (q, n, _) => exact.get(q).contains(n) } should be > 0
+  }
+
   test("embed-cosine near-dup pairs: no false positives, full precision vs brute force") {
     // every reported pair must carry the true cosine and clear the
     // threshold; recall is the LSH trade-off (checked non-empty)
