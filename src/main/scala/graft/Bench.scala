@@ -20,9 +20,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the session before timing: JVM/codegen/parquet-footer costs land
-    // here instead of inflating whichever query happens to run first.
-    spark.read.parquet(s"$sfDir/region.parquet").write.format("noop").mode("overwrite").save()
+    // Warm the session before timing: JVM/codegen/parquet-reader costs land
+    // here instead of inflating whichever query happens to run first. One
+    // scan per input table — no data is cached, only the machinery warms.
+    Seq("region", "documents", "events", "orders").foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet").write.format("noop").mode("overwrite").save()
+    }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = Registry.all.map { q =>
       val t0 = System.nanoTime()

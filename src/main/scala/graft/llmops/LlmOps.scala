@@ -143,24 +143,28 @@ object LlmOps {
       JOIN n nb ON p.db = nb.doc_id
       WHERE p.shared / (na.nsh + nb.nsh - p.shared) >= 0.5
       ORDER BY da, db"""),
-    (s, dir) => {
-      // the shingle index feeds three plan branches (both self-join sides
-      // + per-doc counts); persist materializes it once — at cluster
-      // scale this is the standard cached/checkpointed inverted index
-      val sh = shinglesCapped(s, dir, jaccardMaxDf).persist()
-      val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
-      val pairs = sh.as("a")
-        .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-        .agg(count(lit(1)).as("shared"))
-      pairs
-        .join(n.as("na"), col("da") === col("na.doc_id"))
-        .join(n.as("nb"), col("db") === col("nb.doc_id"))
-        .withColumn("jaccard", col("shared") / (col("na.nsh") + col("nb.nsh") - col("shared")))
-        .filter(col("jaccard") >= 0.5)
-        .select(col("da"), col("db"), col("shared"), col("jaccard"))
-        .orderBy("da", "db")
-    })
+    (s, dir) => jaccardPairs(s, dir).orderBy("da", "db"))
+
+  /** Unsorted exact-Jaccard pairs (da, db, shared, jaccard) — the
+    * verify-facing query adds the deterministic sort; graph consumers
+    * (dedup clusters) skip it. The shingle index feeds three plan
+    * branches (both self-join sides + per-doc counts); persist
+    * materializes it once — at cluster scale this is the standard
+    * cached/checkpointed inverted index. */
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = shinglesCapped(s, dir, jaccardMaxDf).persist()
+    val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(n.as("na"), col("da") === col("na.doc_id"))
+      .join(n.as("nb"), col("db") === col("nb.doc_id"))
+      .withColumn("jaccard", col("shared") / (col("na.nsh") + col("nb.nsh") - col("shared")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("da"), col("db"), col("shared"), col("jaccard"))
+  }
 
   private val minhashK = 16 // signature length
   // 8 bands x 2 rows tuned for the 0.5 threshold: P(candidate | J) =
@@ -329,14 +333,12 @@ object LlmOps {
       val exact = d.as("a").join(d.as("b"),
           col("a.text") === col("b.text") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      val near = byName("llm_e2_ngram_jaccard_pairs").run(s, dir)
-        .select(col("da"), col("db"))
+      val near = jaccardPairs(s, dir).select(col("da"), col("db"))
       connectedComponents(d.select(col("doc_id")), exact.unionByName(near))
         .select(col("doc_id"), col("label").as("cluster_id"))
         .orderBy("doc_id")
     })
 
-  private def byName(n: String): GraftQuery = queries.find(_.name == n).get
 
   /** Deterministic corpus split (train/val/test) by content hash — the
     * standard leakage-safe way to split training data (split follows the
