@@ -546,8 +546,8 @@ object LlmOps {
     * centroids are a driver-side constant (k x 64 doubles) shipped into
     * the plan, so cell assignment is a codegen'd projection, and the
     * candidate join shuffles on the cell id. Training is one MLlib
-    * KMeans fit (seeded — deterministic); at 100 TB you train on a
-    * sample, which is exactly what KMeans does internally. Rows-only
+    * KMeans fit on a seeded SAMPLE of the corpus (centroid quality needs
+    * thousands of points per cell, not the full 100 TB). Rows-only
     * (centroid geometry is seed-specific); recall vs the exact top-k is
     * asserted in LlmOpsSpec. */
   private val e3Ivf = GraftQuery(
@@ -559,7 +559,13 @@ object LlmOps {
       import org.apache.spark.ml.linalg.Vectors
       import org.apache.spark.ml.functions.array_to_vector
       val n = normed(s, dir)
-      val train = n.select(col("vec_id"), array_to_vector(col("v")).as("features"))
+      // train the quantizer on a bounded seeded sample — ~1000 points per
+      // cell is plenty; the fraction shrinks as the corpus grows
+      val total = n.count()
+      val targetTrain = (ivfCells * 1000L) max 10000L
+      val fraction = math.min(1.0, targetTrain.toDouble / total)
+      val train = n.sample(withReplacement = false, fraction, seed = 7L)
+        .select(col("vec_id"), array_to_vector(col("v")).as("features"))
       val model = new KMeans().setK(ivfCells).setSeed(7L).setMaxIter(10).fit(train)
       val centroids = model.clusterCenters.map(_.toArray)
       // nearest-cell id as a codegen'd projection over the centroid
