@@ -774,7 +774,52 @@ object LlmOps {
           size(array_distinct(col("ws"))).cast("long").as("n_distinct_windows"))
         .orderBy("doc_id"))
 
+  private val packTokens = 256
+
+  /** Deterministic shuffle + sequence packing: order the corpus by a
+    * content-independent hash (reproducible "random" order across
+    * engines/runs — what a training job needs for epoch shuffling), then
+    * assign contiguous docs into packs of ~packTokens whitespace tokens
+    * via a running-sum window. The window is a single global ordering at
+    * demo scale; the production form partitions the shuffle key space
+    * first (pack ids then get a partition prefix) so no single ordering
+    * spans the corpus. */
+  private val e4Pack = GraftQuery(
+    "llm_e4_shuffle_pack",
+    "deterministic hash-shuffle + token-budget sequence packing (E4)",
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id,
+               md5(CAST(doc_id AS VARCHAR)) AS shuffle_key,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT doc_id, shuffle_key, n_tokens,
+          SUM(n_tokens) OVER (ORDER BY shuffle_key, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM t)
+      SELECT CAST(floor((cum - n_tokens) / $packTokens) AS BIGINT) AS pack_id,
+             COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+      FROM c
+      GROUP BY 1
+      ORDER BY pack_id"""),
+    (s, dir) => {
+      val w = Window.orderBy(col("shuffle_key"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, dir)
+        .select(col("doc_id"),
+          md5(col("doc_id").cast("string")).as("shuffle_key"),
+          size(toks(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("pack_id", floor((col("cum") - col("n_tokens")) / packTokens).cast("long"))
+        .groupBy(col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"))
+        .orderBy("pack_id")
+    })
+
   def queries: Seq[GraftQuery] = Seq(
     e1, e1Stats, e2Jaccard, e2MinHash, e2SimHash, e2EmbedCosine, e2Clusters,
-    e3TopK, e3Ann, e3Ivf, e4Terms, e4Quality, e4LangId, e4Fingerprint, e4Rolling, e4Split)
+    e3TopK, e3Ann, e3Ivf, e4Terms, e4Quality, e4LangId, e4Fingerprint, e4Rolling,
+    e4Split, e4Pack)
 }
