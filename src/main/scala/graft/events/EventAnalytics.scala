@@ -354,7 +354,76 @@ object EventAnalytics {
         .orderBy("user_id", "event_id")
     })
 
+  /** Range/interval join: each event joined to the gap-session interval
+    * that CONTAINS it. The join is equi on user_id with the range as a
+    * residual predicate — per-user sort-merge, never a cross product;
+    * the generic no-equi-key range join would need a bin/bucket
+    * prefilter, which the session case avoids by construction.
+    * Self-consistency makes it oracle-checkable: every event falls in
+    * exactly one of its user's sessions, so per-session joined counts
+    * equal the session sizes. */
+  private val rangeJoin = GraftQuery(
+    "e5_range_join_sessions",
+    "interval containment join events -> enclosing session (equi+range)",
+    Some("""
+      WITH flagged AS (
+        SELECT user_id, ts, event_id,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+               THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ), sessions AS (
+        SELECT user_id, ts,
+          SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged
+      ), intervals AS (
+        SELECT user_id, session_id,
+          min(ts) AS session_start,
+          max(ts) + INTERVAL 30 MINUTE AS session_end
+        FROM sessions GROUP BY user_id, session_id)
+      SELECT i.user_id,
+             epoch_us(i.session_start) AS session_start_us,
+             COUNT(*) AS n_events_in_range
+      FROM intervals i
+      JOIN events e
+        ON e.user_id = i.user_id
+       AND e.ts >= i.session_start AND e.ts < i.session_end
+      GROUP BY i.user_id, i.session_start
+      ORDER BY i.user_id, session_start_us"""),
+    (s, dir) => {
+      val ev = events(s, dir)
+      val intervals = graft.streaming.EventStreams.sessionWindows(ev)
+      intervals.as("i")
+        .join(ev.as("e"),
+          col("e.user_id") === col("i.user_id") &&
+            col("e.ts") >= col("i.session_start") && col("e.ts") < col("i.session_end"))
+        .groupBy(col("i.user_id").as("user_id"),
+          unix_micros(col("i.session_start")).as("session_start_us"))
+        .agg(count(lit(1)).as("n_events_in_range"))
+        .orderBy("user_id", "session_start_us")
+    })
+
+  /** Sketch aggregates (the approximate pre-aggregation family): HLL++
+    * distinct users and quantile-sketch percentiles per event type. No
+    * SQL oracle (sketch internals are engine-specific); the spec bounds
+    * each estimate against the exact answer at small SF. */
+  private val sketches = GraftQuery(
+    "e5_sketch_aggregates",
+    "approx_count_distinct (HLL++) + approx_percentile sketches (approx)",
+    None,
+    (s, dir) =>
+      events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+          count(lit(1)).as("n_events"),
+          percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_value"),
+          percentile_approx(col("value"), lit(0.95), lit(10000)).as("p95_value"))
+        .orderBy("event_type"))
+
   def queries: Seq[GraftQuery] =
     Seq(hourly, sessionize, sessionHistogram, jsonProps, funnel, sessionWindowQ, asof,
-      jsonRoundtrip, hourlySalted, windowAnalytics)
+      jsonRoundtrip, hourlySalted, windowAnalytics, rangeJoin, sketches)
 }

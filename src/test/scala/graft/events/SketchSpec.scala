@@ -1,0 +1,40 @@
+package graft.events
+
+import graft.{Registry, SparkSpec}
+import org.apache.spark.sql.functions._
+
+/** Bounds for the sketch aggregates against exact answers (no SQL oracle
+  * — sketch internals are engine-specific). */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("HLL distinct within rsd bounds; percentile sketch between true quantile neighbors") {
+    val sketch = Registry.byName("e5_sketch_aggregates").run(spark, sfDir)
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val ev = EventAnalytics.events(spark, sfDir)
+    val exact = ev.groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("users"),
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.95)").as("p95"))
+      .as[(String, Long, Double, Double)].collect()
+    exact should not be empty
+    exact.foreach { case (t, users, p50, p95) =>
+      val (_, approxUsers, _, sp50, sp95) = sketch(t)
+      withClue(s"$t distinct: ") {
+        math.abs(approxUsers - users).toDouble / users should be <= 0.1 // 2% rsd, wide margin
+      }
+      // percentile_approx with high accuracy returns an actual data value
+      // near the true quantile — bound it within a generous neighborhood
+      withClue(s"$t p50: ") { math.abs(sp50 - p50) / (p95 + 1) should be <= 0.2 }
+      withClue(s"$t p95: ") { sp95 should be <= exact.map(_._4).max * 1.2 }
+    }
+  }
+
+  test("range join per-session counts equal the session sizes") {
+    val ranged = Registry.byName("e5_range_join_sessions").run(spark, sfDir)
+      .agg(sum($"n_events_in_range")).as[Long].head()
+    val total = EventAnalytics.events(spark, sfDir).count()
+    ranged shouldBe total // every event in exactly one enclosing session
+  }
+}
