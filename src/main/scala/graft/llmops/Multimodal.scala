@@ -174,5 +174,50 @@ object Multimodal {
       decodeBatched(m, new FakeMediaDecoder).toDF().orderBy("media_id")
     })
 
-  def queries: Seq[GraftQuery] = Seq(mmFeatures, mmFrames, mmBatchDecode)
+  private val fitBox = 256L
+
+  /** Resize planning: aspect-preserving fit of each media item into a
+    * 256x256 box — scale = min(box/w, box/h) capped at 1 (never
+    * upscale), integer target dims via floor. The arithmetic the real
+    * resize kernel would receive; pure projection, no shuffle. Exact
+    * rational arithmetic (multiply-then-divide in integers) keeps the
+    * oracle bit-identical — float scale factors would reintroduce the
+    * cast-rounding divergence. */
+  private val mmResize = GraftQuery(
+    "mm_resize_plan",
+    "aspect-preserving fit-to-box resize planning over decoded dims",
+    Some(s"""
+      WITH m AS (
+        SELECT doc_id AS media_id,
+               (CAST('0x' || substr(md5(text), 1, 4) AS BIGINT) % 2048) + 16 AS w,
+               (CAST('0x' || substr(md5(text), 5, 4) AS BIGINT) % 2048) + 16 AS h
+        FROM documents)
+      SELECT media_id, w, h,
+        CASE WHEN w <= $fitBox AND h <= $fitBox THEN w
+             WHEN w >= h THEN $fitBox
+             ELSE (w * $fitBox) // h END AS out_w,
+        CASE WHEN w <= $fitBox AND h <= $fitBox THEN h
+             WHEN h >= w THEN $fitBox
+             ELSE (h * $fitBox) // w END AS out_h,
+        (w <= $fitBox AND h <= $fitBox) AS unscaled
+      FROM m
+      ORDER BY media_id"""),
+    (s, dir) => {
+      val m = media(s, dir).withColumn("content_md5", md5(col("payload")))
+        .select(col("media_id"),
+          fakeDecodeWidth(col("content_md5")).as("w"),
+          fakeDecodeHeight(col("content_md5")).as("h"))
+      val fits = col("w") <= fitBox && col("h") <= fitBox
+      m.select(col("media_id"), col("w"), col("h"),
+        when(fits, col("w"))
+          .when(col("w") >= col("h"), lit(fitBox))
+          .otherwise(expr(s"w * $fitBox div h")).as("out_w"),
+        when(fits, col("h"))
+          .when(col("h") >= col("w"), lit(fitBox))
+          .otherwise(expr(s"h * $fitBox div w")).as("out_h"),
+        fits.as("unscaled"))
+        .orderBy("media_id")
+    })
+
+  def queries: Seq[GraftQuery] = Seq(mmFeatures, mmFrames, mmBatchDecode, mmResize)
 }
