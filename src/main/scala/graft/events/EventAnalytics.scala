@@ -149,7 +149,7 @@ object EventAnalytics {
     Some(s"""
       SELECT event_type,
         COUNT(*) AS n_events,
-        SUM(TRY_CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS sum_k,
+        CAST(SUM(TRY_CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
         ${sqlDsum("value")} AS total_value
       FROM events
       GROUP BY event_type
@@ -205,7 +205,7 @@ object EventAnalytics {
       WITH flagged AS (
         SELECT user_id, ts, event_id,
           CASE WHEN lag(ts) OVER w IS NULL
-                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                 OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
                THEN 1 ELSE 0 END AS new_session
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -278,7 +278,7 @@ object EventAnalytics {
     "from_json explicit schema + to_json canonicalization + agg (C6)",
     Some("""
       SELECT event_type,
-        SUM(CAST(props->>'k' AS BIGINT)) AS sum_k,
+        CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
         COUNT(DISTINCT '{"k":' || (props->>'k') || '}') AS n_payloads
       FROM events
       WHERE props->>'k' IS NOT NULL
@@ -369,7 +369,7 @@ object EventAnalytics {
       WITH flagged AS (
         SELECT user_id, ts, event_id,
           CASE WHEN lag(ts) OVER w IS NULL
-                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                 OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
                THEN 1 ELSE 0 END AS new_session
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

@@ -49,24 +49,34 @@ final case class SimHash64(child: Expression) extends UnaryExpression {
     sig
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  // freshName'd locals: raw names collide when two expressions fuse into
+  // one codegen function (Janino redefinition error → interpreted fallback)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val counts = ctx.freshName("counts")
+    val n = ctx.freshName("n")
+    val j = ctx.freshName("j")
+    val s = ctx.freshName("s")
+    val h = ctx.freshName("h")
+    val i = ctx.freshName("i")
+    val sig = ctx.freshName("sig")
     nullSafeCodeGen(ctx, ev, a => s"""
-      |int[] counts = new int[64];
-      |int n = $a.numElements();
-      |for (int j = 0; j < n; j++) {
-      |  if (!$a.isNullAt(j)) {
-      |    org.apache.spark.unsafe.types.UTF8String s = $a.getUTF8String(j);
-      |    long h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-      |      s.getBaseObject(), s.getBaseOffset(), s.numBytes(), 42L);
-      |    for (int i = 0; i < 64; i++) {
-      |      counts[i] += (((h >>> i) & 1L) == 1L) ? 1 : -1;
+      |int[] $counts = new int[64];
+      |int $n = $a.numElements();
+      |for (int $j = 0; $j < $n; $j++) {
+      |  if (!$a.isNullAt($j)) {
+      |    org.apache.spark.unsafe.types.UTF8String $s = $a.getUTF8String($j);
+      |    long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      |      $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
+      |    for (int $i = 0; $i < 64; $i++) {
+      |      $counts[$i] += ((($h >>> $i) & 1L) == 1L) ? 1 : -1;
       |    }
       |  }
       |}
-      |long sig = 0L;
-      |for (int i = 0; i < 64; i++) { if (counts[i] > 0) sig |= (1L << i); }
-      |${ev.value} = sig;
+      |long $sig = 0L;
+      |for (int $i = 0; $i < 64; $i++) { if ($counts[$i] > 0) $sig |= (1L << $i); }
+      |${ev.value} = $sig;
       |""".stripMargin)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -112,25 +122,31 @@ final case class RollingHashes(child: Expression, window: Int, base: Long, mod: 
     new GenericArrayData(out)
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cps = ctx.freshName("cps")
+    val n = ctx.freshName("n")
+    val out = ctx.freshName("out")
+    val h = ctx.freshName("h")
+    val i = ctx.freshName("i")
     nullSafeCodeGen(ctx, ev, a => s"""
-      |int[] cps = $a.toString().codePoints().toArray();
-      |int n = cps.length;
-      |long[] out;
-      |if (n < $window) {
-      |  out = new long[0];
+      |int[] $cps = $a.toString().codePoints().toArray();
+      |int $n = $cps.length;
+      |long[] $out;
+      |if ($n < $window) {
+      |  $out = new long[0];
       |} else {
-      |  out = new long[n - $window + 1];
-      |  long h = 0L;
-      |  for (int i = 0; i < $window; i++) { h = (h * $base + cps[i]) % $mod; }
-      |  out[0] = h;
-      |  for (int i = $window; i < n; i++) {
-      |    h = ((h - cps[i - $window] * ${pow}L % $mod + $mod) % $mod * $base + cps[i]) % $mod;
-      |    out[i - $window + 1] = h;
+      |  $out = new long[$n - $window + 1];
+      |  long $h = 0L;
+      |  for (int $i = 0; $i < $window; $i++) { $h = ($h * $base + $cps[$i]) % $mod; }
+      |  $out[0] = $h;
+      |  for (int $i = $window; $i < $n; $i++) {
+      |    $h = (($h - $cps[$i - $window] * ${pow}L % $mod + $mod) % $mod * $base + $cps[$i]) % $mod;
+      |    $out[$i - $window + 1] = $h;
       |  }
       |}
-      |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(out);
+      |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
       |""".stripMargin)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

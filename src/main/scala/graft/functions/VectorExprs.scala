@@ -37,13 +37,18 @@ final case class DotProduct(left: Expression, right: Expression)
     s
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  // every local is freshName'd: two expressions fused into one codegen
+  // function would otherwise redeclare the same variable (Janino error →
+  // whole-stage falls back to interpreted)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val (n, s, i) = (ctx.freshName("n"), ctx.freshName("s"), ctx.freshName("i"))
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      |int n = Math.min($a.numElements(), $b.numElements());
-      |double s = 0.0;
-      |for (int i = 0; i < n; i++) { s += $a.getDouble(i) * $b.getDouble(i); }
-      |${ev.value} = s;
+      |int $n = Math.min($a.numElements(), $b.numElements());
+      |double $s = 0.0;
+      |for (int $i = 0; $i < $n; $i++) { $s += $a.getDouble($i) * $b.getDouble($i); }
+      |${ev.value} = $s;
       |""".stripMargin)
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
@@ -85,20 +90,28 @@ final case class LshBuckets(child: Expression, planes: Array[Array[Double]],
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+    val out = ctx.freshName("out")
+    val t = ctx.freshName("t")
+    val bucket = ctx.freshName("bucket")
+    val b = ctx.freshName("b")
+    val p = ctx.freshName("p")
+    val n = ctx.freshName("n")
+    val s = ctx.freshName("s")
+    val i = ctx.freshName("i")
     nullSafeCodeGen(ctx, ev, a => s"""
-      |int[] out = new int[$tables];
-      |for (int t = 0; t < $tables; t++) {
-      |  int bucket = 0;
-      |  for (int b = 0; b < $bits; b++) {
-      |    double[] p = $planesRef[t * $bits + b];
-      |    int n = Math.min($a.numElements(), p.length);
-      |    double s = 0.0;
-      |    for (int i = 0; i < n; i++) { s += $a.getDouble(i) * p[i]; }
-      |    if (s > 0) bucket |= (1 << b);
+      |int[] $out = new int[$tables];
+      |for (int $t = 0; $t < $tables; $t++) {
+      |  int $bucket = 0;
+      |  for (int $b = 0; $b < $bits; $b++) {
+      |    double[] $p = $planesRef[$t * $bits + $b];
+      |    int $n = Math.min($a.numElements(), $p.length);
+      |    double $s = 0.0;
+      |    for (int $i = 0; $i < $n; $i++) { $s += $a.getDouble($i) * $p[$i]; }
+      |    if ($s > 0) $bucket |= (1 << $b);
       |  }
-      |  out[t] = bucket;
+      |  $out[$t] = $bucket;
       |}
-      |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(out);
+      |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
       |""".stripMargin)
   }
 

@@ -158,12 +158,19 @@ object LlmOps {
       .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .agg(count(lit(1)).as("shared"))
-    pairs
+    val out = pairs
       .join(n.as("na"), col("da") === col("na.doc_id"))
       .join(n.as("nb"), col("db") === col("nb.doc_id"))
       .withColumn("jaccard", col("shared") / (col("na.nsh") + col("nb.nsh") - col("shared")))
       .filter(col("jaccard") >= 0.5)
       .select(col("da"), col("db"), col("shared"), col("jaccard"))
+      .persist()
+    // Materialize the (threshold-bounded, tiny) pair set while the index
+    // is cached, then release the index — only the pairs stay pinned, not
+    // a full inverted index per caller.
+    out.count()
+    sh.unpersist()
+    out
   }
 
   private val minhashK = 16 // signature length
@@ -333,10 +340,17 @@ object LlmOps {
       val exact = d.as("a").join(d.as("b"),
           col("a.text") === col("b.text") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      val near = jaccardPairs(s, dir).select(col("da"), col("db"))
-      connectedComponents(d.select(col("doc_id")), exact.unionByName(near))
+      val pairs = jaccardPairs(s, dir) // persisted by jaccardPairs
+      val near = pairs.select(col("da"), col("db"))
+      val labels = connectedComponents(d.select(col("doc_id")), exact.unionByName(near))
+      val out = labels
         .select(col("doc_id"), col("label").as("cluster_id"))
         .orderBy("doc_id")
+        .persist()
+      out.count() // materialize, then release the propagation cache + pair cache
+      labels.unpersist()
+      pairs.unpersist()
+      out
     })
 
 
@@ -357,7 +371,7 @@ object LlmOps {
                   WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
              lang,
              COUNT(*) AS n_docs,
-             SUM(n_chars) AS total_chars
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars
       FROM b
       GROUP BY 1, 2
       ORDER BY 1, 2"""),

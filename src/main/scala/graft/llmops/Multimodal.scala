@@ -107,6 +107,7 @@ object Multimodal {
       media(s, dir)
         .withColumn("n_frames",
           ceil(octet_length(col("payload")) / lit(frameBytes.toDouble)).cast("long"))
+        .filter(col("n_frames") > 0) // sequence(0,-1) would yield [0,-1]; oracle generate_series(0,-1) is empty
         .select(col("media_id"), col("payload"),
           posexplode(expr("sequence(0, n_frames - 1)")).as(Seq("p", "frame_idx")))
         .select(col("media_id"), col("frame_idx"),

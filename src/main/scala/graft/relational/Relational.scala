@@ -193,7 +193,7 @@ object Relational {
       T(s, dir, "orders")
         .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"))
-        .withColumn("rn", row_number().over(w))
+        .withColumn("rn", row_number().over(w).cast("long")) // DuckDB row_number() is BIGINT
         .filter(col("rn") <= 3)
         .orderBy(col("c_custkey"), col("rn"))
     })
@@ -304,7 +304,7 @@ object Relational {
         .select(
           col("p_partkey"),
           upper(col("p_name")).as("name_upper"),
-          length(col("p_name")).as("name_len"),
+          length(col("p_name")).cast("long").as("name_len"), // DuckDB length() is BIGINT
           substring_index(col("p_name"), " ", 1).as("first_word"),
           when(instr(col("p_name"), " ") > 0,
             trim(expr("substring(p_name, instr(p_name, ' ') + 1)")))

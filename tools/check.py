@@ -52,23 +52,32 @@ def main(sf_dir, out_dir):
         if not files:
             results[name] = "NO_SPARK_OUTPUT"
             continue
-        sdf = con.execute(f"SELECT * FROM read_parquet('{d}/*.parquet')")
-        scols = [c[0] for c in sdf.description]
+        sdf = con.sql(f"SELECT * FROM read_parquet('{d}/*.parquet')")
+        scols = list(sdf.columns)
+        stypes = [str(t) for t in sdf.types]
         srows = sdf.fetchall()
         if name not in oracle:
             results[name] = f"ROWS_ONLY rows={len(srows)}" + (" EMPTY!" if not srows else "")
             continue
         try:
-            odf = con.execute(oracle[name])
-            ocols = [c[0] for c in odf.description]
+            odf = con.sql(oracle[name])
+            ocols = list(odf.columns)
+            otypes = [str(t) for t in odf.types]
             orows = odf.fetchall()
         except Exception as e:
             results[name] = f"ORACLE_SQL_ERROR: {str(e)[:200]}"
             continue
         sc, sr = canon(scols, srows)
         oc, orr = canon(ocols, orows)
+        # The driver's hash compare is type-sensitive (HUGEINT != BIGINT even
+        # when values match) — compare duckdb logical types per sorted column.
+        st = [t for _, t in sorted(zip(scols, stypes))]
+        ot = [t for _, t in sorted(zip(ocols, otypes))]
         if sc != oc:
             results[name] = f"SCHEMA_MISMATCH spark={sc} oracle={oc}"
+        elif st != ot:
+            pairs = [(c, a, b) for c, a, b in zip(sc, st, ot) if a != b]
+            results[name] = f"TYPE_MISMATCH {pairs}"
         elif len(sr) != len(orr):
             results[name] = f"ROWCOUNT_MISMATCH spark={len(sr)} oracle={len(orr)}"
         elif sr != orr:
