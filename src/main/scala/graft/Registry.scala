@@ -65,8 +65,11 @@ object Registry {
   def all: Seq[GraftQuery] =
     parity.Parity.queries ++
       relational.Relational.queries ++
+      relational.Advanced.queries ++
+      relational.Subqueries.queries ++
       events.EventAnalytics.queries ++
       llmops.LlmOps.queries ++
+      llmops.TextRanking.queries ++
       llmops.Multimodal.queries
 
   def byName(name: String): GraftQuery =

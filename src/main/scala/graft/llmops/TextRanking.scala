@@ -1,0 +1,93 @@
+package graft.llmops
+
+import graft.{GraftQuery, T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-relative text ranking + sampling (extension family E4):
+  * TF-IDF keyword extraction and deterministic per-stratum quota
+  * sampling — the ops a training-data pipeline runs between cleaning
+  * and packing (keyword-based filtering, balanced per-language subsets).
+  */
+object TextRanking {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = T(s, dir, "documents")
+
+  /** TF-IDF top-3 terms per document. The idf here is the rational
+    * variant N/df (not log(N/df)): libm log can differ in the last ulp
+    * between engines, while integer-derived division is IEEE-identical —
+    * the RANKING is the same for any monotone idf. tf·(N/df): exact
+    * integer inputs, one double division + one multiply, bit-identical
+    * on both engines. Two shuffles total (doc-term counts, df counts);
+    * N is a broadcast scalar, the per-doc top-k a bounded window. */
+  private val tfidf = GraftQuery(
+    "llm_e4_tfidf_topterms",
+    "TF-IDF (rational idf) top-3 terms per doc (E4)",
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+      df AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+      n AS (SELECT COUNT(*) AS n FROM documents),
+      scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               tf.tf * (CAST(n.n AS DOUBLE) / df.df) AS score
+        FROM tf JOIN df USING (term) CROSS JOIN n),
+      ranked AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+        FROM scored)
+      SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
+      FROM ranked WHERE rk <= 3
+      ORDER BY doc_id, score DESC, term"""),
+    (s, dir) => {
+      val tok = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("term"))
+      val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df = tok.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+      val n = docs(s, dir).agg(count(lit(1)).as("n"))
+      val scored = tf.join(df, "term")
+        .crossJoin(broadcast(n)) // one-row scalar — always broadcastable
+        .withColumn("score", col("tf") * (col("n").cast("double") / col("df")))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"))
+        .orderBy(col("doc_id"), col("score").desc, col("term"))
+    })
+
+  /** Deterministic per-language quota sample: rank docs inside each
+    * language by content hash (md5 — reproducible across engines and
+    * runs, unlike random()) and keep the first ⌈n/10⌉. The balanced-
+    * subset op for training mixes; the hash ranking means adding new
+    * docs only perturbs the sample locally. One window over the lang
+    * partition — no global sort, no collect. */
+  private val quotaSample = GraftQuery(
+    "llm_e4_quota_sample",
+    "deterministic 10% per-language quota sample by content hash (E4)",
+    Some("""
+      WITH r AS (
+        SELECT doc_id, lang,
+          row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rk,
+          COUNT(*) OVER (PARTITION BY lang) AS n
+        FROM documents)
+      SELECT doc_id, lang FROM r
+      WHERE rk <= CEIL(n / 10.0)
+      ORDER BY lang, doc_id"""),
+    (s, dir) => {
+      val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+      val cw = Window.partitionBy(col("lang"))
+      docs(s, dir)
+        .withColumn("h", md5(col("text")))
+        .withColumn("rk", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(cw))
+        .filter(col("rk") <= ceil(col("n") / 10.0))
+        .select(col("doc_id"), col("lang"))
+        .orderBy("lang", "doc_id")
+    })
+
+  def queries: Seq[GraftQuery] = Seq(tfidf, quotaSample)
+}

@@ -1,0 +1,215 @@
+package graft.relational
+
+import graft.{GraftQuery, T}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Second relational wave (extension family E6): grouping sets,
+  * ordered-set/selector aggregates, list aggregation, array functions,
+  * unpivot, exact percentiles, and time-range window frames — the
+  * remaining ANSI surface a user of a full analytics engine expects.
+  *
+  * Scale posture matches Relational.scala: no forced broadcasts of
+  * SF-scaled tables, partial+final hash aggregates throughout, windows
+  * partitioned by high-cardinality keys (bounded per-group state).
+  * Determinism discipline: decimal-exact money sums, unique tie-breaks
+  * on every ORDER BY, dyadic percentile fractions (exact in FP on both
+  * engines), and a uniqueness-by-construction sort key for max_by.
+  */
+object Advanced {
+
+  import T._
+
+  /** GROUPING SETS with grouping_id — finer than rollup/cube (already
+    * covered): the explicit per-dimension marginals + grand total, the
+    * shape a dashboard's "totals by each dimension" query compiles to.
+    * One Expand + single hash aggregate in Spark (no re-scan per set). */
+  private val groupingSets = GraftQuery(
+    "q_grouping_sets",
+    "GROUPING SETS (flag),(status),() with grouping_id (E6 §2.4)",
+    Some(s"""
+      SELECT l_returnflag, l_linestatus,
+             CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+             COUNT(*) AS n_items,
+             ${sqlDsum("l_quantity")} AS sum_qty
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""),
+    (s, dir) =>
+      T(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n_items"),
+          dsum(col("l_quantity")).as("sum_qty"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("gid"),
+          col("n_items"), col("sum_qty"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first))
+
+  /** max_by/min_by selector aggregates (DuckDB arg_max/arg_min). The
+    * ordering value is made unique BY CONSTRUCTION — cents*1e10+orderkey,
+    * a single BIGINT — because max_by over a tied value is free to pick
+    * either row in both engines. totalprice has 2 decimals, so *100 is
+    * integral up to FP noise «1e-6 and the round() can never sit on a
+    * .5 boundary (where Spark HALF_UP and DuckDB half-even diverge). */
+  private val maxBy = GraftQuery(
+    "q_max_by_selectors",
+    "max_by/min_by per customer with a unique composite sort key (E6 §2.4)",
+    Some(s"""
+      SELECT o_custkey,
+        arg_max(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 10000000000 + o_orderkey) AS best_order,
+        arg_min(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 10000000000 + o_orderkey) AS worst_order,
+        CAST(MAX(${sqlMoney("o_totalprice")}) AS DOUBLE) AS best_price,
+        COUNT(*) AS n_orders
+      FROM orders
+      GROUP BY o_custkey
+      ORDER BY o_custkey"""),
+    (s, dir) => {
+      val key = (round(col("o_totalprice") * 100).cast("long") * 10000000000L
+        + col("o_orderkey"))
+      T(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(
+          max_by(col("o_orderkey"), key).as("best_order"),
+          min_by(col("o_orderkey"), key).as("worst_order"),
+          max(money("o_totalprice")).cast("double").as("best_price"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_custkey")
+    })
+
+  /** Ordered string aggregation (LISTAGG/string_agg). collect_list is
+    * order-nondeterministic under parallelism, so the deterministic
+    * formulation is collect_list → array_sort → array_join — sort AFTER
+    * collecting, never rely on input order surviving a shuffle. */
+  private val listAgg = GraftQuery(
+    "q_listagg_nations",
+    "ordered string_agg of nations per region (E6 §2.4)",
+    Some("""
+      SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+             COUNT(*) AS n_nations
+      FROM region JOIN nation ON r_regionkey = n_regionkey
+      GROUP BY r_name
+      ORDER BY r_name"""),
+    (s, dir) =>
+      T(s, dir, "region")
+        .join(T(s, dir, "nation"),
+          col("r_regionkey") === col("n_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(
+          array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"),
+          count(lit(1)).as("n_nations"))
+        .orderBy("r_name"))
+
+  /** Array-function surface over split tokens: distinct/sort/slice/
+    * join/contains — all codegen'd builtins (no UDF). DuckDB's list
+    * slice [1:3] and Spark's slice(arr,1,3) both clamp past the end. */
+  private val arrayFuncs = GraftQuery(
+    "q_array_functions",
+    "array_distinct/sort/slice/join/contains over tokenized names (§2.9)",
+    Some("""
+      SELECT p_partkey,
+        array_to_string(list_sort(list_distinct(string_split(p_name, ' ')))[1:3], '-') AS top_toks,
+        CAST(len(list_distinct(string_split(p_name, ' '))) AS INT) AS n_distinct_toks,
+        list_contains(string_split(p_name, ' '), 'red') AS has_red
+      FROM part
+      ORDER BY p_partkey"""),
+    (s, dir) =>
+      T(s, dir, "part")
+        .withColumn("toks", split(col("p_name"), " ", -1))
+        .select(col("p_partkey"),
+          array_join(slice(array_sort(array_distinct(col("toks"))), 1, 3), "-")
+            .as("top_toks"),
+          size(array_distinct(col("toks"))).as("n_distinct_toks"),
+          array_contains(col("toks"), "red").as("has_red"))
+        .orderBy("p_partkey"))
+
+  /** Unpivot (wide measures → long key/value rows) — Spark's melt.
+    * Oracle spelled as UNION ALL (the engine-neutral expansion). All
+    * unpivoted measures must share one type: counts cast to double. */
+  private val unpivotQ = GraftQuery(
+    "q_unpivot_measures",
+    "unpivot per-flag measures to (measure, value) rows (E6 §2.8)",
+    Some(s"""
+      WITH agg AS (
+        SELECT l_returnflag,
+          ${sqlDsum("l_quantity")} AS sum_qty,
+          ${sqlDsum("l_extendedprice")} AS sum_price,
+          CAST(COUNT(*) AS DOUBLE) AS n_items
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM agg
+      UNION ALL
+      SELECT l_returnflag, 'sum_price', sum_price FROM agg
+      UNION ALL
+      SELECT l_returnflag, 'n_items', n_items FROM agg
+      ORDER BY l_returnflag, measure"""),
+    (s, dir) =>
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"),
+          count(lit(1)).cast("double").as("n_items"))
+        .unpivot(
+          Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price"), col("n_items")),
+          "measure", "value")
+        .orderBy("l_returnflag", "measure"))
+
+  /** Exact percentiles (ordered-set aggregate): Spark percentile ==
+    * DuckDB quantile_cont (both interpolate at (n-1)·q). Quantities are
+    * integral and the fractions dyadic, so the interpolation arithmetic
+    * is EXACT in IEEE double on both engines — no rounding slack needed.
+    * (Non-dyadic fractions or non-integral data would need round().) */
+  private val percentiles = GraftQuery(
+    "q_exact_percentiles",
+    "exact percentile/median ordered-set aggregates per flag (E6 §2.4)",
+    Some("""
+      SELECT l_returnflag,
+             quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS qty_quartiles,
+             median(l_quantity) AS qty_median,
+             COUNT(*) AS n_items
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""),
+    (s, dir) =>
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").as("qty_quartiles"),
+          expr("median(l_quantity)").as("qty_median"),
+          count(lit(1)).as("n_items"))
+        .orderBy("l_returnflag"))
+
+  /** Time-RANGE window frame: per-customer rolling 90-day spend. RANGE
+    * frames include ALL peers of the current order key (same-day orders),
+    * so the result is deterministic without a tie-break; the decimal sum
+    * keeps it order-insensitive. Epoch seconds as the range key — Spark's
+    * rangeBetween needs a numeric ordering column, and DuckDB's epoch()
+    * returns DOUBLE so both sides cast explicitly to BIGINT. */
+  private val rangeFrame = GraftQuery(
+    "q_window_range_frame",
+    "rolling 90-day spend per customer via RANGE frame (E6 §2.6)",
+    Some(s"""
+      SELECT o_custkey, o_orderkey,
+        CAST(SUM(${sqlMoney("o_totalprice")}) OVER (
+          PARTITION BY o_custkey
+          ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+          RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_90d
+      FROM orders
+      ORDER BY o_custkey, o_orderkey"""),
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("epoch_s"))
+        .rangeBetween(-90L * 86400L, Window.currentRow)
+      T(s, dir, "orders")
+        .withColumn("epoch_s", unix_timestamp(col("o_orderdate")))
+        .withColumn("spend_90d", sum(money("o_totalprice")).over(w).cast("double"))
+        .select(col("o_custkey"), col("o_orderkey"), col("spend_90d"))
+        .orderBy("o_custkey", "o_orderkey")
+    })
+
+  def queries: Seq[GraftQuery] =
+    Seq(groupingSets, maxBy, listAgg, arrayFuncs, unpivotQ, percentiles, rangeFrame)
+}

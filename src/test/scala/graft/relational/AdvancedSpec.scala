@@ -1,0 +1,104 @@
+package graft.relational
+
+import graft.{Registry, SparkSpec}
+import org.apache.spark.sql.functions._
+
+/** Semantics + plan-shape checks for the second relational wave
+  * (Advanced/Subqueries): decorrelated join strategies, grouping-set
+  * algebra, selector-aggregate determinism, and sampling invariants. */
+class AdvancedSpec extends SparkSpec {
+
+  private def run(name: String) = Registry.byName(name).run(spark, sfDir)
+
+  test("q_exists_subquery plans a semi join, not a distinct after inner join") {
+    val p = run("q_exists_subquery").queryExecution.executedPlan.toString
+    p.toLowerCase should include("leftsemi")
+    p should not include "Distinct"
+  }
+
+  test("q_not_in_subquery plans an anti join") {
+    val p = run("q_not_in_subquery").queryExecution.executedPlan.toString
+    p.toLowerCase should include("leftanti")
+  }
+
+  test("q_grouping_sets: one Expand, marginals sum to the grand total") {
+    val df = run("q_grouping_sets")
+    df.queryExecution.executedPlan.toString should include("Expand")
+    val rows = df.collect()
+    val byGid = rows.groupBy(_.getAs[Long]("gid"))
+    val total = byGid(3L).head.getAs[Long]("n_items")
+    byGid(1L).map(_.getAs[Long]("n_items")).sum shouldBe total // per-flag marginal
+    byGid(2L).map(_.getAs[Long]("n_items")).sum shouldBe total // per-status marginal
+  }
+
+  test("q_max_by_selectors: selector key is unique, so best==argmax of price") {
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val expected = orders
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").desc)))
+      .filter(col("r") === 1)
+      .select(col("o_custkey"), col("o_orderkey").as("best_order"))
+    val got = run("q_max_by_selectors").select("o_custkey", "best_order")
+    got.except(expected).count() shouldBe 0
+    expected.except(got).count() shouldBe 0
+  }
+
+  test("q_unpivot_measures: 3 long rows per wide row, values preserved") {
+    val rows = run("q_unpivot_measures").collect()
+    val flags = rows.map(_.getString(0)).distinct
+    rows.length shouldBe flags.length * 3
+    rows.map(_.getString(1)).distinct.sorted shouldBe Array("n_items", "sum_price", "sum_qty")
+  }
+
+  test("q_exact_percentiles: quartiles are ordered and bracket the median") {
+    run("q_exact_percentiles").collect().foreach { r =>
+      val q = r.getSeq[Double](r.fieldIndex("qty_quartiles"))
+      val m = r.getDouble(r.fieldIndex("qty_median"))
+      q(0) should be <= q(1)
+      q(1) shouldBe m
+      q(1) should be <= q(2)
+    }
+  }
+
+  test("q_window_range_frame: 90-day spend >= own order price, monotone per single-order window") {
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val joined = run("q_window_range_frame")
+      .join(orders, "o_orderkey")
+      .select(col("spend_90d"), col("o_totalprice"))
+      .collect()
+    joined.foreach { r =>
+      // frame includes the current row, so rolling spend covers at least it
+      r.getDouble(0) should be >= r.getDouble(1) - 0.01
+    }
+  }
+
+  test("llm_e4_quota_sample: exact ceil(n/10) per language, deterministic") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val perLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sample = Registry.byName("llm_e4_quota_sample").run(spark, sfDir)
+    val got = sample.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    perLang.foreach { case (lang, n) =>
+      got(lang) shouldBe math.ceil(n / 10.0).toLong
+    }
+    // re-running yields the identical id set (hash ranking, no RNG)
+    val again = Registry.byName("llm_e4_quota_sample").run(spark, sfDir)
+    sample.except(again).count() shouldBe 0
+  }
+
+  test("llm_e4_tfidf_topterms: <=3 terms per doc, rarer term outranks ubiquitous one at equal tf") {
+    val df = Registry.byName("llm_e4_tfidf_topterms").run(spark, sfDir)
+    val counts = df.groupBy("doc_id").count().agg(max("count")).head().getLong(0)
+    counts should be <= 3L
+    // score really is tf * N / df
+    val docsN = spark.read.parquet(s"$sfDir/documents.parquet").count().toDouble
+    df.collect().take(50).foreach { r =>
+      val tf = r.getAs[Long]("tf"); val dfv = r.getAs[Long]("df")
+      r.getAs[Double]("score") shouldBe tf * (docsN / dfv)
+    }
+  }
+}
