@@ -57,11 +57,14 @@ object GraftFunctions {
   }
 }
 
-/** For spark.sql.extensions: injects the graft functions at session build. */
+/** For spark.sql.extensions: injects the graft functions and optimizer
+  * rules at session build. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.entries.foreach { case (name, desc, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name, desc), builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.VectorizeDotProduct)
+  }
 }

@@ -50,11 +50,11 @@ object EventStreams {
         col("event_type"), col("n_events"), col("total_value"))
 
   /** Streaming sessionization via the native session_window generator:
-    * one row per (user, gap-merged session). The batch lag+cumsum twin
-    * (e5_sessionization) produces the same sessions; boundary semantics
-    * differ only when a gap is EXACTLY 30 minutes (session_window treats
-    * the half-open [ts, ts+gap) as non-overlapping, the batch `> gap`
-    * test keeps it in-session) — µs-grained real data never hits it. */
+    * one row per (user, gap-merged session), half-open [ts, ts+gap)
+    * semantics — a gap of EXACTLY 30 minutes starts a new session, and
+    * the e5_session_window / e5_range_join_sessions oracles use `>= gap`
+    * to match. (The lag+cumsum batch twin e5_sessionization keeps the
+    * reference's `> gap` rule; its own oracle matches that instead.) */
   def sessionWindows(events: DataFrame, gap: String = "30 minutes",
       watermark: String = "1 hour"): DataFrame =
     events
@@ -63,6 +63,32 @@ object EventStreams {
       .agg(count(lit(1)).as("session_events"))
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("session_events"))
+
+  /** Stream-stream interval join (§2.10): each purchase joined to the
+    * same user's clicks in the preceding 30 minutes. Both sides carry
+    * watermarks and the join condition bounds event time on BOTH sides,
+    * so Spark can size and evict the join state: clicks older than
+    * watermark + 30 min can never match a future purchase and are
+    * dropped. Without the time bound the click state would grow without
+    * limit — the stream-stream scale killer. Append-mode-ready. */
+  def purchaseClickJoin(events: DataFrame, watermark: String = "1 hour"): DataFrame = {
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermark)
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", watermark)
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 30 MINUTES"))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"),
+        col("purchase_ts"), col("click_ts"))
+  }
 
   /** S5 streaming analog: append-mode parquet sink for the watermarked
     * hourly aggregation — windows finalize when the watermark passes,

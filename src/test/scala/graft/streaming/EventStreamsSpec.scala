@@ -112,6 +112,31 @@ class EventStreamsSpec extends SparkSpec {
     ids.toSet shouldBe all.map(_.event_id).toSet  // nothing lost
   }
 
+  test("stream-stream interval join matches the batch binding of the same plan") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[EventStreams.Event]
+    // split so many (click, purchase) pairs straddle the micro-batch
+    // boundary — the join state must hold batch-1 clicks for batch-2
+    // purchases
+    val all = toEvents(batchEvents.orderBy($"ts", $"event_id").collect())
+    val (b1, b2) = all.splitAt(all.size / 2)
+    stream.addData(b1); stream.addData(b2)
+    val q = EventStreams.purchaseClickJoin(stream.toDF())
+      .writeStream.format("memory").queryName("ssjoin_t")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("ssjoin_t")
+      .select($"user_id", $"purchase_id", $"click_id")
+      .as[(Long, Long, Long)].collect().toSet
+    // the same transform bound in batch mode (watermark is a no-op there)
+    val batch = EventStreams.purchaseClickJoin(batchEvents)
+      .select($"user_id", $"purchase_id", $"click_id")
+      .as[(Long, Long, Long)].collect().toSet
+    batch should not be empty
+    streamed shouldBe batch
+  }
+
   test("flatMapGroupsWithState carries per-user session state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[EventStreams.Event]
