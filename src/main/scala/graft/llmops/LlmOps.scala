@@ -145,13 +145,40 @@ object LlmOps {
       ORDER BY da, db"""),
     (s, dir) => jaccardPairs(s, dir).orderBy("da", "db"))
 
+  /** Session-scoped memo of small MATERIALIZED frames (the Jaccard pair
+    * set, the MinHash candidate set). Two reasons it exists:
+    *  - sharing: `llm_e2_ngram_jaccard_pairs` and `llm_e2_dedup_clusters`
+    *    both need the exact-Jaccard pair set; without the memo each
+    *    rebuilds the inverted-index self-join from scratch in the same
+    *    Verify/Bench run.
+    *  - cache ownership: every frame pinned here is threshold-bounded
+    *    tiny (near-dup pairs above 0.5, not the corpus), and there is ONE
+    *    copy per (session, dir) with an explicit release point
+    *    ([[clearCaches]], called by the test harness) instead of each
+    *    query pinning a private copy it never frees. */
+  private val memo =
+    scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]()
+
+  private def memoized(s: SparkSession, dir: String, key: String)
+      (build: => DataFrame): DataFrame =
+    memo.getOrElseUpdate((s, dir, key), build)
+
+  /** Unpersist and drop every memoized frame belonging to `s`. */
+  def clearCaches(s: SparkSession): Unit =
+    memo.keys.filter(_._1 eq s).foreach { k =>
+      memo.remove(k).foreach(_.unpersist())
+    }
+
   /** Unsorted exact-Jaccard pairs (da, db, shared, jaccard) — the
     * verify-facing query adds the deterministic sort; graph consumers
-    * (dedup clusters) skip it. The shingle index feeds three plan
-    * branches (both self-join sides + per-doc counts); persist
-    * materializes it once — at cluster scale this is the standard
-    * cached/checkpointed inverted index. */
-  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    * (dedup clusters) share the same materialized frame via the memo.
+    * The shingle index feeds three plan branches (both self-join sides +
+    * per-doc counts); persist materializes it once — at cluster scale
+    * this is the standard cached/checkpointed inverted index. */
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "jaccard_pairs") { buildJaccardPairs(s, dir) }
+
+  private def buildJaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val sh = shinglesCapped(s, dir, jaccardMaxDf).persist()
     val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
     val pairs = sh.as("a")
@@ -198,11 +225,15 @@ object LlmOps {
     "llm_e2_minhash_lsh_candidates",
     "MinHash(16) + 8-band LSH bucket join, estimated Jaccard (E2, approx)",
     None,
-    (s, dir) => {
+    (s, dir) => memoized(s, dir, "minhash_candidates") {
       // df-capped shingles: stop-shingles (df > 1000) are pure candidate
       // fan-out with no near-dup signal; at these SFs no shingle hits the
-      // cap, so the spec's exact-twin recall check is unaffected
-      val sig = minhashSignatures(shinglesCapped(s, dir, maxDf = 1000))
+      // cap, so the spec's exact-twin recall check is unaffected.
+      // The signature frame feeds THREE plan branches (the banded explode
+      // + both sides of the estimated-Jaccard re-join); persist it or
+      // each branch re-runs the whole shingle index build (a measured
+      // 1.2s -> 16.2s regression when this was left lazy).
+      val sig = minhashSignatures(shinglesCapped(s, dir, maxDf = 1000)).persist()
       val bandCols = (0 until minhashBands).map { b =>
         xxhash64((minhashRows * b until minhashRows * (b + 1)).map(j => col(s"h$j")): _*)
       }
@@ -217,13 +248,20 @@ object LlmOps {
       val matches = (0 until minhashK)
         .map(j => when(col(s"sa.h$j") === col(s"sb.h$j"), 1).otherwise(0))
         .reduce(_ + _)
-      cand
+      val out = cand
         .join(sig.as("sa"), col("da") === col("sa.doc_id"))
         .join(sig.as("sb"), col("db") === col("sb.doc_id"))
         .select(col("da"), col("db"),
           (matches.cast("double") / minhashK).as("est_jaccard"))
         .filter(col("est_jaccard") >= 0.5)
         .orderBy("da", "db")
+        .persist()
+      // materialize the (banding-threshold-bounded, tiny) candidate set
+      // while the signatures are cached, then release the signatures —
+      // only the candidates stay pinned, owned by the memo
+      out.count()
+      sig.unpersist()
+      out
     })
 
   /** SimHash near-dup: 64-bit signature = sign of per-bit tf-weighted
@@ -335,21 +373,27 @@ object LlmOps {
       SELECT s AS doc_id, min(t) AS cluster_id FROM reach
       GROUP BY s
       ORDER BY doc_id"""),
-    (s, dir) => {
+    (s, dir) => memoized(s, dir, "dedup_clusters") {
       val d = docs(s, dir)
-      val exact = d.as("a").join(d.as("b"),
-          col("a.text") === col("b.text") && col("a.doc_id") < col("b.doc_id"))
+      // exact-dup edges join on the 256-bit content hash, not the raw
+      // text: the shuffle carries 32-byte keys instead of whole document
+      // bodies (the oracle's a.text = b.text semantics are preserved —
+      // sha256 collisions are not a practical concern)
+      val h = d.select(col("doc_id"), sha2(col("text"), 256).as("content_hash"))
+      val exact = h.as("a").join(h.as("b"),
+          col("a.content_hash") === col("b.content_hash") &&
+            col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      val pairs = jaccardPairs(s, dir) // persisted by jaccardPairs
-      val near = pairs.select(col("da"), col("db"))
+      // the pair set is shared with llm_e2_ngram_jaccard_pairs via the
+      // session memo — do NOT unpersist it here
+      val near = jaccardPairs(s, dir).select(col("da"), col("db"))
       val labels = connectedComponents(d.select(col("doc_id")), exact.unionByName(near))
       val out = labels
         .select(col("doc_id"), col("label").as("cluster_id"))
         .orderBy("doc_id")
         .persist()
-      out.count() // materialize, then release the propagation cache + pair cache
+      out.count() // materialize, then release the propagation cache
       labels.unpersist()
-      pairs.unpersist()
       out
     })
 
@@ -789,44 +833,64 @@ object LlmOps {
         .orderBy("doc_id"))
 
   private val packTokens = 256
+  // the shuffle-key space is hash-partitioned so no single ordering (and
+  // no single window task) spans the corpus; at 100 TB this is the knob
+  // that turns sequence packing into an embarrassingly parallel
+  // per-partition running sum. 16 partitions at demo scale — production
+  // sets it to O(executor count).
+  private val packParts = 16
+  // pack ids are (partition, local pack) flattened as part * 2^20 + local;
+  // 2^20 local packs per partition is a demo bound — production widens
+  // the shift with the per-partition corpus share
+  private val packShift = 1 << 20
 
   /** Deterministic shuffle + sequence packing: order the corpus by a
     * content-independent hash (reproducible "random" order across
     * engines/runs — what a training job needs for epoch shuffling), then
     * assign contiguous docs into packs of ~packTokens whitespace tokens
-    * via a running-sum window. The window is a single global ordering at
-    * demo scale; the production form partitions the shuffle key space
-    * first (pack ids then get a partition prefix) so no single ordering
-    * spans the corpus. */
+    * via a running-sum window. The key space is hash-partitioned (the
+    * partition is derived from the shuffle key itself, so both engines
+    * compute it identically) and the running sum is per-partition:
+    * Spark's Window gets a partitionBy, so the sort never funnels the
+    * corpus through one task. Pack ids are (partition, local pack)
+    * flattened into one BIGINT. */
   private val e4Pack = GraftQuery(
     "llm_e4_shuffle_pack",
-    "deterministic hash-shuffle + token-budget sequence packing (E4)",
+    "deterministic hash-shuffle + partitioned token-budget packing (E4)",
     Some(s"""
       WITH t AS (
         SELECT doc_id,
                md5(CAST(doc_id AS VARCHAR)) AS shuffle_key,
                len(string_split(text, ' ')) AS n_tokens
         FROM documents),
-      c AS (
+      p AS (
         SELECT doc_id, shuffle_key, n_tokens,
-          SUM(n_tokens) OVER (ORDER BY shuffle_key, doc_id
+               CAST(('0x' || substr(shuffle_key, 1, 4)) AS BIGINT) % $packParts AS part
+        FROM t),
+      c AS (
+        SELECT part, n_tokens,
+          SUM(n_tokens) OVER (PARTITION BY part ORDER BY shuffle_key, doc_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        FROM t)
-      SELECT CAST(floor((cum - n_tokens) / $packTokens) AS BIGINT) AS pack_id,
+        FROM p)
+      SELECT CAST(part * $packShift + floor((cum - n_tokens) / $packTokens) AS BIGINT) AS pack_id,
              COUNT(*) AS n_docs,
              CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
       FROM c
       GROUP BY 1
       ORDER BY pack_id"""),
     (s, dir) => {
-      val w = Window.orderBy(col("shuffle_key"), col("doc_id"))
+      val w = Window.partitionBy(col("part"))
+        .orderBy(col("shuffle_key"), col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       docs(s, dir)
         .select(col("doc_id"),
           md5(col("doc_id").cast("string")).as("shuffle_key"),
           size(toks(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("part",
+          conv(substring(col("shuffle_key"), 1, 4), 16, 10).cast("long") % packParts)
         .withColumn("cum", sum(col("n_tokens")).over(w))
-        .withColumn("pack_id", floor((col("cum") - col("n_tokens")) / packTokens).cast("long"))
+        .withColumn("pack_id",
+          col("part") * packShift + floor((col("cum") - col("n_tokens")) / packTokens))
         .groupBy(col("pack_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"))
         .orderBy("pack_id")

@@ -14,7 +14,7 @@ import org.apache.spark.sql.types._
   *
   * into the codegen'd [[graft.functions.DotProduct]] expression. The HOF
   * form costs ~450 ns/element in lambda dispatch (measured, see
-  * VectorExprs); the rewrite is semantics-preserving bit-for-bit because
+  * VectorExprs); the rewrite preserves results bit-for-bit because
   * DotProduct evaluates the identical sequential fold — same element
   * order, same FP operations (x·y products are commutative in IEEE, as
   * is each single a+b rounding, so either lambda argument order matches).
@@ -24,15 +24,29 @@ import org.apache.spark.sql.types._
   * (`injectOptimizerRule`) — used where it actually pays: users write
   * the declarative HOF form, plans execute the fused loop.
   *
-  * Conservative by design: fires only on exactly the shape above over
-  * array<double> columns with a literal 0.0 seed and an identity finish
-  * lambda; anything else (casts, different seeds, extra arithmetic) is
-  * left to the interpreted HOF path.
+  * Conservative by design, because the rule is injected into EVERY
+  * session via `spark.sql.extensions` and must therefore never change
+  * the result of an arbitrary user query:
+  *  - both inputs must be array<double> with containsNull = FALSE. With
+  *    nullable elements the HOF yields NULL (null propagates through the
+  *    multiply and the fold) while DotProduct would read undefined
+  *    slots — so those shapes are left on the interpreted path.
+  *  - the seed must be literal +0.0 — bit-checked via doubleToLongBits,
+  *    because `-0.0 == 0.0` numerically but the HOF returns -0.0 for
+  *    empty arrays where DotProduct returns +0.0 (distinct under a
+  *    bit-exact hash compare).
+  *  - unequal-length arrays: zip_with null-pads the shorter side, so the
+  *    HOF yields NULL; the rewrite emits
+  *    `if (size(a) = size(b)) vec_dot(a, b) else null` to match (size()
+  *    of a NULL array is NULL → predicate NULL → else branch → NULL,
+  *    which also matches the HOF's null-input behavior).
+  * Anything else (casts, other seeds, extra arithmetic, nullable
+  * elements) is left untouched.
   */
 object VectorizeDotProduct extends Rule[LogicalPlan] {
 
-  private def isDoubleArray(e: Expression): Boolean = e.dataType match {
-    case ArrayType(DoubleType, _) => true
+  private def isNonNullDoubleArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, containsNull) => !containsNull
     case _ => false
   }
 
@@ -46,6 +60,11 @@ object VectorizeDotProduct extends Rule[LogicalPlan] {
       x: NamedLambdaVariable, y: NamedLambdaVariable): Boolean =
     (sameVar(l, x) && sameVar(r, y)) || (sameVar(l, y) && sameVar(r, x))
 
+  private def isPositiveZero(v: Any): Boolean = v match {
+    case d: java.lang.Double => java.lang.Double.doubleToLongBits(d) == 0L
+    case _ => false
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
     case ArrayAggregate(
           ZipWith(a, b,
@@ -53,10 +72,10 @@ object VectorizeDotProduct extends Rule[LogicalPlan] {
           Literal(zero, DoubleType),
           LambdaFunction(Add(al, ar, _), Seq(acc: NamedLambdaVariable, el: NamedLambdaVariable), _),
           LambdaFunction(fin, Seq(fv: NamedLambdaVariable), _))
-        if zero == 0.0 && isDoubleArray(a) && isDoubleArray(b) &&
+        if isPositiveZero(zero) && isNonNullDoubleArray(a) && isNonNullDoubleArray(b) &&
           usesBothVars(ml, mr, x, y) && usesBothVars(al, ar, acc, el) &&
           sameVar(fin, fv) =>
-      DotProduct(a, b)
+      If(EqualTo(new Size(a), new Size(b)), DotProduct(a, b), Literal(null, DoubleType))
   }
 }
 

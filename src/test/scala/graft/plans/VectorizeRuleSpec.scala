@@ -4,15 +4,20 @@ import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
 /** The auto-vectorization rule must (1) fire on exactly the canonical
-  * HOF dot-product shape, (2) preserve results bit-for-bit, and (3)
-  * leave near-miss shapes alone. */
+  * HOF dot-product shape over non-nullable-element arrays, (2) preserve
+  * results bit-for-bit including the unequal-length NULL case, and (3)
+  * leave near-miss shapes — other seeds, other folds, nullable
+  * elements — alone. */
 class VectorizeRuleSpec extends SparkSpec {
   import spark.implicits._
 
+  // coalesce against a literal makes the element type non-nullable
+  // (containsNull = false) — the shape the rule is allowed to rewrite
   private lazy val vecs = {
     GraftOptimizations.install(spark)
     spark.read.parquet(s"$sfDir/embeddings.parquet")
-      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .select(col("vec_id"),
+        transform(col("embedding"), x => coalesce(x.cast("double"), lit(0.0))).as("v"))
       .cache()
   }
 
@@ -40,6 +45,28 @@ class VectorizeRuleSpec extends SparkSpec {
     viaRule shouldBe direct
   }
 
+  test("unequal-length arrays yield NULL from the rewritten plan, matching the HOF") {
+    GraftOptimizations.install(spark)
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(1.0, 2.0))).toDF("a", "b")
+      .select(expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)").as("dot"))
+    // the rewrite fired (primitive-array columns are containsNull=false)...
+    df.queryExecution.optimizedPlan.toString should include("vec_dot")
+    // ...and reproduces zip_with's null-padding semantics: NULL, not a
+    // min-length dot product
+    df.collect().head.isNullAt(0) shouldBe true
+  }
+
+  test("nullable-element arrays are NOT rewritten (HOF null semantics differ)") {
+    GraftOptimizations.install(spark)
+    val df = Seq(Tuple1(1)).toDF("i")
+      .select(expr(
+        "aggregate(zip_with(array(1.0D, cast(null as double)), array(2.0D, 3.0D)," +
+          " (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)").as("dot"))
+    df.queryExecution.optimizedPlan.toString should not include "vec_dot"
+    // null element poisons the fold — the untouched HOF returns NULL
+    df.collect().head.isNullAt(0) shouldBe true
+  }
+
   test("near-miss shapes are left to the interpreted HOF path") {
     val df = vecs.as("a").crossJoin(vecs.as("b")).limit(10)
       // different seed (1.0) — must NOT rewrite
@@ -49,6 +76,11 @@ class VectorizeRuleSpec extends SparkSpec {
     val df2 = vecs.as("a").crossJoin(vecs.as("b")).limit(10)
       .select(expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0.0D, (acc, v) -> greatest(acc, v))").as("s"))
     df2.queryExecution.optimizedPlan.toString should not include "vec_dot"
+    // -0.0 seed — numerically == 0.0 but bit-distinct (empty arrays fold
+    // to the seed, so a rewrite would flip the sign bit) — must NOT rewrite
+    val df3 = vecs.as("a").crossJoin(vecs.as("b")).limit(10)
+      .select(expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), -0.0D, (acc, v) -> acc + v)").as("s"))
+    df3.queryExecution.optimizedPlan.toString should not include "vec_dot"
   }
 
   private implicit class Map2[A, B, C](rows: Array[(A, B, C)]) {

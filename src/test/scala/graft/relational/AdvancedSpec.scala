@@ -54,11 +54,13 @@ class AdvancedSpec extends SparkSpec {
 
   test("q_exact_percentiles: quartiles are ordered and bracket the median") {
     run("q_exact_percentiles").collect().foreach { r =>
-      val q = r.getSeq[Double](r.fieldIndex("qty_quartiles"))
+      val q25 = r.getDouble(r.fieldIndex("qty_q25"))
+      val q50 = r.getDouble(r.fieldIndex("qty_q50"))
+      val q75 = r.getDouble(r.fieldIndex("qty_q75"))
       val m = r.getDouble(r.fieldIndex("qty_median"))
-      q(0) should be <= q(1)
-      q(1) shouldBe m
-      q(1) should be <= q(2)
+      q25 should be <= q50
+      q50 shouldBe m
+      q50 should be <= q75
     }
   }
 
