@@ -73,6 +73,9 @@ object VectorizeDotProduct extends Rule[LogicalPlan] {
           LambdaFunction(Add(al, ar, _), Seq(acc: NamedLambdaVariable, el: NamedLambdaVariable), _),
           LambdaFunction(fin, Seq(fv: NamedLambdaVariable), _))
         if isPositiveZero(zero) && isNonNullDoubleArray(a) && isNonNullDoubleArray(b) &&
+          // the rewrite duplicates a and b into Size() and DotProduct();
+          // nondeterministic children could diverge between the copies
+          a.deterministic && b.deterministic &&
           usesBothVars(ml, mr, x, y) && usesBothVars(al, ar, acc, el) &&
           sameVar(fin, fv) =>
       If(EqualTo(new Size(a), new Size(b)), DotProduct(a, b), Literal(null, DoubleType))

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
@@ -23,9 +24,16 @@ object SparkSpec {
   }
 }
 
-trait SparkSpec extends AnyFunSuite with Matchers {
+trait SparkSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
   // stable identifier (not a def) so `import spark.implicits._` works
   lazy val spark: SparkSession = SparkSpec.spark
   /** sf0.001 driver testdata — the smallest fixture set. */
   val sfDir = "/root/testdata/sf0.001"
+
+  // release LlmOps' memoized frames after each suite (the session itself
+  // is shared JVM-wide; the next suite rebuilds what it needs)
+  override protected def afterAll(): Unit = {
+    graft.llmops.LlmOps.clearCaches(spark)
+    super.afterAll()
+  }
 }

@@ -47,13 +47,18 @@ class VectorizeRuleSpec extends SparkSpec {
 
   test("unequal-length arrays yield NULL from the rewritten plan, matching the HOF") {
     GraftOptimizations.install(spark)
-    val df = Seq((Array(1.0, 2.0, 3.0), Array(1.0, 2.0))).toDF("a", "b")
+    // arrays must come from the parquet-backed frame: literal input gets
+    // constant-folded to a LocalRelation before the plan-string assertion
+    // could ever see the rewrite (slice() preserves containsNull=false)
+    val df = vecs.limit(5)
+      .select(slice($"v", 1, 3).as("a"), slice($"v", 1, 2).as("b"))
       .select(expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)").as("dot"))
-    // the rewrite fired (primitive-array columns are containsNull=false)...
     df.queryExecution.optimizedPlan.toString should include("vec_dot")
     // ...and reproduces zip_with's null-padding semantics: NULL, not a
     // min-length dot product
-    df.collect().head.isNullAt(0) shouldBe true
+    val rows = df.collect()
+    rows should not be empty
+    all(rows.map(_.isNullAt(0))) shouldBe true
   }
 
   test("nullable-element arrays are NOT rewritten (HOF null semantics differ)") {
