@@ -4,11 +4,19 @@ import org.apache.spark.sql.SparkSession
   * prints ONE JSON line {"metric","value","unit","queries","sf"}.
   * Failures are surfaced per-query in an "errors" object (and the failing
   * query contributes its wall time) so a broken query can never pose as a
-  * fast success. */
+  * fast success.
+  *
+  * Each query is timed over SPARK_GRAFT_BENCH_REPEATS full passes
+  * (default 3) and the per-query MEDIAN is reported: single-pass numbers
+  * on a shared machine drift 40-60% with ambient load, which made two
+  * rounds of recorded benches useless for regression tracking. The
+  * LlmOps memo is cleared between passes so every pass pays the real
+  * build cost (within-pass sharing — the production shape — is kept). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -27,20 +35,29 @@ object Bench {
       spark.read.parquet(s"$sfDir/$t.parquet").write.format("noop").mode("overwrite").save()
     }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = Registry.all.map { q =>
-      val t0 = System.nanoTime()
-      try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        errors(q.name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+    val samples = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
+    for (_ <- 1 to repeats) {
+      graft.llmops.LlmOps.clearCaches(spark)
+      Registry.all.foreach { q =>
+        val t0 = System.nanoTime()
+        try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          errors.getOrElseUpdate(q.name,
+            Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+        }
+        samples(q.name) = samples.getOrElse(q.name, Vector.empty) :+
+          (System.nanoTime() - t0) / 1e9
       }
-      q.name -> (System.nanoTime() - t0) / 1e9
+    }
+    val results = samples.toSeq.map { case (k, v) =>
+      k -> v.sorted.apply(v.size / 2) // median (upper for even sizes)
     }
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString }
     val qs = results.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"repeats":$repeats,"sf":"$sfDir"}""")
     graft.llmops.LlmOps.clearCaches(spark)
     spark.stop()
   }

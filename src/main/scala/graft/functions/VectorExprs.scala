@@ -19,13 +19,27 @@ import org.apache.spark.sql.types._
   * stay bit-identical to the oracles.
   */
 
-/** dot(a, b) over array<double> columns; null if either side is null.
-  * Extra elements of the longer array are ignored (callers pass
-  * equal-length vectors). */
+/** dot(a, b) over array<double> OR array<float> columns; null if either
+  * side is null. Extra elements of the longer array are ignored (callers
+  * pass equal-length vectors).
+  *
+  * Float inputs keep the analyzed-HOF semantics exactly: the per-element
+  * product is computed in FLOAT arithmetic (that's what
+  * `zip_with(af, bf, (x, y) -> x * y)` does — Multiply over float binds
+  * float) and only then widened to double for the accumulator (the
+  * `Add(acc, Cast(el, double))` the analyzer inserts into the merge
+  * lambda). A double-multiply of widened floats would be exact (24+24
+  * mantissa bits fit in 53) and so bit-DIFFERENT from the HOF's
+  * float-rounded product. */
 final case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
+
+  private lazy val floatInputs = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
 
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
@@ -33,7 +47,10 @@ final case class DotProduct(left: Expression, right: Expression)
     val n = math.min(a.numElements(), b.numElements())
     var s = 0.0
     var i = 0
-    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    if (floatInputs)
+      while (i < n) { s += (a.getFloat(i) * b.getFloat(i)).toDouble; i += 1 }
+    else
+      while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
     s
   }
 
@@ -42,10 +59,15 @@ final case class DotProduct(left: Expression, right: Expression)
   // whole-stage falls back to interpreted)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val (n, s, i) = (ctx.freshName("n"), ctx.freshName("s"), ctx.freshName("i"))
+    // Java: float * float is computed in float then implicitly widened by
+    // +=, matching the interpreted path above
+    def prod(a: String, b: String) =
+      if (floatInputs) s"$a.getFloat($i) * $b.getFloat($i)"
+      else s"$a.getDouble($i) * $b.getDouble($i)"
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
       |int $n = Math.min($a.numElements(), $b.numElements());
       |double $s = 0.0;
-      |for (int $i = 0; $i < $n; $i++) { $s += $a.getDouble($i) * $b.getDouble($i); }
+      |for (int $i = 0; $i < $n; $i++) { $s += ${prod(a, b)}; }
       |${ev.value} = $s;
       |""".stripMargin)
   }

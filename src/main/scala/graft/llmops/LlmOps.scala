@@ -40,8 +40,9 @@ object LlmOps {
   private val shingleExpr =
     "array_distinct(transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2])))"
 
-  /** doc_id, s (one row per distinct shingle). The inverted-index input. */
-  private def shingles(s: SparkSession, dir: String): DataFrame =
+  /** doc_id, s (one row per distinct shingle). The inverted-index input.
+    * Package-visible so LlmOpsSpec can probe the skew behavior directly. */
+  private[llmops] def shingles(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(col("doc_id"), toks(col("text")).as("t"))
       .filter(size(col("t")) >= 3)
@@ -53,7 +54,7 @@ object LlmOps {
     * no near-dup signal — the skew escape hatch production near-dup
     * pipelines use). Semi-join keeps the shuffle narrow (shingle, df)
     * and lets the MinHash agg stay map-side partial. */
-  private def shinglesCapped(s: SparkSession, dir: String, maxDf: Int): DataFrame = {
+  private[llmops] def shinglesCapped(s: SparkSession, dir: String, maxDf: Int): DataFrame = {
     val sh = shingles(s, dir)
     val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)

@@ -22,11 +22,13 @@ object ReportSink {
   private def pad(c: org.apache.spark.sql.Column, w: Int) =
     rpad(coalesce(c.cast("string"), lit("")), w, " ")
 
-  /** Render flagged docs (the A6 shape) as per-source text reports under
-    * `outDir/source=<source>/`. Returns the line count written. */
-  def writeFlaggedReports(annotated: DataFrame, outDir: String): Long = {
-    val flagged = annotated.filter(size(col("tags")) > 0)
-    val rows = flagged
+  /** One row per (flagged doc, tag): the exploded A6 shape both report
+    * renderers consume. Docs without tags are dropped here — the
+    * reference's gating (call-debias.py:58-62 skips the whole file when
+    * nothing is flagged) falls out because every downstream frame
+    * (headers, page breaks) derives its sources from these rows. */
+  private def flaggedTagRows(annotated: DataFrame): DataFrame =
+    annotated.filter(size(col("tags")) > 0)
       .select(col("source"), col("doc_id"),
         Parity.recordNum(col("text")).as("record_num"),
         Parity.literalText(col("text"), "text").as("literal_text"),
@@ -36,6 +38,11 @@ object ReportSink {
         col("col.literal").as("tag_literal"),
         col("col.issue").as("tag_issue"),
         col("col.source").as("tag_source"))
+
+  /** Render flagged docs (the A6 shape) as per-source text reports under
+    * `outDir/source=<source>/`. Returns the line count written. */
+  def writeFlaggedReports(annotated: DataFrame, outDir: String): Long = {
+    val rows = flaggedTagRows(annotated)
     // first-row-only blanking: tag rows after the first show blank keys
     val first = col("tag_pos") === 0
     val line = concat(
@@ -55,6 +62,82 @@ object ReportSink {
     headers.unionByName(body)
       .repartition(col("source"))
       .sortWithinPartitions("source", "ord", "doc_id", "tag_pos")
+      .select(col("source"), col("line"))
+      .write.mode("overwrite").partitionBy("source").text(outDir)
+    n
+  }
+
+  /** Body rows per rendered page — the analog of the reference's
+    * landscape-A4 page capacity; each page re-emits the table header
+    * (reportlab's `repeatRows=1`, call-debias.py:111). */
+  val rowsPerPage = 24
+
+  private def esc(c: org.apache.spark.sql.Column) =
+    regexp_replace(regexp_replace(regexp_replace(
+      coalesce(c.cast("string"), lit("")),
+      "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+
+  /** Render flagged docs as per-source HTML reports under
+    * `outDir/source=<source>/`, mirroring the reference PDF layout
+    * (call-debias.py:64-131) rule for rule, since no PDF library ships in
+    * this environment:
+    *  - title line "De-bias Report: <source>" (the per-file Title para);
+    *  - 3-column table (Record # / Literal / Tag details), tag details as
+    *    bold-labelled Literal/Issue/Source lines (call-debias.py:99-104);
+    *  - header row repeated at the top of every [[rowsPerPage]]-row page
+    *    (`repeatRows=1`), styled #4a4a8a on white (the TableStyle
+    *    BACKGROUND/TEXTCOLOR pair);
+    *  - zebra body rows (the ROWBACKGROUNDS white / #f0f0f8 alternation);
+    *  - first-row-only blanking of record #/literal per doc
+    *    (call-debias.py:106-108);
+    *  - flagged-only gating: a source with no tagged docs gets no file.
+    * Distributed: every frame is keyed by source, one task renders one
+    * report, nothing returns to the driver. Returns the body row count. */
+  def writeFlaggedHtmlReports(annotated: DataFrame, outDir: String): Long = {
+    val rn = row_number().over(
+      Window.partitionBy(col("source")).orderBy(col("doc_id"), col("tag_pos"))) - 1
+    val rows = flaggedTagRows(annotated)
+      .withColumn("rn", rn)
+      .withColumn("page", (col("rn") / rowsPerPage).cast("int"))
+    val first = col("tag_pos") === 0
+    val zebra = when(col("rn") % 2 === 0, "even").otherwise("odd")
+    val detail = concat(
+      lit("<b>Literal:</b> "), esc(col("tag_literal")), lit("<br/>"),
+      lit("<b>Issue:</b> "), esc(col("tag_issue")), lit("<br/>"),
+      lit("<b>Source:</b> "), esc(col("tag_source")))
+    val bodyLine = concat(
+      lit("<tr class=\""), zebra, lit("\"><td>"),
+      when(first, esc(col("record_num"))).otherwise(lit("")), lit("</td><td>"),
+      when(first, esc(col("literal_text"))).otherwise(lit("")), lit("</td><td>"),
+      detail, lit("</td></tr>"))
+    // line ordering key: (page, seq, rn) — seq 0 = page open/header,
+    // seq 1 = body rows, seq 2 = page close; the document head sorts
+    // before page 0 and the foot after the last page
+    val body = rows.select(col("source"), col("page"), lit(1).as("seq"),
+      col("rn"), bodyLine.as("line"))
+    val style = "<style>thead th{background:#4a4a8a;color:#fff;text-align:left;}" +
+      "tr.odd td{background:#f0f0f8;}tr.even td{background:#fff;}" +
+      "table{border:0.5pt solid grey;border-collapse:collapse;width:100%;}" +
+      "td,th{border:0.25pt solid lightgrey;vertical-align:top;padding:4pt;}</style>"
+    val header = "<table><thead><tr><th>Record #</th><th>Literal</th>" +
+      "<th>Tag details</th></tr></thead><tbody>"
+    val pages = rows.select(col("source"), col("page")).distinct()
+    val pageOpens = pages.select(col("source"), col("page"), lit(0).as("seq"),
+      lit(-1L).as("rn"), lit(header).as("line"))
+    val pageCloses = pages.select(col("source"), col("page"), lit(2).as("seq"),
+      lit(-1L).as("rn"), lit("</tbody></table>").as("line"))
+    val srcs = rows.select(col("source")).distinct()
+    val docHead = srcs.select(col("source"), lit(-1).as("page"), lit(0).as("seq"),
+      lit(-1L).as("rn"),
+      concat(lit("<html><head>" + style + "</head><body><h1>De-bias Report: "),
+        esc(col("source")), lit("</h1>")).as("line"))
+    val docFoot = srcs.select(col("source"), lit(Int.MaxValue).as("page"),
+      lit(0).as("seq"), lit(-1L).as("rn"), lit("</body></html>").as("line"))
+    val n = body.count()
+    docHead.unionByName(pageOpens).unionByName(body)
+      .unionByName(pageCloses).unionByName(docFoot)
+      .repartition(col("source"))
+      .sortWithinPartitions("source", "page", "seq", "rn")
       .select(col("source"), col("line"))
       .write.mode("overwrite").partitionBy("source").text(outDir)
     n

@@ -27,10 +27,13 @@ import org.apache.spark.sql.types._
   * Conservative by design, because the rule is injected into EVERY
   * session via `spark.sql.extensions` and must therefore never change
   * the result of an arbitrary user query:
-  *  - both inputs must be array<double> with containsNull = FALSE. With
-  *    nullable elements the HOF yields NULL (null propagates through the
-  *    multiply and the fold) while DotProduct would read undefined
-  *    slots — so those shapes are left on the interpreted path.
+  *  - both inputs must be array<double> or both array<float>, with
+  *    containsNull = FALSE. With nullable elements the HOF yields NULL
+  *    (null propagates through the multiply and the fold) while
+  *    DotProduct would read undefined slots — so those shapes are left
+  *    on the interpreted path. Float inputs match the analyzed merge
+  *    shape `acc + cast(v as double)` and DotProduct keeps the
+  *    float-multiply/double-accumulate semantics bit-for-bit.
   *  - the seed must be literal +0.0 — bit-checked via doubleToLongBits,
   *    because `-0.0 == 0.0` numerically but the HOF returns -0.0 for
   *    empty arrays where DotProduct returns +0.0 (distinct under a
@@ -45,9 +48,12 @@ import org.apache.spark.sql.types._
   */
 object VectorizeDotProduct extends Rule[LogicalPlan] {
 
-  private def isNonNullDoubleArray(e: Expression): Boolean = e.dataType match {
-    case ArrayType(DoubleType, containsNull) => !containsNull
-    case _ => false
+  /** array<double> or array<float> with containsNull = false — the two
+    * element types [[DotProduct]] reproduces bit-exactly (float inputs:
+    * float multiply, double accumulate — see the expression's doc). */
+  private def vectorElemType(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(t @ (DoubleType | FloatType), containsNull) if !containsNull => Some(t)
+    case _ => None
   }
 
   private def sameVar(e: Expression, v: NamedLambdaVariable): Boolean = e match {
@@ -55,10 +61,29 @@ object VectorizeDotProduct extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** The merge lambda over float elements is analyzed as
+    * `Add(acc, Cast(el, double))` — the widening cast the analyzer
+    * inserts is part of the canonical shape, not a user transformation,
+    * so the match looks through exactly that cast (float→double is
+    * mode-independent and lossless). */
+  private def sameVarMaybeWidened(e: Expression, v: NamedLambdaVariable): Boolean = e match {
+    case n: NamedLambdaVariable => n.exprId == v.exprId
+    case Cast(n: NamedLambdaVariable, DoubleType, _, _) =>
+      n.dataType == FloatType && n.exprId == v.exprId
+    case _ => false
+  }
+
   /** body is `x ∘ y` (either argument order) over exactly the two lambda vars. */
   private def usesBothVars(l: Expression, r: Expression,
       x: NamedLambdaVariable, y: NamedLambdaVariable): Boolean =
     (sameVar(l, x) && sameVar(r, y)) || (sameVar(l, y) && sameVar(r, x))
+
+  /** like [[usesBothVars]] but tolerating the analyzer's float→double
+    * widening cast on either argument (the merge-lambda shape). */
+  private def usesBothVarsWidened(l: Expression, r: Expression,
+      x: NamedLambdaVariable, y: NamedLambdaVariable): Boolean =
+    (sameVarMaybeWidened(l, x) && sameVarMaybeWidened(r, y)) ||
+      (sameVarMaybeWidened(l, y) && sameVarMaybeWidened(r, x))
 
   private def isPositiveZero(v: Any): Boolean = v match {
     case d: java.lang.Double => java.lang.Double.doubleToLongBits(d) == 0L
@@ -72,11 +97,12 @@ object VectorizeDotProduct extends Rule[LogicalPlan] {
           Literal(zero, DoubleType),
           LambdaFunction(Add(al, ar, _), Seq(acc: NamedLambdaVariable, el: NamedLambdaVariable), _),
           LambdaFunction(fin, Seq(fv: NamedLambdaVariable), _))
-        if isPositiveZero(zero) && isNonNullDoubleArray(a) && isNonNullDoubleArray(b) &&
+        if isPositiveZero(zero) &&
+          vectorElemType(a).isDefined && vectorElemType(a) == vectorElemType(b) &&
           // the rewrite duplicates a and b into Size() and DotProduct();
           // nondeterministic children could diverge between the copies
           a.deterministic && b.deterministic &&
-          usesBothVars(ml, mr, x, y) && usesBothVars(al, ar, acc, el) &&
+          usesBothVars(ml, mr, x, y) && usesBothVarsWidened(al, ar, acc, el) &&
           sameVar(fin, fv) =>
       If(EqualTo(new Size(a), new Size(b)), DotProduct(a, b), Literal(null, DoubleType))
   }

@@ -177,4 +177,36 @@ class LlmOpsSpec extends SparkSpec {
       .select($"n_total", $"n_unique").as[(Long, Long)].head()
     byHash shouldBe stats
   }
+
+  test("df-cap drops a planted stop-shingle and bounds candidate fan-out") {
+    // 20 docs all opening with the same hot 3-gram ("stop stop stop",
+    // df = 20 = 100% of the corpus) followed by a per-doc unique tail —
+    // the skew shape where one stop-shingle alone would contribute
+    // C(20,2) = 190 candidate pairs with zero near-dup signal
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_test_hot_shingle"
+    (0 until 20).map(i => (i.toLong, s"stop stop stop u$i v$i w$i x$i", "en", "fixture", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val maxDf = 3
+    def fanOut(idx: org.apache.spark.sql.DataFrame): Long =
+      idx.groupBy($"s").agg(count(lit(1)).as("df"))
+        .agg(coalesce(sum($"df" * ($"df" - 1)), lit(0L))).as[Long].head() / 2
+
+    val uncapped = LlmOps.shingles(spark, dir)
+    val capped = LlmOps.shinglesCapped(spark, dir, maxDf)
+
+    // the hot shingle is present uncapped (df 20) and gone after the cap
+    uncapped.filter($"s" === "stop stop stop").count() shouldBe 20
+    capped.filter($"s" === "stop stop stop").count() shouldBe 0
+    // every surviving shingle respects the cap...
+    val maxSurvivingDf = capped.groupBy($"s").agg(count(lit(1)).as("df"))
+      .agg(max($"df")).as[Long].head()
+    maxSurvivingDf should be <= maxDf.toLong
+    // ...so the inverted-index join fan-out is bounded by
+    // n_shingles * C(maxDf, 2), while the uncapped index blows past it
+    val nShingles = capped.select($"s").distinct().count()
+    fanOut(capped) should be <= nShingles * maxDf * (maxDf - 1) / 2
+    fanOut(uncapped) should be >= 190L // the stop-shingle's df² term alone
+  }
 }

@@ -24,6 +24,16 @@ class VectorizeRuleSpec extends SparkSpec {
   private val hofDot =
     "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)"
 
+  // the natural query shape: the HOF over the raw float embeddings, no
+  // double cast anywhere (coalesce keeps containsNull = false, type float)
+  private lazy val vecsF = {
+    GraftOptimizations.install(spark)
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => coalesce(x, lit(0.0f))).as("v"))
+      .cache()
+  }
+
   test("rule rewrites the HOF fold to the codegen'd vec_dot expression") {
     val df = vecs.as("a").crossJoin(vecs.as("b")).limit(100)
       .select(expr(hofDot).as("dot"))
@@ -59,6 +69,33 @@ class VectorizeRuleSpec extends SparkSpec {
     val rows = df.collect()
     rows should not be empty
     all(rows.map(_.isNullAt(0))) shouldBe true
+  }
+
+  test("float-array HOF (no double cast) rewrites and stays bit-identical") {
+    GraftOptimizations.install(spark)
+    val pairs = vecsF.as("a").crossJoin(vecsF.as("b"))
+      .filter($"a.vec_id" < $"b.vec_id").limit(200)
+    val df = pairs.select($"a.vec_id", $"b.vec_id", expr(hofDot).as("dot"))
+    // the analyzer's merge shape over float is acc + cast(v as double);
+    // the widened match must still fire
+    df.queryExecution.optimizedPlan.toString should include("vec_dot")
+    val viaRule = df.as[(Long, Long, Double)].collect().toMap2
+    viaRule should not be empty
+    // reference: the HOF's own semantics replayed driver-side — FLOAT
+    // multiply (zip_with binds float), THEN widen to double for the fold.
+    // A double multiply of widened floats is exact and would differ.
+    val raw = pairs.select($"a.vec_id", $"b.vec_id", $"a.v", $"b.v")
+      .as[(Long, Long, Array[Float], Array[Float])].collect()
+    raw.foreach { case (i, j, va, vb) =>
+      var s = 0.0
+      var k = 0
+      val n = math.min(va.length, vb.length)
+      while (k < n) { s += (va(k) * vb(k)).toDouble; k += 1 }
+      withClue(s"pair ($i,$j): ") {
+        java.lang.Double.doubleToLongBits(viaRule((i, j))) shouldBe
+          java.lang.Double.doubleToLongBits(s)
+      }
+    }
   }
 
   test("nullable-element arrays are NOT rewritten (HOF null semantics differ)") {
