@@ -35,10 +35,16 @@ object LlmOps {
     * TESTDATA.md); a BPE-ish regex tokenizer is exercised in e4_quality. */
   private def toks(text: Column): Column = split(text, " ", -1)
 
+  /** Distinct n-token shingles of the token array `t` (docs shorter than
+    * n tokens are filtered out by callers). */
+  private def ngramExpr(n: Int): String = {
+    val parts = (0 until n).map(j => s"t[i+$j]").mkString(", ")
+    s"array_distinct(transform(sequence(0, size(t) - $n), i -> concat_ws(' ', $parts)))"
+  }
+
   /** Distinct 3-token shingles of `t` (docs shorter than 3 tokens are
     * filtered out by callers). */
-  private val shingleExpr =
-    "array_distinct(transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2])))"
+  private val shingleExpr = ngramExpr(3)
 
   /** doc_id, s (one row per distinct shingle). The inverted-index input.
     * Package-visible so LlmOpsSpec can probe the skew behavior directly. */
@@ -449,6 +455,54 @@ object LlmOps {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
         .orderBy("split", "lang"))
 
+  // n-gram length for eval-set decontamination. Real pipelines use 8-13
+  // grams (GPT-3 used 13, PaLM 8); 5 keeps the check meaningful on the
+  // short synthetic docs while exercising the identical plan shape.
+  private val decontamN = 5
+
+  /** Benchmark decontamination: flag every training doc that shares ANY
+    * `decontamN`-gram with the held-out eval split — the standard
+    * pre-training hygiene pass (GPT-3 §C / PaLM style). This is NOT
+    * near-dup detection: the predicate is asymmetric (train vs eval) and
+    * binary (one shared n-gram contaminates; no Jaccard threshold). The
+    * eval split is modeled as every 50th doc_id — production passes the
+    * real benchmark table in its place, which is small BY CONSTRUCTION,
+    * so the join broadcasts the eval n-gram index and the corpus-sized
+    * train side never shuffles: one scan + broadcast hash join + partial
+    * agg, the 100 TB shape. */
+  private val e2Decontam = GraftQuery(
+    "llm_e2_decontamination",
+    s"eval-split $decontamN-gram decontamination, broadcast eval index (E2)",
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE len(string_split(text, ' ')) >= $decontamN),
+      sh AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i:i+${decontamN - 1}], ' ') AS s
+        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - ${decontamN - 1})) AS i FROM t)),
+      ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 50 = 0),
+      tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 50 <> 0)
+      SELECT tr.doc_id,
+             count(DISTINCT ev.eval_id) AS n_eval_docs,
+             count(DISTINCT tr.s) AS n_shared_ngrams
+      FROM tr JOIN ev ON tr.s = ev.s
+      GROUP BY tr.doc_id
+      ORDER BY tr.doc_id"""),
+    (s, dir) => {
+      val sh = docs(s, dir)
+        .select(col("doc_id"), toks(col("text")).as("t"))
+        .filter(size(col("t")) >= decontamN)
+        .select(col("doc_id"), explode(expr(ngramExpr(decontamN))).as("s"))
+      val ev = sh.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("eval_id"), col("s"))
+      val tr = sh.filter(col("doc_id") % 50 =!= 0)
+      tr.join(broadcast(ev), Seq("s"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("eval_id")).as("n_eval_docs"),
+          countDistinct(col("s")).as("n_shared_ngrams"))
+        .orderBy("doc_id")
+    })
+
   // ---------------------------------------------------------------------
   // E3: similarity search over embeddings
   // ---------------------------------------------------------------------
@@ -853,6 +907,54 @@ object LlmOps {
           size(array_distinct(col("ws"))).cast("long").as("n_distinct_windows"))
         .orderBy("doc_id"))
 
+  /** Within-document repetition: duplicate bigram/trigram fractions —
+    * the Gopher-style repetition filters (high duplicate-n-gram fraction
+    * marks boilerplate/spam that per-token quality stats miss). Pure
+    * per-row projection: no shuffle at all until the deterministic output
+    * sort, so it composes with any scan at any scale. Ratios are single
+    * divisions of exact integer operands, identical formula shape on both
+    * engines, so hashes match bit-for-bit. */
+  private val e4Repetition = GraftQuery(
+    "llm_e4_repetition_ratio",
+    "duplicate bigram/trigram fractions per doc, Gopher-style repetition filter (E4)",
+    Some("""
+      WITH g AS (
+        SELECT doc_id,
+               len(t) - 1 AS n_bigrams,
+               len(list_distinct(list_transform(generate_series(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i+1]))) AS n_distinct_bigrams,
+               len(t) - 2 AS n_trigrams,
+               len(list_distinct(list_transform(generate_series(1, len(t) - 2),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS n_distinct_trigrams
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+              WHERE len(string_split(text, ' ')) >= 3))
+      SELECT doc_id, n_bigrams, n_distinct_bigrams,
+             1 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams AS dup_bigram_ratio,
+             n_trigrams, n_distinct_trigrams,
+             1 - CAST(n_distinct_trigrams AS DOUBLE) / n_trigrams AS dup_trigram_ratio,
+             (1 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams) <= 0.2 AS repetition_ok
+      FROM g
+      ORDER BY doc_id"""),
+    (s, dir) =>
+      docs(s, dir)
+        .withColumn("t", toks(col("text")))
+        .filter(size(col("t")) >= 3)
+        .withColumn("n_bigrams", (size(col("t")) - 1).cast("long"))
+        .withColumn("n_distinct_bigrams",
+          size(expr(ngramExpr(2))).cast("long"))
+        .withColumn("n_trigrams", (size(col("t")) - 2).cast("long"))
+        .withColumn("n_distinct_trigrams",
+          size(expr(ngramExpr(3))).cast("long"))
+        .select(col("doc_id"), col("n_bigrams"), col("n_distinct_bigrams"),
+          (lit(1) - col("n_distinct_bigrams").cast("double") / col("n_bigrams"))
+            .as("dup_bigram_ratio"),
+          col("n_trigrams"), col("n_distinct_trigrams"),
+          (lit(1) - col("n_distinct_trigrams").cast("double") / col("n_trigrams"))
+            .as("dup_trigram_ratio"),
+          ((lit(1) - col("n_distinct_bigrams").cast("double") / col("n_bigrams")) <= 0.2)
+            .as("repetition_ok"))
+        .orderBy("doc_id"))
+
   private val packTokens = 256
   // the shuffle-key space is hash-partitioned so no single ordering (and
   // no single window task) spans the corpus; at 100 TB this is the knob
@@ -919,6 +1021,6 @@ object LlmOps {
 
   def queries: Seq[GraftQuery] = Seq(
     e1, e1Stats, e2Jaccard, e2MinHash, e2SimHash, e2EmbedCosine, e2Clusters,
-    e3TopK, e3Ann, e3Ivf, e4Terms, e4Quality, e4LangId, e4Fingerprint, e4Rolling,
-    e4Split, e4Pack)
+    e2Decontam, e3TopK, e3Ann, e3Ivf, e4Terms, e4Quality, e4LangId, e4Fingerprint,
+    e4Rolling, e4Repetition, e4Split, e4Pack)
 }

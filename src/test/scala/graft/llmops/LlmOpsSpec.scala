@@ -178,6 +178,39 @@ class LlmOpsSpec extends SparkSpec {
     byHash shouldBe stats
   }
 
+  test("decontamination flags the planted eval-overlap docs") {
+    // plantedDir: doc 0 (0 % 50 == 0) is the eval split; doc 20 is its
+    // exact copy and doc 23 its one-word-edit near-dup — both share
+    // plenty of 5-grams with it and MUST be flagged as contaminated
+    val out = Registry.byName("llm_e2_decontamination").run(spark, plantedDir)
+      .select($"doc_id", $"n_eval_docs", $"n_shared_ngrams")
+      .as[(Long, Long, Long)].collect()
+    val flagged = out.map(_._1).toSet
+    flagged should contain allOf (20L, 23L)
+    out.foreach { case (id, nEval, nGrams) =>
+      withClue(s"doc $id: ") { nEval should be >= 1L; nGrams should be >= 1L }
+    }
+    // the exact copy shares its entire (distinct) 5-gram set
+    val copy = out.find(_._1 == 20L).get
+    copy._3 should be >= 20L
+  }
+
+  test("repetition ratio: planted repetitive doc scores high, distinct doc zero") {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_test_repetition"
+    Seq(
+      (1L, "spam spam spam spam spam spam", "en", "fixture", 0L), // 5 bigrams, 1 distinct
+      (2L, "one two three four five six", "en", "fixture", 0L)    // all distinct
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = Registry.byName("llm_e4_repetition_ratio").run(spark, dir)
+      .select($"doc_id", $"dup_bigram_ratio", $"repetition_ok")
+      .as[(Long, Double, Boolean)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    r(1L)._1 shouldBe (1.0 - 1.0 / 5.0) // 0.8 duplicate-bigram fraction
+    r(1L)._2 shouldBe false
+    r(2L)._1 shouldBe 0.0
+    r(2L)._2 shouldBe true
+  }
+
   test("df-cap drops a planted stop-shingle and bounds candidate fan-out") {
     // 20 docs all opening with the same hot 3-gram ("stop stop stop",
     // df = 20 = 100% of the corpus) followed by a per-doc unique tail —
