@@ -955,6 +955,46 @@ object LlmOps {
             .as("repetition_ok"))
         .orderBy("doc_id"))
 
+  // RAG/context-prep chunking: 32-token windows every 24 tokens (8-token
+  // overlap). Sized to the synthetic docs (10-99 tokens, avg 54) so most
+  // docs produce 2-4 overlapping chunks; production scales both knobs.
+  private val chunkSize = 32
+  private val chunkStride = 24
+
+  /** Overlapping token-window chunking — the context-preparation op every
+    * RAG / long-context training pipeline runs before embedding or
+    * packing. One generator explode per doc (no shuffle until the
+    * deterministic output sort); chunks are fingerprinted (md5) instead
+    * of materializing chunk text through the shuffle, the narrow-row
+    * discipline that matters when the corpus is 100 TB. Window starts
+    * step by `chunkStride`; the trailing chunk may be short (both engines
+    * clamp the slice identically). */
+  private val e4Chunk = GraftQuery(
+    "llm_e4_chunk_windows",
+    s"overlapping $chunkSize/$chunkStride token-window chunking + chunk fingerprints (E4)",
+    Some(s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      c AS (SELECT doc_id, t, unnest(generate_series(0, len(t) - 1, $chunkStride)) AS start
+            FROM t)
+      SELECT doc_id,
+             CAST(start // $chunkStride AS BIGINT) AS chunk_idx,
+             CAST(start AS BIGINT) AS start_tok,
+             CAST(len(t[start + 1 : start + $chunkSize]) AS BIGINT) AS n_chunk_toks,
+             md5(array_to_string(t[start + 1 : start + $chunkSize], ' ')) AS chunk_md5
+      FROM c
+      ORDER BY doc_id, chunk_idx"""),
+    (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), toks(col("text")).as("t"))
+        .select(col("doc_id"), col("t"),
+          explode(expr(s"sequence(0, size(t) - 1, $chunkStride)")).as("start"))
+        .select(col("doc_id"),
+          floor(col("start") / chunkStride).cast("long").as("chunk_idx"),
+          col("start").cast("long").as("start_tok"),
+          size(expr(s"slice(t, start + 1, $chunkSize)")).cast("long").as("n_chunk_toks"),
+          md5(concat_ws(" ", expr(s"slice(t, start + 1, $chunkSize)"))).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx"))
+
   private val packTokens = 256
   // the shuffle-key space is hash-partitioned so no single ordering (and
   // no single window task) spans the corpus; at 100 TB this is the knob
@@ -1022,5 +1062,5 @@ object LlmOps {
   def queries: Seq[GraftQuery] = Seq(
     e1, e1Stats, e2Jaccard, e2MinHash, e2SimHash, e2EmbedCosine, e2Clusters,
     e2Decontam, e3TopK, e3Ann, e3Ivf, e4Terms, e4Quality, e4LangId, e4Fingerprint,
-    e4Rolling, e4Repetition, e4Split, e4Pack)
+    e4Rolling, e4Repetition, e4Chunk, e4Split, e4Pack)
 }

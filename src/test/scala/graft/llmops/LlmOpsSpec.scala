@@ -211,6 +211,24 @@ class LlmOpsSpec extends SparkSpec {
     r(2L)._2 shouldBe true
   }
 
+  test("chunk windows: 32/24 overlap shape on a 50-token doc") {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_test_chunks"
+    val toks = (1 to 50).map(i => s"w$i")
+    Seq((1L, toks.mkString(" "), "en", "fixture", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = Registry.byName("llm_e4_chunk_windows").run(spark, dir)
+      .select($"chunk_idx", $"start_tok", $"n_chunk_toks", $"chunk_md5")
+      .as[(Long, Long, Long, String)].collect()
+    // starts 0, 24, 48 -> windows of 32, 26 (clamped), 2 (trailing) tokens
+    r.map(c => (c._1, c._2, c._3)).toSeq shouldBe Seq((0L, 0L, 32L), (1L, 24L, 26L), (2L, 48L, 2L))
+    // overlap: chunk 1 starts 8 tokens before chunk 0 ends (24 < 0 + 32)
+    val c0 = r(0); val c1 = r(1)
+    c1._2 should be < (c0._2 + c0._3)
+    // fingerprints are over distinct windows -> distinct
+    r.map(_._4).distinct should have size 3
+  }
+
   test("df-cap drops a planted stop-shingle and bounds candidate fan-out") {
     // 20 docs all opening with the same hot 3-gram ("stop stop stop",
     // df = 20 = 100% of the corpus) followed by a per-doc unique tail —
