@@ -36,11 +36,19 @@ object LlmOps {
   private def toks(text: Column): Column = split(text, " ", -1)
 
   /** Distinct n-token shingles of the token array `t` (docs shorter than
-    * n tokens are filtered out by callers). */
-  private def ngramExpr(n: Int): String = {
+    * n tokens are filtered out by callers). Package-visible for the
+    * streaming decontamination twin. */
+  private[graft] def ngramExpr(n: Int): String = {
     val parts = (0 until n).map(j => s"t[i+$j]").mkString(", ")
     s"array_distinct(transform(sequence(0, size(t) - $n), i -> concat_ws(' ', $parts)))"
   }
+
+  /** (doc_id, s): one row per distinct n-gram of a documents frame.
+    * Shared by the batch decontamination query and its streaming twin. */
+  private[graft] def docNgrams(df: DataFrame, n: Int): DataFrame =
+    df.select(col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= n)
+      .select(col("doc_id"), explode(expr(ngramExpr(n))).as("s"))
 
   /** Distinct 3-token shingles of `t` (docs shorter than 3 tokens are
     * filtered out by callers). */
@@ -458,7 +466,14 @@ object LlmOps {
   // n-gram length for eval-set decontamination. Real pipelines use 8-13
   // grams (GPT-3 used 13, PaLM 8); 5 keeps the check meaningful on the
   // short synthetic docs while exercising the identical plan shape.
-  private val decontamN = 5
+  private[graft] val decontamN = 5
+
+  /** The static eval-split n-gram index (modeled as every 50th doc_id;
+    * production passes the real benchmark table) — the broadcast build
+    * side of both the batch query and the streaming twin. */
+  private[graft] def evalNgramIndex(s: SparkSession, dir: String): DataFrame =
+    docNgrams(docs(s, dir).filter(col("doc_id") % 50 === 0), decontamN)
+      .select(col("doc_id").as("eval_id"), col("s"))
 
   /** Benchmark decontamination: flag every training doc that shares ANY
     * `decontamN`-gram with the held-out eval split — the standard
@@ -489,13 +504,8 @@ object LlmOps {
       GROUP BY tr.doc_id
       ORDER BY tr.doc_id"""),
     (s, dir) => {
-      val sh = docs(s, dir)
-        .select(col("doc_id"), toks(col("text")).as("t"))
-        .filter(size(col("t")) >= decontamN)
-        .select(col("doc_id"), explode(expr(ngramExpr(decontamN))).as("s"))
-      val ev = sh.filter(col("doc_id") % 50 === 0)
-        .select(col("doc_id").as("eval_id"), col("s"))
-      val tr = sh.filter(col("doc_id") % 50 =!= 0)
+      val ev = evalNgramIndex(s, dir)
+      val tr = docNgrams(docs(s, dir).filter(col("doc_id") % 50 =!= 0), decontamN)
       tr.join(broadcast(ev), Seq("s"))
         .groupBy(col("doc_id"))
         .agg(countDistinct(col("eval_id")).as("n_eval_docs"),

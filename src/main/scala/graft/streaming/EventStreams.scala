@@ -114,6 +114,26 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming decontamination (llm_e2_decontamination's twin) — the
+    * stream-STATIC join pattern: an unbounded stream of documents
+    * (ts, doc_id, text) is checked against the static eval n-gram index,
+    * which is built once and broadcast into every micro-batch; the join
+    * itself keeps no stream-side state. A doc matching several eval
+    * n-grams would flag repeatedly, so flags are collapsed per doc_id
+    * with watermark-bounded dedup state. Emits one (doc_id, ts) per
+    * contaminated doc, append-mode-ready. */
+  def decontamFlags(docs: DataFrame, evalNgrams: DataFrame,
+      watermark: String = "1 hour"): DataFrame =
+    docs
+      .withWatermark("ts", watermark)
+      .select(col("ts"), col("doc_id"), split(col("text"), " ", -1).as("t"))
+      .filter(size(col("t")) >= graft.llmops.LlmOps.decontamN)
+      .select(col("ts"), col("doc_id"),
+        explode(expr(graft.llmops.LlmOps.ngramExpr(graft.llmops.LlmOps.decontamN))).as("s"))
+      .join(broadcast(evalNgrams.select(col("s"))), Seq("s"), "left_semi")
+      .dropDuplicatesWithinWatermark("doc_id")
+      .select(col("doc_id"), col("ts"))
+
   /** One event for the typed stateful path. */
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double, props: String)

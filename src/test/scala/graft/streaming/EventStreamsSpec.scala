@@ -164,4 +164,30 @@ class EventStreamsSpec extends SparkSpec {
       .map { case (u, s, n) => u -> ((s, n)) }.toMap
     finalPerUser shouldBe batch
   }
+
+  test("streaming decontamination flags stream docs against the static eval index") {
+    implicit val sqlCtx = spark.sqlContext
+    // static eval split: one doc -> two distinct 5-grams
+    val eval = Seq((0L, "alpha beta gamma delta eps zeta")).toDF("doc_id", "text")
+    val evalIdx = graft.llmops.LlmOps.docNgrams(eval, graft.llmops.LlmOps.decontamN)
+      .select($"doc_id".as("eval_id"), $"s")
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(m: Int) = java.sql.Timestamp.from(t0.toInstant.plusSeconds(m * 60L))
+    val stream = MemoryStream[(java.sql.Timestamp, Long, String)]
+    stream.addData(Seq(
+      (ts(0), 1L, "xx alpha beta gamma delta eps yy"),    // shares a 5-gram
+      (ts(1), 2L, "one two three four five six seven"))) // clean
+    stream.addData(Seq(
+      (ts(2), 3L, "alpha beta gamma delta eps zeta tail"), // flagged in batch 2
+      (ts(3), 1L, "xx alpha beta gamma delta eps yy")))    // re-arrival -> deduped
+    val q = EventStreams.decontamFlags(
+        stream.toDF().toDF("ts", "doc_id", "text"), evalIdx)
+      .writeStream.format("memory").queryName("decontam_t")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    // one flag per contaminated doc: 1 and 3, the clean doc absent, the
+    // duplicate arrival of doc 1 collapsed by the watermark-bounded dedup
+    spark.table("decontam_t").select($"doc_id").as[Long].collect().sorted.toSeq shouldBe
+      Seq(1L, 3L)
+  }
 }
