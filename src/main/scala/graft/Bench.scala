@@ -31,7 +31,7 @@ object Bench {
     // Warm the session before timing: JVM/codegen/parquet-reader costs land
     // here instead of inflating whichever query happens to run first. One
     // scan per input table — no data is cached, only the machinery warms.
-    Seq("region", "documents", "events", "orders").foreach { t =>
+    T.tableNames.foreach { t =>
       spark.read.parquet(s"$sfDir/$t.parquet").write.format("noop").mode("overwrite").save()
     }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()

@@ -433,6 +433,50 @@ object LlmOps {
     })
 
 
+  // domain-mixing weights: target sampling rate per language domain.
+  // Chosen so thresholds weight * 2^32 are exact integers (the coin
+  // compare stays bit-identical across engines).
+  private val mixWeights: Seq[(String, Double)] =
+    Seq("de" -> 0.5, "en" -> 1.0, "es" -> 0.25, "fr" -> 0.5, "zh" -> 0.25)
+
+  /** Domain-weighted subsampling (corpus mixing): keep each doc with
+    * probability weight(lang), decided by a deterministic
+    * content-independent coin (first 8 md5 hex chars of doc_id as a
+    * uniform 32-bit integer) — the Pile/ROOTS-style domain reweighting
+    * knob, reproducible across engines, runs, and epochs. The weights
+    * table is tiny and broadcast; the corpus is scanned once with a
+    * partial+final agg for the per-domain audit counts. */
+  private val e4Mix = GraftQuery(
+    "llm_e4_domain_mix",
+    "deterministic domain-weighted subsampling (corpus mixing) per language (E4)",
+    Some(s"""
+      WITH w(lang, weight) AS (VALUES ${mixWeights.map { case (l, p) => s"('$l', CAST($p AS DOUBLE))" }.mkString(", ")}),
+      d AS (
+        SELECT doc_id, lang,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS u
+        FROM documents)
+      SELECT d.lang, w.weight,
+             count(*) AS n_docs,
+             count(*) FILTER (WHERE d.u < CAST(w.weight * 4294967296 AS BIGINT)) AS n_kept,
+             CAST(count(*) FILTER (WHERE d.u < CAST(w.weight * 4294967296 AS BIGINT)) AS DOUBLE)
+               / count(*) AS kept_rate
+      FROM d JOIN w ON d.lang = w.lang
+      GROUP BY d.lang, w.weight
+      ORDER BY d.lang"""),
+    (s, dir) => {
+      import s.implicits._
+      val wDf = mixWeights.toDF("lang", "weight")
+      val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+      val kept = count(when(col("u") < (col("weight") * 4294967296L).cast("long"), 1))
+      docs(s, dir)
+        .withColumn("u", u)
+        .join(broadcast(wDf), Seq("lang"))
+        .groupBy(col("lang"), col("weight"))
+        .agg(count(lit(1)).as("n_docs"), kept.as("n_kept"),
+          (kept.cast("double") / count(lit(1))).as("kept_rate"))
+        .orderBy("lang")
+    })
+
   /** Deterministic corpus split (train/val/test) by content hash — the
     * standard leakage-safe way to split training data (split follows the
     * CONTENT, so exact duplicates land in the same split; random() would
@@ -1072,5 +1116,5 @@ object LlmOps {
   def queries: Seq[GraftQuery] = Seq(
     e1, e1Stats, e2Jaccard, e2MinHash, e2SimHash, e2EmbedCosine, e2Clusters,
     e2Decontam, e3TopK, e3Ann, e3Ivf, e4Terms, e4Quality, e4LangId, e4Fingerprint,
-    e4Rolling, e4Repetition, e4Chunk, e4Split, e4Pack)
+    e4Rolling, e4Repetition, e4Chunk, e4Mix, e4Split, e4Pack)
 }

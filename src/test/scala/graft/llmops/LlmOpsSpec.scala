@@ -229,6 +229,21 @@ class LlmOpsSpec extends SparkSpec {
     r.map(_._4).distinct should have size 3
   }
 
+  test("domain mix: weight-1 domain keeps everything, rates honor weights") {
+    val r = Registry.byName("llm_e4_domain_mix").run(spark, sfDir)
+      .select($"lang", $"weight", $"n_docs", $"n_kept", $"kept_rate")
+      .as[(String, Double, Long, Long, Double)].collect()
+    r should not be empty
+    r.foreach { case (lang, w, n, k, rate) =>
+      withClue(s"$lang: ") {
+        k should be <= n
+        rate shouldBe k.toDouble / n
+        if (w == 1.0) k shouldBe n // weight 1 = keep all, deterministically
+      }
+    }
+    r.map(_._1) should contain("en")
+  }
+
   test("df-cap drops a planted stop-shingle and bounds candidate fan-out") {
     // 20 docs all opening with the same hot 3-gram ("stop stop stop",
     // df = 20 = 100% of the corpus) followed by a per-doc unique tail —
