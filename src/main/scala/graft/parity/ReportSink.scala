@@ -53,18 +53,22 @@ object ReportSink {
       col("tag_source"))
     val header = "Record #  " + "Literal".padTo(48, ' ') +
       "Tag".padTo(16, ' ') + "Issue".padTo(16, ' ') + "Source"
+    // body feeds three jobs (headers' distinct, the count, the union
+    // write) — persist so the explode subtree runs once, not three times
     val body = rows.select(col("source"), col("doc_id"), col("tag_pos"),
-      lit(1).as("ord"), line.as("line"))
-    val headers = body.select(col("source")).distinct()
-      .select(col("source"), lit(-1L).as("doc_id"), lit(-1).as("tag_pos"),
-        lit(0).as("ord"), lit(header).as("line"))
-    val n = body.count()
-    headers.unionByName(body)
-      .repartition(col("source"))
-      .sortWithinPartitions("source", "ord", "doc_id", "tag_pos")
-      .select(col("source"), col("line"))
-      .write.mode("overwrite").partitionBy("source").text(outDir)
-    n
+      lit(1).as("ord"), line.as("line")).persist()
+    try {
+      val headers = body.select(col("source")).distinct()
+        .select(col("source"), lit(-1L).as("doc_id"), lit(-1).as("tag_pos"),
+          lit(0).as("ord"), lit(header).as("line"))
+      val n = body.count()
+      headers.unionByName(body)
+        .repartition(col("source"))
+        .sortWithinPartitions("source", "ord", "doc_id", "tag_pos")
+        .select(col("source"), col("line"))
+        .write.mode("overwrite").partitionBy("source").text(outDir)
+      n
+    } finally body.unpersist()
   }
 
   /** Body rows per rendered page — the analog of the reference's
@@ -96,9 +100,12 @@ object ReportSink {
   def writeFlaggedHtmlReports(annotated: DataFrame, outDir: String): Long = {
     val rn = row_number().over(
       Window.partitionBy(col("source")).orderBy(col("doc_id"), col("tag_pos"))) - 1
+    // rows feeds six jobs (body + count, pages -> opens/closes, srcs ->
+    // head/foot) — persist so the explode+window shuffle runs once
     val rows = flaggedTagRows(annotated)
       .withColumn("rn", rn)
       .withColumn("page", (col("rn") / rowsPerPage).cast("int"))
+      .persist()
     val first = col("tag_pos") === 0
     val zebra = when(col("rn") % 2 === 0, "even").otherwise("odd")
     val detail = concat(
@@ -133,13 +140,15 @@ object ReportSink {
         esc(col("source")), lit("</h1>")).as("line"))
     val docFoot = srcs.select(col("source"), lit(Int.MaxValue).as("page"),
       lit(0).as("seq"), lit(-1L).as("rn"), lit("</body></html>").as("line"))
-    val n = body.count()
-    docHead.unionByName(pageOpens).unionByName(body)
-      .unionByName(pageCloses).unionByName(docFoot)
-      .repartition(col("source"))
-      .sortWithinPartitions("source", "page", "seq", "rn")
-      .select(col("source"), col("line"))
-      .write.mode("overwrite").partitionBy("source").text(outDir)
-    n
+    try {
+      val n = body.count()
+      docHead.unionByName(pageOpens).unionByName(body)
+        .unionByName(pageCloses).unionByName(docFoot)
+        .repartition(col("source"))
+        .sortWithinPartitions("source", "page", "seq", "rn")
+        .select(col("source"), col("line"))
+        .write.mode("overwrite").partitionBy("source").text(outDir)
+      n
+    } finally rows.unpersist()
   }
 }

@@ -163,22 +163,22 @@ object Relational {
   private val qAnti = GraftQuery(
     "q_anti_join",
     "left_anti join with compound condition = NOT EXISTS (§2.3)",
-    // "no orders" alone is empty at every test SF (an empty-vs-empty
-    // oracle compare proves nothing) — the recency predicate makes the
-    // result non-empty AND exercises an anti join whose condition is
-    // equi + non-equi, not just the key match
+    // the recency predicate keeps the oracle compare non-vacuous at
+    // EVERY test SF (1/8/99 rows at sf0.001/0.01/0.1 — an empty-vs-empty
+    // compare proves nothing) and exercises an anti join whose condition
+    // is equi + non-equi, not just the key match
     Some("""
       SELECT c_custkey, c_name
       FROM customer
       WHERE NOT EXISTS (SELECT 1 FROM orders
                         WHERE o_custkey = c_custkey
-                          AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00')
+                          AND o_orderdate >= TIMESTAMP '1998-04-01 00:00:00')
       ORDER BY c_custkey"""),
     (s, dir) =>
       T(s, dir, "customer")
         .join(T(s, dir, "orders"),
           col("c_custkey") === col("o_custkey") &&
-            col("o_orderdate") >= expr("timestamp'1997-01-01 00:00:00'"),
+            col("o_orderdate") >= expr("timestamp'1998-04-01 00:00:00'"),
           "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey"))

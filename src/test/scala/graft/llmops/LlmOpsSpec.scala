@@ -186,10 +186,10 @@ class LlmOpsSpec extends SparkSpec {
       .select($"doc_id", $"n_eval_docs", $"n_shared_ngrams")
       .as[(Long, Long, Long)].collect()
     val flagged = out.map(_._1).toSet
-    flagged should contain allOf (20L, 23L)
-    out.foreach { case (id, nEval, nGrams) =>
-      withClue(s"doc $id: ") { nEval should be >= 1L; nGrams should be >= 1L }
-    }
+    // EXACT set: the copy and the near-dup, and nothing else — in
+    // particular docs 1/21/22 (an exact-dup cluster of a NON-eval doc)
+    // must stay clean, so an implementation that over-flags fails here
+    flagged shouldBe Set(20L, 23L)
     // the exact copy shares its entire (distinct) 5-gram set
     val copy = out.find(_._1 == 20L).get
     copy._3 should be >= 20L

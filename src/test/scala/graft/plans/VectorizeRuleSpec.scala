@@ -11,14 +11,21 @@ import org.apache.spark.sql.functions._
 class VectorizeRuleSpec extends SparkSpec {
   import spark.implicits._
 
+  // suite-level caches are unpersisted in afterAll (the session is shared
+  // JVM-wide; without this both embeddings copies stay pinned for the
+  // whole sbt test run) — only the ones a test actually initialized
+  private val pinned = scala.collection.mutable.Buffer[org.apache.spark.sql.DataFrame]()
+
   // coalesce against a literal makes the element type non-nullable
   // (containsNull = false) — the shape the rule is allowed to rewrite
   private lazy val vecs = {
     GraftOptimizations.install(spark)
-    spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val df = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"),
         transform(col("embedding"), x => coalesce(x.cast("double"), lit(0.0))).as("v"))
       .cache()
+    pinned += df
+    df
   }
 
   private val hofDot =
@@ -28,10 +35,17 @@ class VectorizeRuleSpec extends SparkSpec {
   // double cast anywhere (coalesce keeps containsNull = false, type float)
   private lazy val vecsF = {
     GraftOptimizations.install(spark)
-    spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val df = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"),
         transform(col("embedding"), x => coalesce(x, lit(0.0f))).as("v"))
       .cache()
+    pinned += df
+    df
+  }
+
+  override protected def afterAll(): Unit = {
+    pinned.foreach(_.unpersist())
+    super.afterAll()
   }
 
   test("rule rewrites the HOF fold to the codegen'd vec_dot expression") {
