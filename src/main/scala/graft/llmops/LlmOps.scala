@@ -557,6 +557,59 @@ object LlmOps {
         .orderBy("doc_id")
     })
 
+  // span length for cross-document exact-substring detection. Lee et al.
+  // 2021 ("Deduplicating Training Data Makes Language Models Better")
+  // use 50-token spans; 8 keeps the check meaningful on the short
+  // synthetic docs (10-99 tokens) while exercising the identical plan.
+  private[graft] val spanN = 8
+
+  /** Cross-document repeated-span index — the exact-substring-dedup
+    * primitive (Lee et al. 2021): every `spanN`-token window (step 1,
+    * WITH multiplicity — unlike the distinct shingles near-dup uses)
+    * that occurs in more than one document, keyed by its md5 so only a
+    * 32-char fingerprint travels through the shuffle, never span text.
+    * `first_doc` (min doc_id) is the canonical retention choice a
+    * downstream cut pass applies; production joins this index back to
+    * the corpus to excise the non-canonical occurrences.
+    *
+    * 100 TB shape: one generator explode per doc (no shuffle), then a
+    * single hash aggregation on the span fingerprint — partial map-side
+    * aggregation bounds hot spans (a boilerplate phrase shared by half
+    * the corpus still combines per task before the exchange). No
+    * all-pairs stage exists at any scale. */
+  private val e2RepeatedSpans = GraftQuery(
+    "llm_e2_repeated_spans",
+    s"cross-doc repeated $spanN-token spans, md5-keyed (exact-substring dedup, E2)",
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE len(string_split(text, ' ')) >= $spanN),
+      w AS (
+        SELECT doc_id, md5(array_to_string(t[i:i+${spanN - 1}], ' ')) AS span_md5
+        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - ${spanN - 1})) AS i FROM t))
+      SELECT span_md5,
+             count(DISTINCT doc_id) AS n_docs,
+             count(*) AS n_occurrences,
+             min(doc_id) AS first_doc
+      FROM w
+      GROUP BY span_md5
+      HAVING count(DISTINCT doc_id) > 1
+      ORDER BY span_md5"""),
+    (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), toks(col("text")).as("t"))
+        .filter(size(col("t")) >= spanN)
+        .select(col("doc_id"),
+          explode(expr(s"sequence(0, size(t) - $spanN)")).as("i"), col("t"))
+        .select(col("doc_id"),
+          md5(concat_ws(" ", expr(s"slice(t, i + 1, $spanN)"))).as("span_md5"))
+        .groupBy(col("span_md5"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occurrences"),
+          min(col("doc_id")).as("first_doc"))
+        .filter(col("n_docs") > 1)
+        .orderBy("span_md5"))
+
   // ---------------------------------------------------------------------
   // E3: similarity search over embeddings
   // ---------------------------------------------------------------------
@@ -1049,6 +1102,66 @@ object LlmOps {
           md5(concat_ws(" ", expr(s"slice(t, start + 1, $chunkSize)"))).as("chunk_md5"))
         .orderBy("doc_id", "chunk_idx"))
 
+  // demo mask lexicon — two words the synthetic vocabulary actually
+  // contains, so the oracle compare is non-vacuous at every SF;
+  // production passes the real blocklist (names, secrets, slurs)
+  private val scrubLexicon = Seq("customer", "spark")
+  private val scrubEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val scrubIpv4Re = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+
+  /** Lexicon + pattern scrubbing — the PII-redaction plan shape every
+    * pre-training pipeline runs: mask blocklisted terms token-by-token,
+    * then redact structured classes (email, IPv4) by regex. The lexicon
+    * is compiled into the plan as a literal (the broadcast analog for a
+    * small dict; a production-sized dictionary becomes a broadcast join
+    * on the exploded token, or an Aho-Corasick automaton in a codegen'd
+    * expression). Both engines apply email before IPv4 so nested
+    * replacements agree. The regex classes match nothing in the
+    * synthetic corpus by construction — their behavior is asserted
+    * non-vacuously on a planted fixture in LlmOpsSpec — while the
+    * lexicon masks real tokens at every SF.
+    *
+    * 100 TB shape: pure per-row projection, zero shuffles before the
+    * deterministic output sort (which Verify alone needs); codegen'd
+    * HOFs + regexp, no UDFs. */
+  private val e4Scrub = GraftQuery(
+    "llm_e4_text_scrub",
+    "broadcast-lexicon term masking + regex PII-class redaction (E4)",
+    Some(s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      m AS (
+        SELECT doc_id,
+               array_to_string(list_transform(t,
+                 x -> CASE WHEN x IN ('customer', 'spark') THEN '<TERM>' ELSE x END), ' ') AS masked,
+               len(list_filter(t, x -> x IN ('customer', 'spark'))) AS n_masked
+        FROM t)
+      SELECT doc_id,
+             regexp_replace(regexp_replace(masked, '$scrubEmailRe', '<EMAIL>', 'g'),
+                            '$scrubIpv4Re', '<IP>', 'g') AS scrubbed,
+             CAST(n_masked AS BIGINT) AS n_masked_terms,
+             CAST(len(regexp_extract_all(masked, '$scrubEmailRe')) AS BIGINT) AS n_emails,
+             CAST(len(regexp_extract_all(masked, '$scrubIpv4Re')) AS BIGINT) AS n_ips
+      FROM m
+      ORDER BY doc_id"""),
+    (s, dir) => {
+      val inLex = (x: Column) => x.isin(scrubLexicon: _*)
+      docs(s, dir)
+        .select(col("doc_id"), toks(col("text")).as("t"))
+        .select(col("doc_id"),
+          concat_ws(" ", transform(col("t"),
+            x => when(inLex(x), lit("<TERM>")).otherwise(x))).as("masked"),
+          size(filter(col("t"), inLex)).cast("long").as("n_masked_terms"))
+        .select(col("doc_id"),
+          regexp_replace(regexp_replace(col("masked"), scrubEmailRe, "<EMAIL>"),
+            scrubIpv4Re, "<IP>").as("scrubbed"),
+          col("n_masked_terms"),
+          size(regexp_extract_all(col("masked"), lit(scrubEmailRe), lit(0)))
+            .cast("long").as("n_emails"),
+          size(regexp_extract_all(col("masked"), lit(scrubIpv4Re), lit(0)))
+            .cast("long").as("n_ips"))
+        .orderBy("doc_id")
+    })
+
   private val packTokens = 256
   // the shuffle-key space is hash-partitioned so no single ordering (and
   // no single window task) spans the corpus; at 100 TB this is the knob
@@ -1115,6 +1228,7 @@ object LlmOps {
 
   def queries: Seq[GraftQuery] = Seq(
     e1, e1Stats, e2Jaccard, e2MinHash, e2SimHash, e2EmbedCosine, e2Clusters,
-    e2Decontam, e3TopK, e3Ann, e3Ivf, e4Terms, e4Quality, e4LangId, e4Fingerprint,
-    e4Rolling, e4Repetition, e4Chunk, e4Mix, e4Split, e4Pack)
+    e2Decontam, e2RepeatedSpans, e3TopK, e3Ann, e3Ivf, e4Terms, e4Quality,
+    e4LangId, e4Fingerprint, e4Rolling, e4Repetition, e4Chunk, e4Mix, e4Scrub,
+    e4Split, e4Pack)
 }

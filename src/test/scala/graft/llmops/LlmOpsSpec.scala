@@ -195,6 +195,41 @@ class LlmOpsSpec extends SparkSpec {
     copy._3 should be >= 20L
   }
 
+  test("repeated spans: planted dup clusters yield exactly the expected span index") {
+    // plantedDir docs are 30 tokens -> 23 windows of spanN=8 per doc.
+    // doc 20 == doc 0; doc 23 == doc 0 with token 15 swapped, so the 8
+    // windows covering index 15 (starts 8..15) lose doc 23; docs 1==21==22.
+    val spans = Registry.byName("llm_e2_repeated_spans").run(spark, plantedDir)
+      .select($"first_doc", $"n_docs", $"n_occurrences")
+      .as[(Long, Long, Long)].collect()
+    val from0 = spans.filter(_._1 == 0L)
+    from0.length shouldBe 23
+    from0.count(_._2 == 3L) shouldBe 15 // shared by 0, 20 AND the near-dup 23
+    from0.count(_._2 == 2L) shouldBe 8  // the swapped-token windows: 0, 20 only
+    val from1 = spans.filter(_._1 == 1L)
+    from1.length shouldBe 23
+    from1.foreach { case (_, nDocs, nOcc) => nDocs shouldBe 3L; nOcc shouldBe 3L }
+    // and NOTHING else repeats: the 20 base docs are random 30-token
+    // draws from a 12-word vocab (12^8 possible 8-grams), so the index
+    // is exactly the planted structure
+    spans.length shouldBe 46
+  }
+
+  test("text scrub masks lexicon terms and redacts planted email/IPv4 patterns") {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_test_scrub"
+    Seq(
+      (1L, "contact bob@example.com at 10.0.0.1 customer spark says customer", "en", "fixture", 0L),
+      (2L, "plain words only here", "en", "fixture", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = Registry.byName("llm_e4_text_scrub").run(spark, dir)
+      .select($"doc_id", $"scrubbed", $"n_masked_terms", $"n_emails", $"n_ips")
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4, t._5)).toMap
+    r(1L) shouldBe (("contact <EMAIL> at <IP> <TERM> <TERM> says <TERM>", 3L, 1L, 1L))
+    r(2L) shouldBe (("plain words only here", 0L, 0L, 0L))
+  }
+
   test("repetition ratio: planted repetitive doc scores high, distinct doc zero") {
     val dir = s"${sys.props("java.io.tmpdir")}/graft_test_repetition"
     Seq(
