@@ -423,7 +423,51 @@ object EventAnalytics {
           percentile_approx(col("value"), lit(0.95), lit(10000)).as("p95_value"))
         .orderBy("event_type"))
 
+  /** Cohort retention — the canonical product-analytics rollup: users
+    * are cohorted by first-seen day, then each (cohort, day-offset)
+    * cell counts distinct returning users and normalizes by cohort
+    * size. Three shuffles, all on keys that scale with data: first-seen
+    * agg on user_id, the cohort re-join on user_id (cohort map stays a
+    * shuffle join — at 100 TB the user dimension is NOT broadcast-small),
+    * and the cell agg on (cohort_day, day_offset) whose cardinality is
+    * bounded by days², so the final agg is tiny regardless of corpus. */
+  private val cohortRetention = GraftQuery(
+    "e5_cohort_retention",
+    "first-seen cohorts x day-offset distinct-user retention matrix",
+    Some("""
+      WITH c AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+        FROM events GROUP BY user_id),
+      sz AS (SELECT cohort_day, count(*) AS cohort_size FROM c GROUP BY cohort_day),
+      a AS (
+        SELECT c.cohort_day,
+               date_diff('day', c.cohort_day, CAST(e.ts AS DATE)) AS day_offset,
+               count(DISTINCT e.user_id) AS n_active
+        FROM events e JOIN c USING (user_id)
+        GROUP BY c.cohort_day, date_diff('day', c.cohort_day, CAST(e.ts AS DATE)))
+      SELECT strftime(a.cohort_day, '%Y-%m-%d') AS cohort_day,
+             CAST(a.day_offset AS BIGINT) AS day_offset,
+             a.n_active,
+             CAST(sz.cohort_size AS BIGINT) AS cohort_size,
+             a.n_active / CAST(sz.cohort_size AS DOUBLE) AS retention_rate
+      FROM a JOIN sz USING (cohort_day)
+      ORDER BY cohort_day, day_offset"""),
+    (s, dir) => {
+      val ev = events(s, dir).select(col("user_id"), to_date(col("ts")).as("day"))
+      val cohorts = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      val sizes = cohorts.groupBy(col("cohort_day")).agg(count(lit(1)).as("cohort_size"))
+      ev.join(cohorts, Seq("user_id"))
+        .groupBy(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .join(sizes, Seq("cohort_day"))
+        .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+          col("day_offset"), col("n_active"), col("cohort_size"),
+          (col("n_active") / col("cohort_size")).as("retention_rate"))
+        .orderBy("cohort_day", "day_offset")
+    })
+
   def queries: Seq[GraftQuery] =
     Seq(hourly, sessionize, sessionHistogram, jsonProps, funnel, sessionWindowQ, asof,
-      jsonRoundtrip, hourlySalted, windowAnalytics, rangeJoin, sketches)
+      jsonRoundtrip, hourlySalted, windowAnalytics, rangeJoin, sketches, cohortRetention)
 }

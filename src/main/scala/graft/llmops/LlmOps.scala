@@ -577,6 +577,37 @@ object LlmOps {
     * aggregation bounds hot spans (a boilerplate phrase shared by half
     * the corpus still combines per task before the exchange). No
     * all-pairs stage exists at any scale. */
+  /** (doc_id, i, span_md5): every `spanN`-token window start (0-based)
+    * with its span fingerprint — the shared scan both span queries
+    * consume. Pure generator explode, no shuffle. */
+  private def spanWindows(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= spanN)
+      .select(col("doc_id"),
+        explode(expr(s"sequence(0, size(t) - $spanN)")).as("i"), col("t"))
+      .select(col("doc_id"), col("i"),
+        md5(concat_ws(" ", expr(s"slice(t, i + 1, $spanN)"))).as("span_md5"))
+
+  /** The repeated-span index (span_md5, n_docs, n_occurrences,
+    * first_doc), filtered to n_docs > 1 BEFORE persisting — the full
+    * window set is corpus-sized and must never be pinned; the repeated
+    * subset is the boilerplate tail, orders of magnitude smaller.
+    * Memoized per (session, dir): the index query and the cut pass share
+    * one build; released by [[clearCaches]]. */
+  private def repeatedSpanIndex(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "repeated_span_index") {
+      val idx = spanWindows(s, dir)
+        .groupBy(col("span_md5"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occurrences"),
+          min(col("doc_id")).as("first_doc"))
+        .filter(col("n_docs") > 1)
+        .persist()
+      idx.count()
+      idx
+    }
+
   private val e2RepeatedSpans = GraftQuery(
     "llm_e2_repeated_spans",
     s"cross-doc repeated $spanN-token spans, md5-keyed (exact-substring dedup, E2)",
@@ -595,20 +626,76 @@ object LlmOps {
       GROUP BY span_md5
       HAVING count(DISTINCT doc_id) > 1
       ORDER BY span_md5"""),
-    (s, dir) =>
-      docs(s, dir)
-        .select(col("doc_id"), toks(col("text")).as("t"))
-        .filter(size(col("t")) >= spanN)
+    (s, dir) => repeatedSpanIndex(s, dir).orderBy("span_md5"))
+
+  /** The cut pass that turns the span index into a deduplicated corpus
+    * (the second half of Lee et al. 2021): for every document, excise
+    * the token positions covered by a repeated span whose canonical
+    * (first) document is someone else; the canonical document keeps its
+    * text untouched. Fully-duplicated docs come out empty — the output
+    * keeps one row per input doc with before/removed counts so the
+    * dedup is auditable.
+    *
+    * 100 TB shape: windows join the (much smaller, but not assumed
+    * broadcast-small) repeated index on the span fingerprint — a
+    * key-partitioned shuffle AQE can downgrade to broadcast when the
+    * index is tiny; covered positions stay (doc_id, pos) narrow; the
+    * anti join and the rebuild group both shuffle on doc_id, the key
+    * whose cardinality scales with the corpus. */
+  private val e2SpanCut = GraftQuery(
+    "llm_e2_span_cut",
+    s"excise non-canonical repeated $spanN-token spans -> deduplicated corpus (E2)",
+    Some(s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      w AS (
+        SELECT doc_id, i, md5(array_to_string(t[i:i+${spanN - 1}], ' ')) AS span_md5
+        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - ${spanN - 1})) AS i FROM t
+              WHERE len(t) >= $spanN)),
+      idx AS (
+        SELECT span_md5, min(doc_id) AS first_doc
+        FROM w GROUP BY span_md5 HAVING count(DISTINCT doc_id) > 1),
+      cov AS (
+        SELECT DISTINCT doc_id, pos FROM (
+          SELECT w.doc_id, unnest(generate_series(w.i, w.i + ${spanN - 1})) AS pos
+          FROM w JOIN idx USING (span_md5)
+          WHERE idx.first_doc <> w.doc_id)),
+      tokpos AS (
+        SELECT doc_id, i AS pos, t[i] AS tk
+        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM t)),
+      kept AS (SELECT tp.* FROM tokpos tp ANTI JOIN cov USING (doc_id, pos)),
+      agg AS (
+        SELECT doc_id, count(*) AS n_kept,
+               array_to_string(list(tk ORDER BY pos), ' ') AS cleaned_text
+        FROM kept GROUP BY doc_id)
+      SELECT t.doc_id,
+             CAST(len(t.t) AS BIGINT) AS n_tokens,
+             CAST(len(t.t) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+             coalesce(a.cleaned_text, '') AS cleaned_text
+      FROM t LEFT JOIN agg a USING (doc_id)
+      ORDER BY doc_id"""),
+    (s, dir) => {
+      val tok = docs(s, dir).select(col("doc_id"), toks(col("text")).as("t"))
+      val idx = repeatedSpanIndex(s, dir).select(col("span_md5"), col("first_doc"))
+      val cov = spanWindows(s, dir)
+        .join(idx, Seq("span_md5"))
+        .filter(col("first_doc") =!= col("doc_id"))
         .select(col("doc_id"),
-          explode(expr(s"sequence(0, size(t) - $spanN)")).as("i"), col("t"))
-        .select(col("doc_id"),
-          md5(concat_ws(" ", expr(s"slice(t, i + 1, $spanN)"))).as("span_md5"))
-        .groupBy(col("span_md5"))
-        .agg(countDistinct(col("doc_id")).as("n_docs"),
-          count(lit(1)).as("n_occurrences"),
-          min(col("doc_id")).as("first_doc"))
-        .filter(col("n_docs") > 1)
-        .orderBy("span_md5"))
+          explode(expr(s"sequence(i, i + ${spanN - 1})")).as("pos"))
+        .distinct()
+      val kept = tok
+        .select(col("doc_id"), posexplode(col("t")).as(Seq("pos", "tk")))
+        .join(cov, Seq("doc_id", "pos"), "left_anti")
+      val agg = kept.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          concat_ws(" ", expr("transform(array_sort(collect_list(struct(pos, tk))), x -> x.tk)"))
+            .as("cleaned_text"))
+      tok.select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"))
+        .join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).cast("long").as("n_removed"),
+          coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+        .orderBy("doc_id")
+    })
 
   // ---------------------------------------------------------------------
   // E3: similarity search over embeddings
@@ -1228,7 +1315,7 @@ object LlmOps {
 
   def queries: Seq[GraftQuery] = Seq(
     e1, e1Stats, e2Jaccard, e2MinHash, e2SimHash, e2EmbedCosine, e2Clusters,
-    e2Decontam, e2RepeatedSpans, e3TopK, e3Ann, e3Ivf, e4Terms, e4Quality,
+    e2Decontam, e2RepeatedSpans, e2SpanCut, e3TopK, e3Ann, e3Ivf, e4Terms, e4Quality,
     e4LangId, e4Fingerprint, e4Rolling, e4Repetition, e4Chunk, e4Mix, e4Scrub,
     e4Split, e4Pack)
 }

@@ -37,4 +37,27 @@ class SketchSpec extends SparkSpec {
     val total = EventAnalytics.events(spark, sfDir).count()
     ranged shouldBe total // every event in exactly one enclosing session
   }
+
+  test("cohort retention: day-0 rate is 1.0, cells bounded by cohort size, cohorts partition users") {
+    val cells = Registry.byName("e5_cohort_retention").run(spark, sfDir)
+      .as[(String, Long, Long, Long, Double)].collect()
+    cells should not be empty
+    // every cohort member is by definition active on their first-seen day
+    cells.filter(_._2 == 0L).foreach { c =>
+      withClue(s"cohort ${c._1}: ") { c._3 shouldBe c._4; c._5 shouldBe 1.0 }
+    }
+    // no cell exceeds its cohort; offsets are non-negative
+    cells.foreach { c =>
+      withClue(s"cell (${c._1}, ${c._2}): ") {
+        c._3 should be <= c._4
+        c._2 should be >= 0L
+        c._5 shouldBe c._3.toDouble / c._4
+      }
+    }
+    // cohort sizes partition the user base exactly
+    val bySize = cells.groupBy(_._1).map { case (_, cs) => cs.head._4 }.sum
+    val users = EventAnalytics.events(spark, sfDir)
+      .select($"user_id").distinct().count()
+    bySize shouldBe users
+  }
 }

@@ -215,6 +215,28 @@ class LlmOpsSpec extends SparkSpec {
     spans.length shouldBe 46
   }
 
+  test("span cut keeps canonical docs intact and excises copies down to their novel tokens") {
+    val out = Registry.byName("llm_e2_span_cut").run(spark, plantedDir)
+      .select($"doc_id", $"n_tokens", $"n_removed", $"cleaned_text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    // canonical (first) docs keep their text untouched
+    out(0L)._2 shouldBe 0L
+    out(1L)._2 shouldBe 0L
+    // exact copies are excised entirely
+    Seq(20L, 21L, 22L).foreach { id =>
+      withClue(s"doc $id: ") { out(id) shouldBe ((30L, 30L, "")) }
+    }
+    // the near-dup of doc 0 differs only at token 15 ("omega"): every
+    // window NOT covering that position is shared with doc 0, so the cut
+    // leaves exactly the one novel token
+    out(23L) shouldBe ((30L, 29L, "omega"))
+    // untouched singletons lose nothing
+    (2L to 19L).foreach { id =>
+      withClue(s"doc $id: ") { out(id)._2 shouldBe 0L }
+    }
+  }
+
   test("text scrub masks lexicon terms and redacts planted email/IPv4 patterns") {
     val dir = s"${sys.props("java.io.tmpdir")}/graft_test_scrub"
     Seq(
