@@ -1189,6 +1189,45 @@ object LlmOps {
           md5(concat_ws(" ", expr(s"slice(t, start + 1, $chunkSize)"))).as("chunk_md5"))
         .orderBy("doc_id", "chunk_idx"))
 
+  /** Corpus unigram-LM surprisal — the perplexity-style quality-filter
+    * shape (CCNet scores docs with a KenLM; a unigram LM built from the
+    * corpus itself is the exactly-computable analog with the same plan):
+    * avg_neg_logprob = ln(N) - mean(ln(count(token))), higher = more
+    * surprising under the corpus distribution. Rounded to 4dp on both
+    * engines so FP summation-order ulps can't flip the oracle hash.
+    *
+    * 100 TB shape: the term-frequency table is vocabulary-sized —
+    * bounded, NOT corpus-sized — so it broadcasts (the same reasoning
+    * that lets CCNet ship its LM to every worker); the corpus-sized
+    * token stream joins it map-side with zero shuffle, and the per-doc
+    * agg shuffles on doc_id. The grand total is a 1-row broadcast. */
+  private val e4Surprisal = GraftQuery(
+    "llm_e4_unigram_logprob",
+    "corpus unigram-LM surprisal scoring, broadcast TF table (E4)",
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
+      tf AS (SELECT tk, count(*) AS n FROM tok GROUP BY tk),
+      tot AS (SELECT sum(n) AS total FROM tf)
+      SELECT doc_id,
+             count(*) AS n_toks,
+             round(ln(tot.total) - avg(ln(tf.n)), 4) AS avg_neg_logprob
+      FROM tok JOIN tf USING (tk) CROSS JOIN tot
+      GROUP BY doc_id, tot.total
+      ORDER BY doc_id"""),
+    (s, dir) => {
+      val tok = docs(s, dir).select(col("doc_id"), explode(toks(col("text"))).as("tk"))
+      val tf = tok.groupBy(col("tk")).agg(count(lit(1)).as("n"))
+      val tot = tf.agg(sum(col("n")).as("total"))
+      tok.join(broadcast(tf), Seq("tk"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_toks"), avg(log(col("n"))).as("mean_ln_n"))
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("n_toks"),
+          round(log(col("total")) - col("mean_ln_n"), 4).as("avg_neg_logprob"))
+        .orderBy("doc_id")
+    })
+
   // demo mask lexicon — two words the synthetic vocabulary actually
   // contains, so the oracle compare is non-vacuous at every SF;
   // production passes the real blocklist (names, secrets, slurs)
@@ -1317,5 +1356,5 @@ object LlmOps {
     e1, e1Stats, e2Jaccard, e2MinHash, e2SimHash, e2EmbedCosine, e2Clusters,
     e2Decontam, e2RepeatedSpans, e2SpanCut, e3TopK, e3Ann, e3Ivf, e4Terms, e4Quality,
     e4LangId, e4Fingerprint, e4Rolling, e4Repetition, e4Chunk, e4Mix, e4Scrub,
-    e4Split, e4Pack)
+    e4Surprisal, e4Split, e4Pack)
 }

@@ -252,6 +252,23 @@ class LlmOpsSpec extends SparkSpec {
     r(2L) shouldBe (("plain words only here", 0L, 0L, 0L))
   }
 
+  test("unigram surprisal: rare-token doc scores higher, values match closed form") {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_test_surprisal"
+    Seq(
+      (1L, "a a a a", "en", "fixture", 0L),
+      (2L, "a a a b", "en", "fixture", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = Registry.byName("llm_e4_unigram_logprob").run(spark, dir)
+      .select($"doc_id", $"n_toks", $"avg_neg_logprob")
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    // tf: a=7, b=1, N=8 -> score = ln(N) - mean(ln(count(tok)))
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    r(1L) shouldBe ((4L, r4(math.log(8) - math.log(7))))
+    r(2L) shouldBe ((4L, r4(math.log(8) - 3 * math.log(7) / 4)))
+    r(2L)._2 should be > r(1L)._2 // the rare token makes doc 2 more surprising
+  }
+
   test("repetition ratio: planted repetitive doc scores high, distinct doc zero") {
     val dir = s"${sys.props("java.io.tmpdir")}/graft_test_repetition"
     Seq(
