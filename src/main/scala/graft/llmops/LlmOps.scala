@@ -760,6 +760,64 @@ object LlmOps {
         .orderBy("q_id", "rn")
     })
 
+  /** Semantic decontamination (E3 x E2): the top-1 eval-set neighbor for
+    * every training vector — the embedding-space twin of the n-gram
+    * decontamination pass (flag-or-drop thresholds are applied
+    * downstream on the reported cosine). Eval split mirrors the n-gram
+    * pass (vec_id % 50; production passes the real benchmark
+    * embeddings, small by construction).
+    *
+    * 100 TB shape: broadcast the eval side, scan the corpus ONCE, and
+    * take the per-train argmax as a map-side partial aggregate (max of
+    * a (cosine, -eval_id) struct — lexicographic max = highest cosine,
+    * ties to the lowest eval id). No window, so no sort of the scored
+    * rows and no exchange before the partial agg; the only shuffle is
+    * the final per-train combine. Cosines round to 4dp so FP ulps can't
+    * flip the argmax between engines. */
+  private val e3EvalNN = GraftQuery(
+    "llm_e3_eval_nn",
+    "semantic decontamination: top-1 eval-set neighbor per training vector (E3)",
+    Some("""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      n AS (
+        SELECT vec_id, v,
+               sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+        FROM e),
+      ev AS (SELECT vec_id AS eval_id, v AS evv, nrm AS evn FROM n WHERE vec_id % 50 = 0),
+      tr AS (SELECT vec_id AS train_id, v, nrm FROM n WHERE vec_id % 50 <> 0),
+      scored AS (
+        SELECT tr.train_id, ev.eval_id,
+               round(list_reduce(list_transform(list_zip(tr.v, ev.evv), p -> p[1] * p[2]),
+                                 (a, b) -> a + b) / (tr.nrm * ev.evn), 4) AS cosine
+        FROM tr CROSS JOIN ev),
+      ranked AS (
+        SELECT train_id, eval_id, cosine,
+               row_number() OVER (PARTITION BY train_id
+                                  ORDER BY cosine DESC, eval_id) AS rn
+        FROM scored)
+      SELECT train_id, eval_id AS nearest_eval_id, cosine
+      FROM ranked WHERE rn = 1
+      ORDER BY train_id"""),
+    (s, dir) => {
+      val n = normed(s, dir)
+      val ev = n.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("eval_id"), col("v").as("evv"), col("nrm").as("evn"))
+      val tr = n.filter(col("vec_id") % 50 =!= 0)
+        .select(col("vec_id").as("train_id"), col("v"), col("nrm"))
+      tr.crossJoin(broadcast(ev))
+        .withColumn("cosine",
+          round(graft.functions.VectorFunctions.dot(col("v"), col("evv"))
+            / (col("nrm") * col("evn")), 4))
+        .groupBy(col("train_id"))
+        .agg(max(struct(col("cosine"), (-col("eval_id")).as("neg_eval"),
+          col("eval_id"))).as("best"))
+        .select(col("train_id"), col("best.eval_id").as("nearest_eval_id"),
+          col("best.cosine").as("cosine"))
+        .orderBy("train_id")
+    })
+
   // Multi-table hyperplane LSH: L independent tables of b sign bits each.
   // Recall for a pair at angle θ is 1-(1-(1-θ/π)^b)^L — one table of many
   // planes has near-zero recall on mid-cosine neighbors (the testdata's
@@ -1354,7 +1412,8 @@ object LlmOps {
 
   def queries: Seq[GraftQuery] = Seq(
     e1, e1Stats, e2Jaccard, e2MinHash, e2SimHash, e2EmbedCosine, e2Clusters,
-    e2Decontam, e2RepeatedSpans, e2SpanCut, e3TopK, e3Ann, e3Ivf, e4Terms, e4Quality,
+    e2Decontam, e2RepeatedSpans, e2SpanCut, e3TopK, e3Ann, e3Ivf, e3EvalNN,
+    e4Terms, e4Quality,
     e4LangId, e4Fingerprint, e4Rolling, e4Repetition, e4Chunk, e4Mix, e4Scrub,
     e4Surprisal, e4Split, e4Pack)
 }

@@ -252,6 +252,28 @@ class LlmOpsSpec extends SparkSpec {
     r(2L) shouldBe (("plain words only here", 0L, 0L, 0L))
   }
 
+  test("eval-NN semantic decontamination matches a driver-side brute-force replay") {
+    val out = Registry.byName("llm_e3_eval_nn").run(spark, sfDir)
+      .as[(Long, Long, Double)].collect()
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+      .map { case (id, e) => id -> e.map(_.toDouble) }
+    val (ev, tr) = vecs.partition(_._1 % 50 == 0)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    out.length shouldBe tr.length // one row per training vector
+    val trMap = tr.toMap
+    out.foreach { case (trainId, evalId, c) =>
+      val scored = ev.map { case (eid, evec) => (eid, cos(trMap(trainId), evec)) }
+      val best = scored.minBy { case (eid, s) => (-s, eid) }
+      withClue(s"train $trainId: ") { (evalId, c) shouldBe best }
+    }
+  }
+
   test("unigram surprisal: rare-token doc scores higher, values match closed form") {
     val dir = s"${sys.props("java.io.tmpdir")}/graft_test_surprisal"
     Seq(
