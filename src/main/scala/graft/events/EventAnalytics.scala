@@ -1,7 +1,7 @@
 package graft.events
 
 import graft.{GraftQuery, T}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -467,7 +467,95 @@ object EventAnalytics {
         .orderBy("cohort_day", "day_offset")
     })
 
+  /** RFM (recency/frequency/monetary) segmentation — the classic user
+    * scoring rollup, built the way it must be at 100 TB: quartile
+    * thresholds come from ONE exact-percentile aggregate broadcast back
+    * over the user frame, NOT from a global ntile window (ntile
+    * partitions nothing, so it funnels the whole user dimension through
+    * one sort task — the canonical scale-killer this query refuses).
+    *
+    * Determinism across engines: all three metrics are INTEGERS
+    * (days / counts / cents — cents because per-user dollar sums of
+    * 2-decimal values land exactly on .5 rounding boundaries, where
+    * engine-order FP noise flips round()), so quartile interpolation
+    * (a + f*(b-a) over ints) is exact in IEEE double and the strict >
+    * threshold comparisons agree bit-for-bit. */
+  private val rfm = GraftQuery(
+    "e5_rfm_segments",
+    "RFM quartile segmentation via broadcast exact-percentile thresholds",
+    Some("""
+      WITH mx AS (SELECT max(CAST(ts AS DATE)) AS dmax FROM events),
+      u AS (
+        SELECT user_id,
+               date_diff('day', max(CAST(ts AS DATE)), (SELECT dmax FROM mx)) AS recency_days,
+               count(*) AS frequency,
+               CAST(round(sum(value) * 100, 0) AS BIGINT) AS monetary_cents
+        FROM events GROUP BY user_id),
+      q AS (
+        SELECT quantile_cont(recency_days, 0.25) AS r1, quantile_cont(recency_days, 0.5) AS r2,
+               quantile_cont(recency_days, 0.75) AS r3,
+               quantile_cont(frequency, 0.25) AS f1, quantile_cont(frequency, 0.5) AS f2,
+               quantile_cont(frequency, 0.75) AS f3,
+               quantile_cont(monetary_cents, 0.25) AS m1, quantile_cont(monetary_cents, 0.5) AS m2,
+               quantile_cont(monetary_cents, 0.75) AS m3
+        FROM u),
+      s AS (
+        SELECT u.user_id, u.recency_days, u.frequency, u.monetary_cents,
+               4 - ((u.recency_days > q.r1)::INT + (u.recency_days > q.r2)::INT
+                    + (u.recency_days > q.r3)::INT) AS r_score,
+               1 + (u.frequency > q.f1)::INT + (u.frequency > q.f2)::INT
+                 + (u.frequency > q.f3)::INT AS f_score,
+               1 + (u.monetary_cents > q.m1)::INT + (u.monetary_cents > q.m2)::INT
+                 + (u.monetary_cents > q.m3)::INT AS m_score
+        FROM u CROSS JOIN q)
+      SELECT user_id, recency_days, frequency, monetary_cents,
+             CAST(r_score AS BIGINT) AS r_score,
+             CAST(f_score AS BIGINT) AS f_score,
+             CAST(m_score AS BIGINT) AS m_score,
+             CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+               || CAST(m_score AS VARCHAR) AS segment
+      FROM s
+      ORDER BY user_id"""),
+    (s, dir) => {
+      val ev = events(s, dir).select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+      val mx = ev.agg(max(col("day")).as("dmax"))
+      // aggregate FIRST, then attach the 1-row corpus max to the (small)
+      // user frame — never to the corpus-sized event stream
+      val u = ev.groupBy(col("user_id"))
+        .agg(max(col("day")).as("last_day"),
+          count(lit(1)).as("frequency"),
+          round(sum(col("value")) * 100, 0).cast("long").as("monetary_cents"))
+        .crossJoin(broadcast(mx))
+        .select(col("user_id"),
+          datediff(col("dmax"), col("last_day")).cast("long").as("recency_days"),
+          col("frequency"), col("monetary_cents"))
+      val q = u.agg(
+        expr("percentile(recency_days, 0.25D)").as("r1"),
+        expr("percentile(recency_days, 0.5D)").as("r2"),
+        expr("percentile(recency_days, 0.75D)").as("r3"),
+        expr("percentile(frequency, 0.25D)").as("f1"),
+        expr("percentile(frequency, 0.5D)").as("f2"),
+        expr("percentile(frequency, 0.75D)").as("f3"),
+        expr("percentile(monetary_cents, 0.25D)").as("m1"),
+        expr("percentile(monetary_cents, 0.5D)").as("m2"),
+        expr("percentile(monetary_cents, 0.75D)").as("m3"))
+      def gt(v: Column, t: Column) = when(v > t, 1L).otherwise(0L)
+      u.crossJoin(broadcast(q))
+        .select(col("user_id"), col("recency_days"), col("frequency"), col("monetary_cents"),
+          (lit(4L) - gt(col("recency_days"), col("r1")) - gt(col("recency_days"), col("r2"))
+            - gt(col("recency_days"), col("r3"))).as("r_score"),
+          (lit(1L) + gt(col("frequency"), col("f1")) + gt(col("frequency"), col("f2"))
+            + gt(col("frequency"), col("f3"))).as("f_score"),
+          (lit(1L) + gt(col("monetary_cents"), col("m1")) + gt(col("monetary_cents"), col("m2"))
+            + gt(col("monetary_cents"), col("m3"))).as("m_score"))
+        .withColumn("segment",
+          concat(col("r_score").cast("string"), col("f_score").cast("string"),
+            col("m_score").cast("string")))
+        .orderBy("user_id")
+    })
+
   def queries: Seq[GraftQuery] =
     Seq(hourly, sessionize, sessionHistogram, jsonProps, funnel, sessionWindowQ, asof,
-      jsonRoundtrip, hourlySalted, windowAnalytics, rangeJoin, sketches, cohortRetention)
+      jsonRoundtrip, hourlySalted, windowAnalytics, rangeJoin, sketches, cohortRetention,
+      rfm)
 }

@@ -60,4 +60,28 @@ class SketchSpec extends SparkSpec {
       .select($"user_id").distinct().count()
     bySize shouldBe users
   }
+
+  test("RFM scores are 1..4, monotone in their metric, and segment encodes them") {
+    val rows = Registry.byName("e5_rfm_segments").run(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long, Long, Long, String)].collect()
+    rows should not be empty
+    rows.foreach { case (uid, rec, freq, mon, r, f, m, seg) =>
+      withClue(s"user $uid: ") {
+        Seq(r, f, m).foreach { s => s should (be >= 1L and be <= 4L) }
+        seg shouldBe s"$r$f$m"
+      }
+    }
+    // monotone: sorting by the metric must sort the score (recency inverse)
+    def monotone(pairs: Seq[(Long, Long)]): Unit =
+      pairs.sortBy(_._1).map(_._2).sliding(2).foreach {
+        case Seq(a, b) => a should be <= b
+        case _ =>
+      }
+    monotone(rows.toSeq.map(t => (t._3, t._6))) // frequency -> f_score
+    monotone(rows.toSeq.map(t => (t._4, t._7))) // monetary  -> m_score
+    monotone(rows.toSeq.map(t => (-t._2, t._5))) // -recency -> r_score
+    // quartile thresholds actually split the population: every score level
+    // that CAN occur does for at least one metric
+    rows.map(_._6).distinct.length should be >= 3
+  }
 }
