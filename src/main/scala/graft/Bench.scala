@@ -37,7 +37,7 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val samples = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
     for (_ <- 1 to repeats) {
-      graft.llmops.LlmOps.clearCaches(spark)
+      graft.SessionMemo.clear(spark)
       Registry.all.foreach { q =>
         val t0 = System.nanoTime()
         try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -58,7 +58,7 @@ object Bench {
     val errJson = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"repeats":$repeats,"sf":"$sfDir"}""")
-    graft.llmops.LlmOps.clearCaches(spark)
+    graft.SessionMemo.clear(spark)
     spark.stop()
   }
 }

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session-scoped memo of MATERIALIZED (persisted + counted) frames
+  * shared across queries in one Verify/Bench/test run. Two reasons it
+  * exists:
+  *  - sharing: several query pairs consume the same expensive
+  *    intermediate (the exact-Jaccard pair set, the df-capped shingle
+  *    index, the repeated-span index, the RFM user frame); without the
+  *    memo each consumer rebuilds it from scratch in the same run.
+  *  - cache ownership: every frame pinned here is threshold-bounded or
+  *    dimension-sized (never corpus-sized), there is ONE copy per
+  *    (session, dir, key), and there is an explicit release point:
+  *    [[clear]] is called by `SparkSpec.afterAll` and at the end of
+  *    `Bench.main` / `Verify.main`.
+  * Concurrency: a lost first-access race builds twice; the loser's
+  * persisted frame is unpersisted immediately, so exactly one copy
+  * stays pinned either way. */
+object SessionMemo {
+
+  private val memo =
+    scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]()
+
+  /** The memoized frame for (s, dir, key), building (and thereby
+    * persisting) it on first access. `build` must return an
+    * already-materialized frame — persist + an action — so the loser of
+    * a first-access race can be unpersisted safely. */
+  def memoized(s: SparkSession, dir: String, key: String)
+      (build: => DataFrame): DataFrame = {
+    val k = (s, dir, key)
+    memo.get(k).getOrElse {
+      val built = build
+      memo.putIfAbsent(k, built) match {
+        case Some(winner) => built.unpersist(); winner
+        case None => built
+      }
+    }
+  }
+
+  /** Unpersist and drop every memoized frame belonging to `s`. */
+  def clear(s: SparkSession): Unit =
+    memo.keys.filter(_._1 eq s).foreach { k =>
+      memo.remove(k).foreach(_.unpersist())
+    }
+}

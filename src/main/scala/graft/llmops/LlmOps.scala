@@ -160,40 +160,14 @@ object LlmOps {
       ORDER BY da, db"""),
     (s, dir) => jaccardPairs(s, dir).orderBy("da", "db"))
 
-  /** Session-scoped memo of MATERIALIZED frames shared across queries in
-    * one Verify/Bench/test run. Two reasons it exists:
-    *  - sharing: `llm_e2_ngram_jaccard_pairs` and `llm_e2_dedup_clusters`
-    *    both need the exact-Jaccard pair set, and the Jaccard and MinHash
-    *    paths both need the df-capped shingle index; without the memo each
-    *    consumer rebuilds the inverted index from scratch in the same run.
-    *  - cache ownership: every frame pinned here is either
-    *    threshold-bounded tiny (near-dup pairs above 0.5) or linear in the
-    *    capped index (shingles), and there is ONE copy per (session, dir)
-    *    with an explicit release point: [[clearCaches]] is called by
-    *    `SparkSpec.afterAll` and at the end of `Bench.main`/`Verify.main`.
-    * Concurrency: a lost first-access race builds twice; the loser's
-    * persisted frame is unpersisted immediately, so exactly one copy
-    * stays pinned either way. */
-  private val memo =
-    scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]()
-
+  /** Shared-frame memoization — see [[graft.SessionMemo]] for the
+    * ownership/concurrency contract. LlmOps pins: the exact-Jaccard pair
+    * set (jaccard + dedup-cluster queries), the df-capped shingle index
+    * (Jaccard + MinHash), the MinHash candidates, the CC cluster frame,
+    * and the repeated-span index (span index + cut queries). */
   private def memoized(s: SparkSession, dir: String, key: String)
-      (build: => DataFrame): DataFrame = {
-    val k = (s, dir, key)
-    memo.get(k).getOrElse {
-      val built = build
-      memo.putIfAbsent(k, built) match {
-        case Some(winner) => built.unpersist(); winner
-        case None => built
-      }
-    }
-  }
-
-  /** Unpersist and drop every memoized frame belonging to `s`. */
-  def clearCaches(s: SparkSession): Unit =
-    memo.keys.filter(_._1 eq s).foreach { k =>
-      memo.remove(k).foreach(_.unpersist())
-    }
+      (build: => DataFrame): DataFrame =
+    graft.SessionMemo.memoized(s, dir, key)(build)
 
   /** Unsorted exact-Jaccard pairs (da, db, shared, jaccard) — the
     * verify-facing query adds the deterministic sort; graph consumers
@@ -207,7 +181,7 @@ object LlmOps {
   /** The df-capped shingle index, materialized once per (session, dir) and
     * shared by the exact-Jaccard self-join AND the MinHash signature build
     * (the index explode + df agg + semi-join dominates both). Owned by the
-    * memo; released by [[clearCaches]]. */
+    * memo; released by [[graft.SessionMemo.clear]]. */
   private def cappedShingleIndex(s: SparkSession, dir: String): DataFrame =
     memoized(s, dir, s"shingles_capped_$jaccardMaxDf") {
       val sh = shinglesCapped(s, dir, jaccardMaxDf).persist()
@@ -231,7 +205,7 @@ object LlmOps {
       .persist()
     // Materialize the (threshold-bounded, tiny) pair set; the shared
     // shingle index stays pinned in the memo for the MinHash path and is
-    // released by clearCaches at end of run.
+    // released by SessionMemo.clear at end of run.
     out.count()
     out
   }
@@ -563,20 +537,6 @@ object LlmOps {
   // synthetic docs (10-99 tokens) while exercising the identical plan.
   private[graft] val spanN = 8
 
-  /** Cross-document repeated-span index — the exact-substring-dedup
-    * primitive (Lee et al. 2021): every `spanN`-token window (step 1,
-    * WITH multiplicity — unlike the distinct shingles near-dup uses)
-    * that occurs in more than one document, keyed by its md5 so only a
-    * 32-char fingerprint travels through the shuffle, never span text.
-    * `first_doc` (min doc_id) is the canonical retention choice a
-    * downstream cut pass applies; production joins this index back to
-    * the corpus to excise the non-canonical occurrences.
-    *
-    * 100 TB shape: one generator explode per doc (no shuffle), then a
-    * single hash aggregation on the span fingerprint — partial map-side
-    * aggregation bounds hot spans (a boilerplate phrase shared by half
-    * the corpus still combines per task before the exchange). No
-    * all-pairs stage exists at any scale. */
   /** (doc_id, i, span_md5): every `spanN`-token window start (0-based)
     * with its span fingerprint — the shared scan both span queries
     * consume. Pure generator explode, no shuffle. */
@@ -589,12 +549,24 @@ object LlmOps {
       .select(col("doc_id"), col("i"),
         md5(concat_ws(" ", expr(s"slice(t, i + 1, $spanN)"))).as("span_md5"))
 
-  /** The repeated-span index (span_md5, n_docs, n_occurrences,
-    * first_doc), filtered to n_docs > 1 BEFORE persisting — the full
-    * window set is corpus-sized and must never be pinned; the repeated
-    * subset is the boilerplate tail, orders of magnitude smaller.
-    * Memoized per (session, dir): the index query and the cut pass share
-    * one build; released by [[clearCaches]]. */
+  /** Cross-document repeated-span index — the exact-substring-dedup
+    * primitive (Lee et al. 2021): every `spanN`-token window (step 1,
+    * WITH multiplicity — unlike the distinct shingles near-dup uses)
+    * that occurs in more than one document, keyed by its md5 so only a
+    * 32-char fingerprint travels through the shuffle, never span text.
+    * `first_doc` (min doc_id) is the canonical retention choice the cut
+    * pass applies.
+    *
+    * 100 TB shape: one generator explode per doc (no shuffle), then a
+    * single hash aggregation on the span fingerprint — partial map-side
+    * aggregation bounds hot spans (a boilerplate phrase shared by half
+    * the corpus still combines per task before the exchange). No
+    * all-pairs stage exists at any scale. Filtered to n_docs > 1 BEFORE
+    * persisting — the full window set is corpus-sized and must never be
+    * pinned; the repeated subset is the boilerplate tail, orders of
+    * magnitude smaller. Memoized per (session, dir): the index query and
+    * the cut pass share one build; released by
+    * [[graft.SessionMemo.clear]]. */
   private def repeatedSpanIndex(s: SparkSession, dir: String): DataFrame =
     memoized(s, dir, "repeated_span_index") {
       val idx = spanWindows(s, dir)
@@ -1275,7 +1247,14 @@ object LlmOps {
       ORDER BY doc_id"""),
     (s, dir) => {
       val tok = docs(s, dir).select(col("doc_id"), explode(toks(col("text"))).as("tk"))
-      val tf = tok.groupBy(col("tk")).agg(count(lit(1)).as("n"))
+      // the TF table is vocabulary-bounded but COSTS a full corpus
+      // explode+agg — memoize it so the broadcast branch and the total
+      // don't re-run that scan (released by SessionMemo.clear)
+      val tf = graft.SessionMemo.memoized(s, dir, "unigram_tf") {
+        val built = tok.groupBy(col("tk")).agg(count(lit(1)).as("n")).persist()
+        built.count()
+        built
+      }
       val tot = tf.agg(sum(col("n")).as("total"))
       tok.join(broadcast(tf), Seq("tk"))
         .groupBy(col("doc_id"))
@@ -1290,6 +1269,9 @@ object LlmOps {
   // contains, so the oracle compare is non-vacuous at every SF;
   // production passes the real blocklist (names, secrets, slurs)
   private val scrubLexicon = Seq("customer", "spark")
+  // the oracle's IN-list form of the lexicon — interpolated so editing
+  // scrubLexicon can never desynchronize the two engines
+  private val scrubLexiconSql = scrubLexicon.map(w => s"'$w'").mkString(", ")
   private val scrubEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val scrubIpv4Re = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
 
@@ -1316,8 +1298,8 @@ object LlmOps {
       m AS (
         SELECT doc_id,
                array_to_string(list_transform(t,
-                 x -> CASE WHEN x IN ('customer', 'spark') THEN '<TERM>' ELSE x END), ' ') AS masked,
-               len(list_filter(t, x -> x IN ('customer', 'spark'))) AS n_masked
+                 x -> CASE WHEN x IN ($scrubLexiconSql) THEN '<TERM>' ELSE x END), ' ') AS masked,
+               len(list_filter(t, x -> x IN ($scrubLexiconSql))) AS n_masked
         FROM t)
       SELECT doc_id,
              regexp_replace(regexp_replace(masked, '$scrubEmailRe', '<EMAIL>', 'g'),

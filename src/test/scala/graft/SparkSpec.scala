@@ -33,7 +33,7 @@ trait SparkSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
   // release LlmOps' memoized frames after each suite (the session itself
   // is shared JVM-wide; the next suite rebuilds what it needs)
   override protected def afterAll(): Unit = {
-    graft.llmops.LlmOps.clearCaches(spark)
+    graft.SessionMemo.clear(spark)
     super.afterAll()
   }
 }

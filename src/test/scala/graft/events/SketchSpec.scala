@@ -80,8 +80,14 @@ class SketchSpec extends SparkSpec {
     monotone(rows.toSeq.map(t => (t._3, t._6))) // frequency -> f_score
     monotone(rows.toSeq.map(t => (t._4, t._7))) // monetary  -> m_score
     monotone(rows.toSeq.map(t => (-t._2, t._5))) // -recency -> r_score
-    // quartile thresholds actually split the population: every score level
-    // that CAN occur does for at least one metric
-    rows.map(_._6).distinct.length should be >= 3
+    // quartile thresholds actually split the population on EVERY metric —
+    // a constant score column (wrong threshold column, misapplied
+    // inversion) trivially satisfies the monotonicity check above.
+    // Recency has only 2-3 distinct day values at test SFs (most users
+    // are active on the final day), so its floor is 2 levels; frequency
+    // and monetary are high-cardinality and must hit >= 3.
+    rows.map(_._5).distinct.length should be >= 2 // r_score
+    rows.map(_._6).distinct.length should be >= 3 // f_score
+    rows.map(_._7).distinct.length should be >= 3 // m_score
   }
 }
