@@ -58,8 +58,11 @@ class VectorizeRuleSpec extends SparkSpec {
 
   test("rewritten plan returns bit-identical results to the interpreted fold") {
     GraftOptimizations.install(spark)
+    // deterministic pair set (NOT limit(): which rows survive a limit on
+    // a crossJoin varies with task scheduling, and this test collects
+    // the frame twice — a flaky key mismatch under load)
     val pairs = vecs.as("a").crossJoin(vecs.as("b"))
-      .filter($"a.vec_id" < $"b.vec_id").limit(500)
+      .filter($"a.vec_id" < $"b.vec_id" && $"b.vec_id" < 33) // 528 pairs
     val viaRule = pairs.select($"a.vec_id", $"b.vec_id", expr(hofDot).as("dot"))
       .as[(Long, Long, Double)].collect().toMap2
     // reference: the expression applied directly, bypassing the rewrite
@@ -87,8 +90,10 @@ class VectorizeRuleSpec extends SparkSpec {
 
   test("float-array HOF (no double cast) rewrites and stays bit-identical") {
     GraftOptimizations.install(spark)
+    // deterministic pair set — this test collects `pairs` twice (via the
+    // rule and raw), so a limit() would flakily select different subsets
     val pairs = vecsF.as("a").crossJoin(vecsF.as("b"))
-      .filter($"a.vec_id" < $"b.vec_id").limit(200)
+      .filter($"a.vec_id" < $"b.vec_id" && $"b.vec_id" < 21) // 210 pairs
     val df = pairs.select($"a.vec_id", $"b.vec_id", expr(hofDot).as("dot"))
     // the analyzer's merge shape over float is acc + cast(v as double);
     // the widened match must still fire
