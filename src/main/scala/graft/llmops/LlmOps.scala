@@ -340,15 +340,11 @@ object LlmOps {
     labels
   }
 
-  /** Dedup clusters: connected components over the union of exact-dup
-    * edges (equal sha256) and near-dup edges (3-gram Jaccard >= 0.5);
-    * canonical = min doc_id per cluster. The oracle reproduces the
-    * components with a recursive transitive-closure CTE — fine at oracle
-    * scale, where Spark runs the linear-shuffle label propagation. */
-  private val e2Clusters = GraftQuery(
-    "llm_e2_dedup_clusters",
-    "connected-component dedup clusters over exact+near-dup edges (E2)",
-    Some(s"""
+  /** The cluster-label CTE both dedup oracles share: exact + near-dup
+    * edges, recursive transitive closure, min-label per doc. MUST stay
+    * the leading token of the query — DuckDB requires `WITH RECURSIVE`
+    * first. */
+  private lazy val clusterLabelsCte = s"""
       WITH RECURSIVE toksrc AS (
         SELECT doc_id, string_split(text, ' ') AS t FROM documents
         WHERE len(string_split(text, ' ')) >= 3),
@@ -378,16 +374,20 @@ object LlmOps {
       reach(s, t) AS (
         SELECT doc_id, doc_id FROM documents
         UNION
-        SELECT r.s, u.t FROM reach r JOIN und u ON r.t = u.s)
-      SELECT s AS doc_id, min(t) AS cluster_id FROM reach
-      GROUP BY s
-      ORDER BY doc_id"""),
-    (s, dir) => memoized(s, dir, "dedup_clusters") {
+        SELECT r.s, u.t FROM reach r JOIN und u ON r.t = u.s),
+      labels AS (
+        SELECT s AS doc_id, min(t) AS cluster_id FROM reach GROUP BY s)"""
+
+  /** The materialized (doc_id, cluster_id) label frame — memo-shared by
+    * the clusters query and the apply pass. Spark runs the
+    * linear-shuffle label propagation; the oracle's recursive
+    * transitive-closure CTE is fine at oracle scale. Exact-dup edges
+    * join on the 256-bit content hash, not raw text: the shuffle
+    * carries 32-byte keys instead of whole document bodies (sha256
+    * collisions are not a practical concern). */
+  private def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    memoized(s, dir, "dedup_clusters") {
       val d = docs(s, dir)
-      // exact-dup edges join on the 256-bit content hash, not the raw
-      // text: the shuffle carries 32-byte keys instead of whole document
-      // bodies (the oracle's a.text = b.text semantics are preserved —
-      // sha256 collisions are not a practical concern)
       val h = d.select(col("doc_id"), sha2(col("text"), 256).as("content_hash"))
       val exact = h.as("a").join(h.as("b"),
           col("a.content_hash") === col("b.content_hash") &&
@@ -404,6 +404,45 @@ object LlmOps {
       out.count() // materialize, then release the propagation cache
       labels.unpersist()
       out
+    }
+
+  /** Dedup clusters: connected components over the union of exact-dup
+    * edges (equal sha256) and near-dup edges (3-gram Jaccard >= 0.5);
+    * canonical = min doc_id per cluster. The oracle reproduces the
+    * components with a recursive transitive-closure CTE — fine at oracle
+    * scale, where Spark runs the linear-shuffle label propagation. */
+  private val e2Clusters = GraftQuery(
+    "llm_e2_dedup_clusters",
+    "connected-component dedup clusters over exact+near-dup edges (E2)",
+    Some(s"""$clusterLabelsCte
+      SELECT doc_id, cluster_id FROM labels
+      ORDER BY doc_id"""),
+    (s, dir) => dedupClusters(s, dir))
+
+  /** Apply the dedup clustering: keep each cluster's canonical (minimum
+    * doc_id) member, reporting how many documents merged into it — the
+    * doc-level twin of [[e2SpanCut]], turning near-dup DETECTION into an
+    * actually-deduplicated corpus. One aggregation over the
+    * (memo-shared, already materialized) label frame, shuffled on
+    * cluster_id — a key whose cardinality scales with the corpus — then
+    * a join back to documents to re-attach attributes. */
+  private val e2DedupApply = GraftQuery(
+    "llm_e2_dedup_apply",
+    "surviving canonical corpus after cluster dedup, with merge counts (E2)",
+    Some(s"""$clusterLabelsCte,
+      g AS (
+        SELECT cluster_id AS doc_id, count(*) AS n_merged
+        FROM labels GROUP BY cluster_id)
+      SELECT g.doc_id, d.lang, g.n_merged
+      FROM g JOIN documents d USING (doc_id)
+      ORDER BY doc_id"""),
+    (s, dir) => {
+      val g = dedupClusters(s, dir)
+        .groupBy(col("cluster_id").as("doc_id"))
+        .agg(count(lit(1)).as("n_merged"))
+      g.join(docs(s, dir).select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("n_merged"))
+        .orderBy("doc_id")
     })
 
 
@@ -1394,7 +1433,7 @@ object LlmOps {
 
   def queries: Seq[GraftQuery] = Seq(
     e1, e1Stats, e2Jaccard, e2MinHash, e2SimHash, e2EmbedCosine, e2Clusters,
-    e2Decontam, e2RepeatedSpans, e2SpanCut, e3TopK, e3Ann, e3Ivf, e3EvalNN,
+    e2DedupApply, e2Decontam, e2RepeatedSpans, e2SpanCut, e3TopK, e3Ann, e3Ivf, e3EvalNN,
     e4Terms, e4Quality,
     e4LangId, e4Fingerprint, e4Rolling, e4Repetition, e4Chunk, e4Mix, e4Scrub,
     e4Surprisal, e4Split, e4Pack)

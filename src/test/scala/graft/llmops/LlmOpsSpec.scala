@@ -215,6 +215,16 @@ class LlmOpsSpec extends SparkSpec {
     spans.length shouldBe 46
   }
 
+  test("dedup apply keeps exactly the canonical docs with their merge counts") {
+    val out = Registry.byName("llm_e2_dedup_apply").run(spark, plantedDir)
+      .select($"doc_id", $"n_merged").as[(Long, Long)].collect().toMap
+    // planted: {0,20,23} and {1,21,22} collapse; 24 docs -> 20 survivors
+    out.keySet shouldBe (0L to 19L).toSet
+    out(0L) shouldBe 3L
+    out(1L) shouldBe 3L
+    (2L to 19L).foreach { id => withClue(s"doc $id: ") { out(id) shouldBe 1L } }
+  }
+
   test("span cut keeps canonical docs intact and excises copies down to their novel tokens") {
     val out = Registry.byName("llm_e2_span_cut").run(spark, plantedDir)
       .select($"doc_id", $"n_tokens", $"n_removed", $"cleaned_text")
