@@ -10,7 +10,8 @@ import org.apache.spark.sql.SparkSession
   * (default 3) and the per-query MEDIAN is reported: single-pass numbers
   * on a shared machine drift 40-60% with ambient load, which made two
   * rounds of recorded benches useless for regression tracking. The
-  * LlmOps memo is cleared between passes so every pass pays the real
+  * shared SessionMemo (LlmOps indexes, the RFM user frame, the unigram
+  * TF table) is cleared between passes so every pass pays the real
   * build cost (within-pass sharing — the production shape — is kept). */
 object Bench {
   def main(args: Array[String]): Unit = {

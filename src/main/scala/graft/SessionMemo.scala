@@ -38,6 +38,18 @@ object SessionMemo {
     }
   }
 
+  /** [[memoized]] with the materialization contract handled here: the
+    * built frame is persisted and counted before registration, so call
+    * sites cannot forget either half. Use [[memoized]] directly only
+    * when the build needs custom persist/release logic. */
+  def materialized(s: SparkSession, dir: String, key: String)
+      (build: => DataFrame): DataFrame =
+    memoized(s, dir, key) {
+      val built = build.persist()
+      built.count()
+      built
+    }
+
   /** Unpersist and drop every memoized frame belonging to `s`. */
   def clear(s: SparkSession): Unit =
     memo.keys.filter(_._1 eq s).foreach { k =>

@@ -518,23 +518,27 @@ object EventAnalytics {
       ORDER BY user_id"""),
     (s, dir) => {
       val ev = events(s, dir).select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
-      val mx = ev.agg(max(col("day")).as("dmax"))
       // aggregate FIRST, then attach the 1-row corpus max to the (small)
       // user frame — never to the corpus-sized event stream. The user
       // frame feeds two plan branches (the percentile-threshold agg AND
-      // the scoring probe side), so it is memoized/persisted — one
-      // events scan per run, released by SessionMemo.clear
+      // the scoring probe side), so it is memoized/persisted and events
+      // is scanned exactly once per run: the corpus max derives from the
+      // cached per-user maxes, not a second pass over events. Released
+      // by SessionMemo.clear.
       val u = graft.SessionMemo.memoized(s, dir, "rfm_user_frame") {
-        val built = ev.groupBy(col("user_id"))
+        val base = ev.groupBy(col("user_id"))
           .agg(max(col("day")).as("last_day"),
             count(lit(1)).as("frequency"),
             round(sum(col("value")) * 100, 0).cast("long").as("monetary_cents"))
-          .crossJoin(broadcast(mx))
+          .persist()
+        val mx = base.agg(max(col("last_day")).as("dmax"))
+        val built = base.crossJoin(broadcast(mx))
           .select(col("user_id"),
             datediff(col("dmax"), col("last_day")).cast("long").as("recency_days"),
             col("frequency"), col("monetary_cents"))
           .persist()
         built.count()
+        base.unpersist()
         built
       }
       val q = u.agg(

@@ -164,7 +164,10 @@ object LlmOps {
     * ownership/concurrency contract. LlmOps pins: the exact-Jaccard pair
     * set (jaccard + dedup-cluster queries), the df-capped shingle index
     * (Jaccard + MinHash), the MinHash candidates, the CC cluster frame,
-    * and the repeated-span index (span index + cut queries). */
+    * and the repeated-span index (span index + cut queries). Sites whose
+    * build is a plain persist+count use [[graft.SessionMemo.materialized]];
+    * the rest (custom release logic) call
+    * [[graft.SessionMemo.memoized]]. */
   private def memoized(s: SparkSession, dir: String, key: String)
       (build: => DataFrame): DataFrame =
     graft.SessionMemo.memoized(s, dir, key)(build)
@@ -183,10 +186,8 @@ object LlmOps {
     * (the index explode + df agg + semi-join dominates both). Owned by the
     * memo; released by [[graft.SessionMemo.clear]]. */
   private def cappedShingleIndex(s: SparkSession, dir: String): DataFrame =
-    memoized(s, dir, s"shingles_capped_$jaccardMaxDf") {
-      val sh = shinglesCapped(s, dir, jaccardMaxDf).persist()
-      sh.count()
-      sh
+    graft.SessionMemo.materialized(s, dir, s"shingles_capped_$jaccardMaxDf") {
+      shinglesCapped(s, dir, jaccardMaxDf)
     }
 
   private def buildJaccardPairs(s: SparkSession, dir: String): DataFrame = {
@@ -607,16 +608,13 @@ object LlmOps {
     * the cut pass share one build; released by
     * [[graft.SessionMemo.clear]]. */
   private def repeatedSpanIndex(s: SparkSession, dir: String): DataFrame =
-    memoized(s, dir, "repeated_span_index") {
-      val idx = spanWindows(s, dir)
+    graft.SessionMemo.materialized(s, dir, "repeated_span_index") {
+      spanWindows(s, dir)
         .groupBy(col("span_md5"))
         .agg(countDistinct(col("doc_id")).as("n_docs"),
           count(lit(1)).as("n_occurrences"),
           min(col("doc_id")).as("first_doc"))
         .filter(col("n_docs") > 1)
-        .persist()
-      idx.count()
-      idx
     }
 
   private val e2RepeatedSpans = GraftQuery(
@@ -1289,10 +1287,8 @@ object LlmOps {
       // the TF table is vocabulary-bounded but COSTS a full corpus
       // explode+agg — memoize it so the broadcast branch and the total
       // don't re-run that scan (released by SessionMemo.clear)
-      val tf = graft.SessionMemo.memoized(s, dir, "unigram_tf") {
-        val built = tok.groupBy(col("tk")).agg(count(lit(1)).as("n")).persist()
-        built.count()
-        built
+      val tf = graft.SessionMemo.materialized(s, dir, "unigram_tf") {
+        tok.groupBy(col("tk")).agg(count(lit(1)).as("n"))
       }
       val tot = tf.agg(sum(col("n")).as("total"))
       tok.join(broadcast(tf), Seq("tk"))
@@ -1308,9 +1304,11 @@ object LlmOps {
   // contains, so the oracle compare is non-vacuous at every SF;
   // production passes the real blocklist (names, secrets, slurs)
   private val scrubLexicon = Seq("customer", "spark")
-  // the oracle's IN-list form of the lexicon — interpolated so editing
-  // scrubLexicon can never desynchronize the two engines
-  private val scrubLexiconSql = scrubLexicon.map(w => s"'$w'").mkString(", ")
+  // the oracle's IN-list form of the lexicon — interpolated (with SQL
+  // quote escaping, so apostrophe-bearing blocklist words survive) so
+  // editing scrubLexicon cannot desynchronize the two engines
+  private val scrubLexiconSql =
+    scrubLexicon.map(w => s"'${w.replace("'", "''")}'").mkString(", ")
   private val scrubEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val scrubIpv4Re = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
 
