@@ -408,8 +408,61 @@ object Relational {
           col("g_status"), col("g_priority"), col("n_orders"), col("total_spend"))
         .orderBy("g_status", "g_priority", "o_orderstatus", "o_orderpriority"))
 
+  /** Register orders/lineitem as parquet tables bucketed (8 buckets,
+    * sorted) on the join key — the co-located-join layout a real
+    * deployment materializes once and amortizes over every downstream
+    * orderkey join. Idempotent per session (catalog check); data lives
+    * under java.io.tmpdir, never the repo. */
+  private[graft] def bucketedOrderTables(s: SparkSession, dir: String): (String, String) = {
+    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    val (ot, lt) = (s"orders_bkt_$tag", s"lineitem_bkt_$tag")
+    def write(name: String, src: String, key: String): Unit =
+      if (!s.catalog.tableExists(name)) {
+        T(s, dir, src).write.format("parquet")
+          .bucketBy(8, key).sortBy(key)
+          .option("path", s"${sys.props("java.io.tmpdir")}/graft_bucketed_${name}")
+          .mode("overwrite").saveAsTable(name)
+      }
+    write(ot, "orders", "o_orderkey")
+    write(lt, "lineitem", "l_orderkey")
+    (ot, lt)
+  }
+
+  /** Fact-fact join over BUCKETED tables (§2.3's orders⋈lineitem, laid
+    * out the way a 100 TB warehouse stores it): both sides bucketed+
+    * sorted on the join key with matching bucket counts, so the
+    * sort-merge join reads co-located buckets and plans NO exchange on
+    * either side — the shuffle that dominates a naive fact-fact join is
+    * paid once at write time and amortized over every query. The spec
+    * (BucketedJoinSpec) asserts the join subtree is exchange-free and
+    * that results match the unbucketed twin; the oracle runs the same
+    * join on the raw parquet. */
+  private val qBucketedJoin = GraftQuery(
+    "q_bucketed_join",
+    "co-located bucketed fact-fact join, zero-exchange SMJ (§2.3)",
+    Some(s"""
+      SELECT o_orderpriority,
+             count(DISTINCT o_orderkey) AS n_orders,
+             ${sqlDsum("l_quantity")} AS total_qty
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority"""),
+    (s, dir) => {
+      val (ot, lt) = bucketedOrderTables(s, dir)
+      s.table(ot)
+        .filter(col("o_orderdate") >= expr("timestamp'1995-01-01 00:00:00'") &&
+          col("o_orderdate") < expr("timestamp'1996-01-01 00:00:00'"))
+        .join(s.table(lt), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_orderkey")).as("n_orders"),
+          dsum(col("l_quantity")).as("total_qty"))
+        .orderBy("o_orderpriority")
+    })
+
   def queries: Seq[GraftQuery] = Seq(
     q1, q3, q5, qSemi, qAnti, qWindowTopk, qWindowRunning, qRollup,
     qDistinctAgg, qSetOps, qScalarFuncs, qDateFuncs, qCasePivot, qTopGlobal,
-    qCube)
+    qCube, qBucketedJoin)
 }
