@@ -27,6 +27,10 @@ object Bench {
       // EventAnalytics.events() normalize to TimestampType
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // keep catalog scaffolding (bucketed-table metadata) out of the
+      // repo working tree — table DATA already goes to tmpdir paths
+      .config("spark.sql.warehouse.dir",
+        s"${sys.props("java.io.tmpdir")}/graft_warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session before timing: JVM/codegen/parquet-reader costs land

@@ -15,6 +15,10 @@ object Verify {
       // EventAnalytics.events() normalize to TimestampType
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // keep catalog scaffolding (bucketed-table metadata) out of the
+      // repo working tree — table DATA already goes to tmpdir paths
+      .config("spark.sql.warehouse.dir",
+        s"${sys.props("java.io.tmpdir")}/graft_warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
