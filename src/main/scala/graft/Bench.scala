@@ -29,8 +29,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       // keep catalog scaffolding (bucketed-table metadata) out of the
       // repo working tree — table DATA already goes to tmpdir paths
-      .config("spark.sql.warehouse.dir",
-        s"${sys.props("java.io.tmpdir")}/graft_warehouse")
+      .config("spark.sql.warehouse.dir", T.warehouseDir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session before timing: JVM/codegen/parquet-reader costs land

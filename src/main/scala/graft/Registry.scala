@@ -31,6 +31,12 @@ object T {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Scratch warehouse for catalog metadata (bucketed tables) shared by
+    * the test session, Bench, and Verify — ONE definition so the
+    * harnesses cannot silently fork layouts, and never the repo CWD
+    * (warehouse.dir is a STATIC conf, set only at session build). */
+  def warehouseDir: String = s"${sys.props("java.io.tmpdir")}/graft_warehouse"
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 

@@ -46,7 +46,10 @@ object SessionMemo {
       (build: => DataFrame): DataFrame =
     memoized(s, dir, key) {
       val built = build.persist()
-      built.count()
+      // a failed materialization must not leave the frame pinned: it is
+      // never registered, so clear() could not release it later
+      try built.count()
+      catch { case t: Throwable => built.unpersist(); throw t }
       built
     }
 

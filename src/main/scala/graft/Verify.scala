@@ -17,8 +17,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // keep catalog scaffolding (bucketed-table metadata) out of the
       // repo working tree — table DATA already goes to tmpdir paths
-      .config("spark.sql.warehouse.dir",
-        s"${sys.props("java.io.tmpdir")}/graft_warehouse")
+      .config("spark.sql.warehouse.dir", T.warehouseDir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -531,15 +531,17 @@ object EventAnalytics {
             count(lit(1)).as("frequency"),
             round(sum(col("value")) * 100, 0).cast("long").as("monetary_cents"))
           .persist()
-        val mx = base.agg(max(col("last_day")).as("dmax"))
-        val built = base.crossJoin(broadcast(mx))
-          .select(col("user_id"),
-            datediff(col("dmax"), col("last_day")).cast("long").as("recency_days"),
-            col("frequency"), col("monetary_cents"))
-          .persist()
-        built.count()
-        base.unpersist()
-        built
+        try {
+          val mx = base.agg(max(col("last_day")).as("dmax"))
+          val built = base.crossJoin(broadcast(mx))
+            .select(col("user_id"),
+              datediff(col("dmax"), col("last_day")).cast("long").as("recency_days"),
+              col("frequency"), col("monetary_cents"))
+            .persist()
+          try built.count()
+          catch { case t: Throwable => built.unpersist(); throw t }
+          built
+        } finally base.unpersist() // scratch either way; built stands alone once counted
       }
       val q = u.agg(
         expr("percentile(recency_days, 0.25D)").as("r1"),

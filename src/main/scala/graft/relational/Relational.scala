@@ -414,7 +414,10 @@ object Relational {
     * orderkey join. Idempotent per session (catalog check); data lives
     * under java.io.tmpdir, never the repo. */
   private[graft] def bucketedOrderTables(s: SparkSession, dir: String): (String, String) = {
-    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    // identity = full sanitized dir (hashCode could collide two dirs onto
+    // one table) + pid (a fixed shared path would let a concurrent JVM's
+    // overwrite race this one's scan)
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_") + "_p" + ProcessHandle.current().pid()
     val (ot, lt) = (s"orders_bkt_$tag", s"lineitem_bkt_$tag")
     def write(name: String, src: String, key: String): Unit =
       if (!s.catalog.tableExists(name)) {
