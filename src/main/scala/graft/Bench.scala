@@ -63,6 +63,7 @@ object Bench {
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"repeats":$repeats,"sf":"$sfDir"}""")
     graft.SessionMemo.clear(spark)
+    graft.relational.Relational.dropBucketedTables(spark)
     spark.stop()
   }
 }

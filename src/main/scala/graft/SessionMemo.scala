@@ -16,11 +16,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    `Bench.main` / `Verify.main`.
   * Concurrency: a lost first-access race builds twice; the loser's
   * persisted frame is unpersisted immediately, so exactly one copy
-  * stays pinned either way. */
+  * stays pinned either way. A [[clear]] racing an in-flight build is
+  * also safe: registration is epoch-guarded, so a build that started
+  * before the clear hands back its (correct) frame UNCACHED and
+  * unregistered instead of re-pinning it past the release point. */
 object SessionMemo {
 
   private val memo =
     scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]()
+  // epoch fences registration against clear(): bumped under `lock` by
+  // every clear, read under `lock` before a build starts
+  private val lock = new Object
+  private var epoch = 0L
 
   /** The memoized frame for (s, dir, key), building (and thereby
     * persisting) it on first access. `build` must return an
@@ -30,10 +37,14 @@ object SessionMemo {
       (build: => DataFrame): DataFrame = {
     val k = (s, dir, key)
     memo.get(k).getOrElse {
-      val built = build
-      memo.putIfAbsent(k, built) match {
-        case Some(winner) => built.unpersist(); winner
-        case None => built
+      val e0 = lock.synchronized(epoch)
+      val built = build // outside the lock: builds stay concurrent
+      lock.synchronized {
+        if (epoch != e0) { built.unpersist(); built } // clear() won: don't re-pin
+        else memo.putIfAbsent(k, built) match {
+          case Some(winner) => built.unpersist(); winner
+          case None => built
+        }
       }
     }
   }
@@ -53,9 +64,13 @@ object SessionMemo {
       built
     }
 
-  /** Unpersist and drop every memoized frame belonging to `s`. */
-  def clear(s: SparkSession): Unit =
+  /** Unpersist and drop every memoized frame belonging to `s`. Builds
+    * in flight when this runs will NOT register afterwards (epoch
+    * guard) — nothing stays pinned past this call. */
+  def clear(s: SparkSession): Unit = lock.synchronized {
+    epoch += 1
     memo.keys.filter(_._1 eq s).foreach { k =>
       memo.remove(k).foreach(_.unpersist())
     }
+  }
 }

@@ -44,6 +44,7 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     graft.SessionMemo.clear(spark)
+    graft.relational.Relational.dropBucketedTables(spark)
     spark.stop()
   }
 }

@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -35,6 +36,22 @@ final case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
+
+  // the eval paths read BOTH sides with one accessor keyed off the left
+  // type, so mixed float/double inputs must be an analysis error, not a
+  // silent misread of double-backed ArrayData through getFloat (the
+  // optimizer rule only ever builds same-typed pairs, but `vec_dot` is
+  // also a registered SQL function any query can call directly)
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(lt, _), ArrayType(rt, _))
+          if (lt == FloatType || lt == DoubleType) && rt == lt =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two arrays of the same element type " +
+          s"(both array<float> or both array<double>), got " +
+          s"${l.catalogString} and ${r.catalogString}")
+    }
 
   private lazy val floatInputs = left.dataType match {
     case ArrayType(FloatType, _) => true

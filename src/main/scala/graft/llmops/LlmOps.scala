@@ -526,11 +526,18 @@ object LlmOps {
   // short synthetic docs while exercising the identical plan shape.
   private[graft] val decontamN = 5
 
+  /** Eval split membership rule (every `evalSplitMod`-th doc_id) shared
+    * by the batch query and the streaming twin, so both sides agree on
+    * what counts as a training doc. */
+  private[graft] val evalSplitMod = 50
+  private[graft] def isEvalDoc(c: Column): Column = c % evalSplitMod === 0
+  private[graft] def isTrainDoc(c: Column): Column = c % evalSplitMod =!= 0
+
   /** The static eval-split n-gram index (modeled as every 50th doc_id;
     * production passes the real benchmark table) — the broadcast build
     * side of both the batch query and the streaming twin. */
   private[graft] def evalNgramIndex(s: SparkSession, dir: String): DataFrame =
-    docNgrams(docs(s, dir).filter(col("doc_id") % 50 === 0), decontamN)
+    docNgrams(docs(s, dir).filter(isEvalDoc(col("doc_id"))), decontamN)
       .select(col("doc_id").as("eval_id"), col("s"))
 
   /** Benchmark decontamination: flag every training doc that shares ANY
@@ -563,7 +570,7 @@ object LlmOps {
       ORDER BY tr.doc_id"""),
     (s, dir) => {
       val ev = evalNgramIndex(s, dir)
-      val tr = docNgrams(docs(s, dir).filter(col("doc_id") % 50 =!= 0), decontamN)
+      val tr = docNgrams(docs(s, dir).filter(isTrainDoc(col("doc_id"))), decontamN)
       tr.join(broadcast(ev), Seq("s"))
         .groupBy(col("doc_id"))
         .agg(countDistinct(col("eval_id")).as("n_eval_docs"),

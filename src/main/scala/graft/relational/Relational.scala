@@ -413,22 +413,48 @@ object Relational {
     * deployment materializes once and amortizes over every downstream
     * orderkey join. Idempotent per session (catalog check); data lives
     * under java.io.tmpdir, never the repo. */
+  // serializes check-then-write below (two threads could both see the
+  // table missing and race the same saveAsTable) and remembers what this
+  // JVM created so dropBucketedTables can release it at session end
+  private val bucketedLock = new Object
+  private val bucketedCreated =
+    scala.collection.mutable.LinkedHashMap[(SparkSession, String), String]()
+
   private[graft] def bucketedOrderTables(s: SparkSession, dir: String): (String, String) = {
     // identity = full sanitized dir (hashCode could collide two dirs onto
     // one table) + pid (a fixed shared path would let a concurrent JVM's
     // overwrite race this one's scan)
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_") + "_p" + ProcessHandle.current().pid()
     val (ot, lt) = (s"orders_bkt_$tag", s"lineitem_bkt_$tag")
-    def write(name: String, src: String, key: String): Unit =
+    def write(name: String, src: String, key: String): Unit = bucketedLock.synchronized {
       if (!s.catalog.tableExists(name)) {
+        val path = s"${sys.props("java.io.tmpdir")}/graft_bucketed_${name}"
         T(s, dir, src).write.format("parquet")
           .bucketBy(8, key).sortBy(key)
-          .option("path", s"${sys.props("java.io.tmpdir")}/graft_bucketed_${name}")
+          .option("path", path)
           .mode("overwrite").saveAsTable(name)
+        bucketedCreated((s, name)) = path
       }
+    }
     write(ot, "orders", "o_orderkey")
     write(lt, "lineitem", "l_orderkey")
     (ot, lt)
+  }
+
+  /** Drop every bucketed table this JVM created for `s` and delete its
+    * tmpdir data. Called at END of session (Bench/Verify main, test
+    * afterAll) — not between bench passes, since the whole point of the
+    * bucketed layout is that the write cost is paid once and amortized. */
+  private[graft] def dropBucketedTables(s: SparkSession): Unit = bucketedLock.synchronized {
+    bucketedCreated.keys.filter(_._1 eq s).toList.foreach { k =>
+      val path = bucketedCreated.remove(k).get
+      s.sql(s"DROP TABLE IF EXISTS ${k._2}")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).toList.flatten.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(path))
+    }
   }
 
   /** Fact-fact join over BUCKETED tables (§2.3's orders⋈lineitem, laid

@@ -121,10 +121,15 @@ object EventStreams {
     * itself keeps no stream-side state. A doc matching several eval
     * n-grams would flag repeatedly, so flags are collapsed per doc_id
     * with watermark-bounded dedup state. Emits one (doc_id, ts) per
-    * contaminated doc, append-mode-ready. */
+    * contaminated doc, append-mode-ready.
+    *
+    * Mirrors the batch twin's split discipline: eval-split docs arriving
+    * on the stream are dropped up front (an eval doc would otherwise
+    * "contaminate" against itself), so only training docs are checked. */
   def decontamFlags(docs: DataFrame, evalNgrams: DataFrame,
       watermark: String = "1 hour"): DataFrame =
     docs
+      .filter(graft.llmops.LlmOps.isTrainDoc(col("doc_id")))
       .withWatermark("ts", watermark)
       .select(col("ts"), col("doc_id"), split(col("text"), " ", -1).as("t"))
       .filter(size(col("t")) >= graft.llmops.LlmOps.decontamN)

@@ -34,6 +34,7 @@ trait SparkSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
   // is shared JVM-wide; the next suite rebuilds what it needs)
   override protected def afterAll(): Unit = {
     graft.SessionMemo.clear(spark)
+    graft.relational.Relational.dropBucketedTables(spark)
     super.afterAll()
   }
 }

@@ -18,6 +18,24 @@ class GraftExtensionsSpec extends SparkSpec {
       .as[Int].head() shouldBe 3 // 18 chars -> 3 windows of 16
   }
 
+  test("vec_dot rejects mixed float/double inputs at analysis time") {
+    GraftFunctions.register(spark)
+    // both eval paths read BOTH sides with one accessor keyed off the
+    // left type — a mixed call must fail analysis, not silently read
+    // double-backed ArrayData as floats
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        "SELECT vec_dot(CAST(array(1.0, 2.0) AS array<float>), array(3D, 4D))")
+        .collect()
+    }
+    e.getMessage should include("vec_dot")
+    // same-typed float arrays stay accepted (the optimizer-rule shape)
+    spark.sql(
+      """SELECT vec_dot(CAST(array(1.0, 2.0) AS array<float>),
+        |               CAST(array(3.0, 4.0) AS array<float>)) AS d""".stripMargin)
+      .as[Double].head() shouldBe 11.0
+  }
+
   test("SQL results agree with the Column API") {
     GraftFunctions.register(spark)
     val viaSql = spark.sql("SELECT simhash64(array('slow', 'big', 'dup')) AS h")

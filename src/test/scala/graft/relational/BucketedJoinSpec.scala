@@ -44,4 +44,18 @@ class BucketedJoinSpec extends SparkSpec {
       .as[(String, Long, Double)].collect().toSeq
     viaBuckets shouldBe viaRaw
   }
+
+  test("dropBucketedTables drops the catalog entries and deletes the tmpdir data") {
+    val (ot, lt) = Relational.bucketedOrderTables(spark, sfDir)
+    val paths = Seq(ot, lt).map(n =>
+      new java.io.File(s"${sys.props("java.io.tmpdir")}/graft_bucketed_$n"))
+    paths.foreach(_.exists() shouldBe true)
+    Relational.dropBucketedTables(spark)
+    spark.catalog.tableExists(ot) shouldBe false
+    spark.catalog.tableExists(lt) shouldBe false
+    paths.foreach(_.exists() shouldBe false)
+    // recreate on demand still works after a drop (idempotent lifecycle)
+    val (ot2, _) = Relational.bucketedOrderTables(spark, sfDir)
+    spark.catalog.tableExists(ot2) shouldBe true
+  }
 }

@@ -179,14 +179,19 @@ class EventStreamsSpec extends SparkSpec {
       (ts(1), 2L, "one two three four five six seven"))) // clean
     stream.addData(Seq(
       (ts(2), 3L, "alpha beta gamma delta eps zeta tail"), // flagged in batch 2
-      (ts(3), 1L, "xx alpha beta gamma delta eps yy")))    // re-arrival -> deduped
+      (ts(3), 1L, "xx alpha beta gamma delta eps yy"),     // re-arrival -> deduped
+      // an EVAL-split doc (doc_id % 50 == 0) arriving on the stream: its
+      // text matches the index verbatim, but the train-split filter must
+      // drop it before the join — an eval doc cannot flag itself
+      (ts(4), 50L, "alpha beta gamma delta eps zeta")))
     val q = EventStreams.decontamFlags(
         stream.toDF().toDF("ts", "doc_id", "text"), evalIdx)
       .writeStream.format("memory").queryName("decontam_t")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.processAllAvailable(); q.stop()
     // one flag per contaminated doc: 1 and 3, the clean doc absent, the
-    // duplicate arrival of doc 1 collapsed by the watermark-bounded dedup
+    // duplicate arrival of doc 1 collapsed by the watermark-bounded dedup,
+    // and the eval-split doc 50 excluded by the train filter
     spark.table("decontam_t").select($"doc_id").as[Long].collect().sorted.toSeq shouldBe
       Seq(1L, 3L)
   }
