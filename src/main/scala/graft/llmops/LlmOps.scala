@@ -115,6 +115,61 @@ object LlmOps {
         countDistinct(col("text")).as("n_unique"),
         (count(lit(1)) - countDistinct(col("text"))).as("n_duplicates")))
 
+  // incoming-batch membership rule for incremental dedup: doc_id % 10 == 7
+  // models the daily ingest slice; production passes the real batch table.
+  private val incomingMod = 10
+  private val incomingRem = 7
+
+  /** Incremental ingest dedup (E1's daily-batch shape): classify each doc
+    * of an incoming batch against the existing corpus — `dup_of_corpus`
+    * (content hash already in the corpus), `dup_in_batch` (first
+    * occurrence inside the batch wins, later copies flagged), or `novel`.
+    *
+    * 100 TB posture: the corpus is NEVER shuffled. Its scan is semi-joined
+    * against the BROADCAST set of incoming hashes (the batch is small by
+    * construction), producing the tiny matched-hash set, which is
+    * broadcast back onto the batch; the only shuffle is the batch-sized
+    * window that ranks within-batch copies. Compare: a naive
+    * `incoming JOIN corpus ON hash` shuffles 100 TB of hashes every day. */
+  private val e1Incremental = GraftQuery(
+    "llm_e1_incremental_dedup",
+    "incoming batch vs corpus: dup_of_corpus / dup_in_batch / novel (E1)",
+    Some(s"""
+      WITH d AS (SELECT doc_id, sha256(text) AS h FROM documents),
+      inc AS (SELECT doc_id, h FROM d WHERE doc_id % $incomingMod = $incomingRem),
+      cor AS (SELECT DISTINCT h FROM d WHERE doc_id % $incomingMod <> $incomingRem),
+      j AS (
+        SELECT i.doc_id, (c.h IS NOT NULL) AS in_corpus,
+               row_number() OVER (PARTITION BY i.h ORDER BY i.doc_id) AS rn
+        FROM inc i LEFT JOIN cor c ON i.h = c.h)
+      SELECT doc_id,
+        CASE WHEN in_corpus THEN 'dup_of_corpus'
+             WHEN rn > 1 THEN 'dup_in_batch'
+             ELSE 'novel' END AS status
+      FROM j ORDER BY doc_id"""),
+    (s, dir) => {
+      val hashed = docs(s, dir)
+        .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      val inc = hashed.filter(col("doc_id") % incomingMod === incomingRem)
+      val cor = hashed.filter(col("doc_id") % incomingMod =!= incomingRem)
+      // corpus-side scan, broadcast semi-join, then DISTINCT over the
+      // (batch-bounded) matches: the corpus contributes only hashes that
+      // the batch also has, and only once each
+      val matched = cor
+        .join(broadcast(inc.select(col("h")).distinct()), Seq("h"), "left_semi")
+        .select(col("h")).distinct()
+        .withColumn("in_corpus", lit(true))
+      val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+      inc
+        .join(broadcast(matched), Seq("h"), "left")
+        .withColumn("rn", row_number().over(w))
+        .select(col("doc_id"),
+          when(col("in_corpus"), "dup_of_corpus")
+            .when(col("rn") > 1, "dup_in_batch")
+            .otherwise("novel").as("status"))
+        .orderBy("doc_id")
+    })
+
   // ---------------------------------------------------------------------
   // E2: near-duplicate detection
   // ---------------------------------------------------------------------
@@ -1394,10 +1449,9 @@ object LlmOps {
     * Spark's Window gets a partitionBy, so the sort never funnels the
     * corpus through one task. Pack ids are (partition, local pack)
     * flattened into one BIGINT. */
-  private val e4Pack = GraftQuery(
-    "llm_e4_shuffle_pack",
-    "deterministic hash-shuffle + partitioned token-budget packing (E4)",
-    Some(s"""
+  // the pack frame (pack_id, n_docs, pack_tokens) shared by the packing
+  // query and the efficiency audit — one definition on each engine side
+  private val packCteSql = s"""
       WITH t AS (
         SELECT doc_id,
                md5(CAST(doc_id AS VARCHAR)) AS shuffle_key,
@@ -1411,35 +1465,128 @@ object LlmOps {
         SELECT part, n_tokens,
           SUM(n_tokens) OVER (PARTITION BY part ORDER BY shuffle_key, doc_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        FROM p)
-      SELECT CAST(part * $packShift + floor((cum - n_tokens) / $packTokens) AS BIGINT) AS pack_id,
-             COUNT(*) AS n_docs,
-             CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
-      FROM c
-      GROUP BY 1
-      ORDER BY pack_id"""),
-    (s, dir) => {
-      val w = Window.partitionBy(col("part"))
-        .orderBy(col("shuffle_key"), col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        FROM p),
+      packs AS (
+        SELECT CAST(part * $packShift + floor((cum - n_tokens) / $packTokens) AS BIGINT) AS pack_id,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+        FROM c
+        GROUP BY 1)"""
+
+  private def packFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("part"))
+      .orderBy(col("shuffle_key"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(s, dir)
+      .select(col("doc_id"),
+        md5(col("doc_id").cast("string")).as("shuffle_key"),
+        size(toks(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("part",
+        conv(substring(col("shuffle_key"), 1, 4), 16, 10).cast("long") % packParts)
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("pack_id",
+        col("part") * packShift + floor((col("cum") - col("n_tokens")) / packTokens))
+      .groupBy(col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"))
+  }
+
+  private val e4Pack = GraftQuery(
+    "llm_e4_shuffle_pack",
+    "deterministic hash-shuffle + partitioned token-budget packing (E4)",
+    Some(s"""$packCteSql
+      SELECT pack_id, n_docs, pack_tokens FROM packs ORDER BY pack_id"""),
+    (s, dir) => packFrame(s, dir).orderBy("pack_id"))
+
+  /** Packing-efficiency audit over [[packFrame]]: how much of the token
+    * budget the greedy pack assignment actually fills. `padded_tokens`
+    * is what the training job reads after padding every pack up to a
+    * multiple of the sequence length; `efficiency_bp` = real/padded in
+    * basis points, computed with explicit floor so both engines do the
+    * identical double->int step. One extra agg over the (tiny,
+    * pack-count-sized) pack frame — the corpus is not rescanned beyond
+    * the packing pipeline itself. */
+  private val e4PackEff = GraftQuery(
+    "llm_e4_pack_efficiency",
+    "sequence-packing fill/padding audit over the pack frame (E4)",
+    Some(s"""$packCteSql
+      SELECT COUNT(*) AS n_packs,
+             CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+             CAST(SUM(pack_tokens) AS BIGINT) AS total_tokens,
+             CAST(MIN(pack_tokens) AS BIGINT) AS min_pack_tokens,
+             CAST(MAX(pack_tokens) AS BIGINT) AS max_pack_tokens,
+             CAST(SUM(CAST(ceil(pack_tokens * 1.0 / $packTokens) AS BIGINT) * $packTokens) AS BIGINT) AS padded_tokens,
+             CAST(floor(SUM(pack_tokens) * 10000.0 /
+               SUM(CAST(ceil(pack_tokens * 1.0 / $packTokens) AS BIGINT) * $packTokens)) AS BIGINT) AS efficiency_bp
+      FROM packs"""),
+    (s, dir) =>
+      packFrame(s, dir)
+        .agg(
+          count(lit(1)).as("n_packs"),
+          sum(col("n_docs")).as("n_docs"),
+          sum(col("pack_tokens")).as("total_tokens"),
+          min(col("pack_tokens")).as("min_pack_tokens"),
+          max(col("pack_tokens")).as("max_pack_tokens"),
+          sum(ceil(col("pack_tokens") * lit(1.0) / packTokens).cast("long") * packTokens)
+            .as("padded_tokens"))
+        .select(col("n_packs"), col("n_docs"), col("total_tokens"),
+          col("min_pack_tokens"), col("max_pack_tokens"), col("padded_tokens"),
+          floor(col("total_tokens") * lit(10000.0) / col("padded_tokens"))
+            .cast("long").as("efficiency_bp")))
+
+  // quality-filter cascade thresholds (Gopher/C4-style rules, tuned so
+  // every rule fires on the synthetic corpus — see FilterCascade spec)
+  private val cascadeMinTokens = 15
+  private val cascadeStopwords = Seq("the", "a", "of", "and", "to")
+  private val cascadeMinDistinct = 0.35
+  private val cascadeMwl = (3.9, 6.0)
+
+  /** Quality-filter cascade (the C4/Gopher cleaning pass): ordered rules,
+    * each doc attributed to its FIRST failing rule — too short, no
+    * stopword (gibberish signal), low token diversity (repetition
+    * signal), mean-word-length outside the natural-language band — or
+    * `pass`. Mean word length is computed as (chars - spaces)/tokens in
+    * integer arithmetic before ONE division, so both engines produce the
+    * identical double. One scan, all rules evaluated per-row map-side;
+    * the only movement is the final orderBy — at 100 TB this is the
+    * cheapest pass in the pipeline and the first one run. */
+  private val e4Cascade = GraftQuery(
+    "llm_e4_filter_cascade",
+    "ordered quality-filter cascade, first-failing-rule attribution (E4)",
+    Some(s"""
+      WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+      m AS (SELECT doc_id, len(w) AS n, len(list_distinct(w)) AS nd,
+              list_has_any(w, [${cascadeStopwords.map("'" + _ + "'").mkString(", ")}]) AS has_stop,
+              (length(text) - len(w) + 1) * 1.0 / len(w) AS mwl
+            FROM t)
+      SELECT doc_id,
+        CASE WHEN n < $cascadeMinTokens THEN 'r1_too_short'
+             WHEN NOT has_stop THEN 'r2_no_stopword'
+             WHEN nd * 1.0 / n < $cascadeMinDistinct THEN 'r3_low_diversity'
+             WHEN mwl < ${cascadeMwl._1} OR mwl > ${cascadeMwl._2} THEN 'r4_word_shape'
+             ELSE 'pass' END AS verdict,
+        n AS n_tokens
+      FROM m ORDER BY doc_id"""),
+    (s, dir) =>
       docs(s, dir)
+        .select(col("doc_id"), col("text"), toks(col("text")).as("w"))
         .select(col("doc_id"),
-          md5(col("doc_id").cast("string")).as("shuffle_key"),
-          size(toks(col("text"))).cast("long").as("n_tokens"))
-        .withColumn("part",
-          conv(substring(col("shuffle_key"), 1, 4), 16, 10).cast("long") % packParts)
-        .withColumn("cum", sum(col("n_tokens")).over(w))
-        .withColumn("pack_id",
-          col("part") * packShift + floor((col("cum") - col("n_tokens")) / packTokens))
-        .groupBy(col("pack_id"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"))
-        .orderBy("pack_id")
-    })
+          size(col("w")).cast("long").as("n"),
+          size(array_distinct(col("w"))).cast("long").as("nd"),
+          arrays_overlap(col("w"), array(cascadeStopwords.map(lit): _*)).as("has_stop"),
+          ((length(col("text")) - size(col("w")) + 1) * lit(1.0) / size(col("w"))).as("mwl"))
+        .select(col("doc_id"),
+          when(col("n") < cascadeMinTokens, "r1_too_short")
+            .when(!col("has_stop"), "r2_no_stopword")
+            .when(col("nd") * lit(1.0) / col("n") < cascadeMinDistinct, "r3_low_diversity")
+            .when(col("mwl") < cascadeMwl._1 || col("mwl") > cascadeMwl._2, "r4_word_shape")
+            .otherwise("pass").as("verdict"),
+          col("n").as("n_tokens"))
+        .orderBy("doc_id"))
 
   def queries: Seq[GraftQuery] = Seq(
-    e1, e1Stats, e2Jaccard, e2MinHash, e2SimHash, e2EmbedCosine, e2Clusters,
+    e1, e1Stats, e1Incremental, e2Jaccard, e2MinHash, e2SimHash, e2EmbedCosine, e2Clusters,
     e2DedupApply, e2Decontam, e2RepeatedSpans, e2SpanCut, e3TopK, e3Ann, e3Ivf, e3EvalNN,
     e4Terms, e4Quality,
     e4LangId, e4Fingerprint, e4Rolling, e4Repetition, e4Chunk, e4Mix, e4Scrub,
-    e4Surprisal, e4Split, e4Pack)
+    e4Surprisal, e4Split, e4Pack, e4PackEff, e4Cascade)
 }

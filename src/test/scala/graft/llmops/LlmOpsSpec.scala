@@ -381,4 +381,62 @@ class LlmOpsSpec extends SparkSpec {
     fanOut(capped) should be <= nShingles * maxDf * (maxDf - 1) / 2
     fanOut(uncapped) should be >= 190L // the stop-shingle's df² term alone
   }
+
+  test("incremental dedup classifies batch docs against corpus and within batch") {
+    // incoming = doc_id % 10 == 7; corpus = everything else. Planted:
+    //   corpus 1:"A" 2:"B" 3:"C"
+    //   batch  7:"A" (dup_of_corpus)  17:"X" (novel, first of pair)
+    //          27:"X" (dup_in_batch)  37:"Y" (novel)  47:"B" (dup_of_corpus)
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_test_incremental"
+    Seq(
+      (1L, "alpha beta gamma"), (2L, "delta eps zeta"), (3L, "eta theta iota"),
+      (7L, "alpha beta gamma"), (17L, "kappa mu nu"), (27L, "kappa mu nu"),
+      (37L, "xi omicron pi"), (47L, "delta eps zeta"))
+      .map { case (i, t) => (i, t, "en", "fixture", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Registry.byName("llm_e1_incremental_dedup").run(spark, dir)
+      .as[(Long, String)].collect().toMap
+    out shouldBe Map(
+      7L -> "dup_of_corpus", 17L -> "novel", 27L -> "dup_in_batch",
+      37L -> "novel", 47L -> "dup_of_corpus")
+  }
+
+  test("filter cascade attributes each doc to its FIRST failing rule") {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_test_cascade"
+    def rep(w: String, n: Int) = Seq.fill(n)(w)
+    val docs = Seq(
+      // too short AND stopword-free: r1 must win (cascade order)
+      0L -> "zz yy xx",
+      // 20 diverse tokens, no stopword -> r2
+      1L -> (1 to 20).map(i => s"word$i").mkString(" "),
+      // has 'the', 20 tokens but only 2 distinct -> r3 (2/20 < 0.35)
+      2L -> ("the " + rep("xxxxx", 19).mkString(" ")),
+      // has 'the', diverse, but 2-char words -> mwl 2.05 < 3.9 -> r4
+      3L -> ("the " + (1 to 19).map(i => f"${('a' + i % 26).toChar}${('b' + i / 26).toChar}").mkString(" ")),
+      // clean: the + 19 distinct 5-char words, mwl 4.9 -> pass
+      4L -> ("the " + (1 to 19).map(i => f"word$i%02d".take(6)).mkString(" ")))
+    docs.map { case (i, t) => (i, t, "en", "fixture", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Registry.byName("llm_e4_filter_cascade").run(spark, dir)
+      .select($"doc_id", $"verdict").as[(Long, String)].collect().toMap
+    out shouldBe Map(
+      0L -> "r1_too_short", 1L -> "r2_no_stopword", 2L -> "r3_low_diversity",
+      3L -> "r4_word_shape", 4L -> "pass")
+  }
+
+  test("pack efficiency is consistent with the pack frame it audits") {
+    val packs = run("llm_e4_shuffle_pack")
+      .agg(count(lit(1)), sum($"n_docs"), sum($"pack_tokens"))
+      .as[(Long, Long, Long)].head()
+    val eff = run("llm_e4_pack_efficiency")
+      .select($"n_packs", $"n_docs", $"total_tokens", $"padded_tokens", $"efficiency_bp")
+      .as[(Long, Long, Long, Long, Long)].head()
+    (eff._1, eff._2, eff._3) shouldBe packs
+    eff._4 should be >= eff._3          // padding only adds tokens
+    eff._4 % 256 shouldBe 0L            // padded to the sequence length
+    eff._5 should be <= 10000L          // efficiency is a fraction in bp
+    eff._5 shouldBe (eff._3 * 10000L) / eff._4 // integer identity
+  }
 }
