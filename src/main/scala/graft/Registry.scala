@@ -74,9 +74,12 @@ object Registry {
       relational.Advanced.queries ++
       relational.Subqueries.queries ++
       events.EventAnalytics.queries ++
+      events.Lifecycle.queries ++
       llmops.LlmOps.queries ++
       llmops.TextRanking.queries ++
-      llmops.Multimodal.queries
+      llmops.Retrieval.queries ++
+      llmops.Multimodal.queries ++
+      sources.Formats.queries
 
   def byName(name: String): GraftQuery =
     all.find(_.name == name).getOrElse(

@@ -1,0 +1,225 @@
+package graft.llmops
+
+import graft.{GraftQuery, T}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus retrieval + distribution analysis (extension family E4,
+  * continued): BM25 keyword retrieval, bigram collocation mining, and
+  * quantile-boundary bucketing — the ranked-search and corpus-statistics
+  * ops a training-data pipeline runs when curating by topic or auditing
+  * the quality distribution.
+  *
+  * Determinism discipline (same as [[TextRanking]]): every score is a
+  * fixed parenthesization of IEEE-754 double ops over exact integer
+  * inputs, written identically in the Spark plan and the DuckDB oracle —
+  * both engines round each op identically, so results are bit-equal
+  * with no tolerance or rounding step. Logarithm-free variants are used
+  * throughout (rational BM25 idf, lift instead of log-PMI): libm log is
+  * the one op that can differ in the last ulp between engines, and every
+  * ranking these queries produce is invariant under the monotone
+  * transform.
+  */
+object Retrieval {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = T(s, dir, "documents")
+  private def toks(text: Column): Column = split(text, " ", -1)
+
+  /** Fixed query-term set for the BM25 demo — three mid-frequency terms
+    * from the synthetic vocabulary. A real deployment parameterizes
+    * this; the contract query pins it so the oracle is closed-form. */
+  private val bm25Terms = Seq("join", "scan", "filter")
+
+  /** BM25 top-10 documents per query term (k1 = 1.2, b = 0.75), with a
+    * rational idf `(N - df + 0.5) / (df + 0.5)` — the standard BM25 idf
+    * minus the log, which preserves per-term ranking (log is monotone)
+    * while keeping the score a short chain of exact-input double ops.
+    *
+    * Scale shape: the term filter lands BEFORE the tf aggregation, so
+    * the explode → filter → agg pipeline only shuffles rows for the
+    * query terms (|terms| × docs-containing-term, not the full
+    * posting list); doc lengths come straight off the documents scan
+    * (no second explode); N/avgdl is a 1-row broadcast; the final
+    * per-term top-10 is a bounded window over |terms| partitions of
+    * df(term) rows. At 100 TB the only wide plan edges are the tf
+    * aggregation (keyed by doc × query-term) and the small window. */
+  private val bm25 = GraftQuery(
+    "llm_e4_bm25_topdocs",
+    "BM25 (rational idf) top-10 docs per query term (E4)",
+    Some(s"""
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      dl AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+      stats AS (
+        SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+      tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM tok
+        WHERE term IN (${bm25Terms.map(t => s"'$t'").mkString(", ")})
+        GROUP BY doc_id, term),
+      df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      scored AS (
+        -- every fractional constant CAST to DOUBLE: a bare 0.5 is a DECIMAL
+        -- literal in DuckDB and the decimal-typed chain diverges last-ulp
+        -- against the Spark-side double chain
+        SELECT tf.term, tf.doc_id, tf.tf, dl.dl,
+               ((stats.n - df.df + CAST(0.5 AS DOUBLE)) / (df.df + CAST(0.5 AS DOUBLE)))
+                 * ((tf.tf * CAST(2.2 AS DOUBLE))
+                    / (tf.tf + CAST(1.2 AS DOUBLE)
+                       * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+                          * (CAST(dl.dl AS DOUBLE) / stats.avgdl)))) AS score
+        FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY term ORDER BY score DESC, doc_id) AS rk
+        FROM scored)
+      SELECT term, doc_id, CAST(tf AS BIGINT) AS tf, CAST(dl AS BIGINT) AS dl, score
+      FROM ranked WHERE rk <= 10
+      ORDER BY term, score DESC, doc_id"""),
+    (s, dir) => {
+      val d = docs(s, dir)
+      val tok = d.select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      val dl = d.select(col("doc_id"), size(toks(col("text"))).cast("long").as("dl"))
+      val stats = dl.agg(
+        count(lit(1)).as("n"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      val tf = tok
+        .filter(col("term").isin(bm25Terms: _*))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val scored = tf
+        .join(broadcast(df), "term") // |terms| rows
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats)) // 1-row scalar
+        .withColumn("score",
+          ((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+            ((col("tf") * lit(2.2)) /
+              (col("tf") + lit(1.2) *
+                (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl"))))))
+      val w = Window.partitionBy(col("term")).orderBy(col("score").desc, col("doc_id"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("score"))
+        .orderBy(col("term"), col("score").desc, col("doc_id"))
+    })
+
+  /** Bigram collocations ranked by lift = P(xy) / (P(x)·P(y)) — log-free
+    * PMI. Counts: n_xy over adjacent token pairs, n_x over all unigram
+    * occurrences, with 1-row totals broadcast. Top-50 with a (w1, w2)
+    * tie-break so the LIMIT is a total order.
+    *
+    * Scale shape: two aggregations (bigram counts keyed by pair, unigram
+    * counts keyed by term), two shuffled joins of the min-support-
+    * filtered bigram table against the unigram table (both keyed on the
+    * join term — no broadcast assumption, the vocabulary scales with
+    * data), and a TakeOrderedAndProject for the top-50 (no global sort
+    * materialization). The n_xy >= 5 min-support filter runs before the
+    * joins, shrinking the pair table at the source. */
+  private val bigramLift = GraftQuery(
+    "llm_e4_bigram_collocations",
+    "top-50 bigram collocations by lift (log-free PMI), min support 5 (E4)",
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      uni AS (
+        SELECT u.term, COUNT(*) AS n_x
+        FROM (SELECT unnest(toks) AS term FROM tok) u GROUP BY u.term),
+      tot AS (SELECT CAST(SUM(n_x) AS DOUBLE) AS n_uni FROM uni),
+      idx AS (
+        SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        FROM tok WHERE len(toks) >= 2),
+      bg AS (
+        SELECT toks[i] AS w1, toks[i+1] AS w2, COUNT(*) AS n_xy
+        FROM idx GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+      btot AS (
+        SELECT CAST(SUM(n_xy) AS DOUBLE) AS n_bi FROM (
+          SELECT COUNT(*) AS n_xy
+          FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+                FROM tok WHERE len(toks) >= 2) z
+          GROUP BY z.toks[z.i], z.toks[z.i+1]) g)
+      SELECT bg.w1, bg.w2, bg.n_xy,
+             (CAST(bg.n_xy AS DOUBLE) / a.n_x) * (tot.n_uni / btot.n_bi) * (tot.n_uni / b.n_x) AS lift
+      FROM bg
+      JOIN uni a ON bg.w1 = a.term
+      JOIN uni b ON bg.w2 = b.term
+      CROSS JOIN tot CROSS JOIN btot
+      ORDER BY lift DESC, w1, w2 LIMIT 50"""),
+    (s, dir) => {
+      val tok = docs(s, dir).select(col("doc_id"), toks(col("text")).as("toks"))
+      val uni = tok
+        .select(explode(col("toks")).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("n_x"))
+      val tot = uni.agg(sum(col("n_x")).cast("double").as("n_uni"))
+      // all adjacent pairs; guard size >= 2 (Spark's sequence(1, 0) would
+      // produce a DESCENDING range, not an empty one)
+      val bgAll = tok
+        .filter(size(col("toks")) >= 2)
+        .select(col("toks"), explode(sequence(lit(1), size(col("toks")) - 1)).as("i"))
+        .select(
+          element_at(col("toks"), col("i")).as("w1"),
+          element_at(col("toks"), col("i") + 1).as("w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_xy"))
+      val btot = bgAll.agg(sum(col("n_xy")).cast("double").as("n_bi"))
+      val bg = bgAll.filter(col("n_xy") >= 5)
+      bg
+        .join(uni.as("a"), col("w1") === col("a.term"))
+        .join(uni.as("b"), col("w2") === col("b.term"))
+        .crossJoin(broadcast(tot))
+        .crossJoin(broadcast(btot))
+        .withColumn("lift",
+          (col("n_xy").cast("double") / col("a.n_x")) *
+            (col("n_uni") / col("n_bi")) *
+            (col("n_uni") / col("b.n_x")))
+        .select(col("w1"), col("w2"), col("n_xy"), col("lift"))
+        .orderBy(col("lift").desc, col("w1"), col("w2"))
+        .limit(50)
+    })
+
+  /** Quality-score deciles WITHOUT a global sort: compute the 9 decile
+    * boundaries as one exact-percentile aggregate (1 row), broadcast
+    * them, and assign each doc `decile = 1 + #(boundaries < score)` —
+    * the scalable alternative to `ntile(10) OVER (ORDER BY score)`,
+    * whose single ORDER BY partition is the classic 100 TB scale
+    * killer. Boundary assignment is also stable under ties (equal
+    * scores always land in the same decile; ntile splits them by row
+    * position). Per-decile stats are order-insensitive (count/min/max),
+    * so no summation-order hazard.
+    *
+    * The score is the distinct-token ratio from `llm_e4_doc_quality`
+    * (one division of exact integers — bit-identical cross-engine). */
+  private val qualityDeciles = GraftQuery(
+    "llm_e4_quality_deciles",
+    "quality-score deciles via broadcast percentile boundaries, no global sort (E4)",
+    Some("""
+      WITH q AS (
+        SELECT doc_id,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS score
+        FROM documents),
+      b AS (
+        SELECT quantile_cont(score, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+        FROM q)
+      SELECT 1 + len(list_filter(b.bs, x -> q.score > x)) AS decile,
+             COUNT(*) AS n_docs, MIN(q.score) AS min_score, MAX(q.score) AS max_score
+      FROM q CROSS JOIN b
+      GROUP BY 1 ORDER BY decile"""),
+    (s, dir) => {
+      val q = docs(s, dir).select(
+        col("doc_id"),
+        (size(array_distinct(toks(col("text")))).cast("double") /
+          size(toks(col("text")))).as("score"))
+      val b = q.agg(expr(
+        "percentile(score, array(0.1D, 0.2D, 0.3D, 0.4D, 0.5D, 0.6D, 0.7D, 0.8D, 0.9D))").as("bs"))
+      q.crossJoin(broadcast(b)) // 1-row boundary vector
+        .withColumn("decile",
+          (lit(1) + size(expr("filter(bs, x -> score > x)"))).cast("long"))
+        .groupBy(col("decile"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          min(col("score")).as("min_score"),
+          max(col("score")).as("max_score"))
+        .orderBy(col("decile"))
+    })
+
+  def queries: Seq[GraftQuery] = Seq(bm25, bigramLift, qualityDeciles)
+}

@@ -216,6 +216,62 @@ object Advanced {
         .orderBy("o_custkey", "o_orderkey")
     })
 
+  /** MERGE/upsert semantics via FULL OUTER join + coalesce: maintain a
+    * per-customer aggregate incrementally — `base` is the materialized
+    * state (orders before the cutoff), `delta` the new batch — and
+    * classify every output row insert/update/unchanged, exactly what a
+    * lakehouse MERGE INTO compiles to. The point at scale: the delta
+    * batch is re-aggregated and merged WITHOUT rescanning base facts.
+    *
+    * Plan shape: both sides aggregate on o_custkey, so the full outer
+    * join joins two frames already hash-partitioned on the join key —
+    * no third shuffle (Spark reuses the aggregation exchanges). Money
+    * sums use the decimal-exact discipline (T.dsum) so the merged
+    * totals hash-match the oracle; the merge addition itself is one
+    * double op, deterministic. */
+  private val mergeUpsert = GraftQuery(
+    "q_merge_upsert",
+    "MERGE/upsert via full outer join + coalesce, insert/update classification (E6 §2.3)",
+    Some(s"""
+      WITH base AS (
+        SELECT o_custkey, COUNT(*) AS n_orders, ${sqlDsum("o_totalprice")} AS spend
+        FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY o_custkey),
+      delta AS (
+        SELECT o_custkey, COUNT(*) AS n_orders, ${sqlDsum("o_totalprice")} AS spend
+        FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY o_custkey)
+      SELECT COALESCE(b.o_custkey, d.o_custkey) AS o_custkey,
+             COALESCE(b.n_orders, 0) + COALESCE(d.n_orders, 0) AS n_orders,
+             COALESCE(b.spend, CAST(0 AS DOUBLE)) + COALESCE(d.spend, CAST(0 AS DOUBLE)) AS spend,
+             CASE WHEN b.o_custkey IS NULL THEN 'insert'
+                  WHEN d.o_custkey IS NULL THEN 'unchanged'
+                  ELSE 'update' END AS merge_op
+      FROM base b FULL OUTER JOIN delta d ON b.o_custkey = d.o_custkey
+      ORDER BY o_custkey"""),
+    (s, dir) => {
+      val cutoff = expr("timestamp'1998-01-01 00:00:00'")
+      def agg(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("spend"))
+      val orders = T(s, dir, "orders")
+      val base = agg(orders.filter(col("o_orderdate") < cutoff)).as("b")
+      val delta = agg(orders.filter(col("o_orderdate") >= cutoff)).as("d")
+      base
+        .join(delta, col("b.o_custkey") === col("d.o_custkey"), "full_outer")
+        .select(
+          coalesce(col("b.o_custkey"), col("d.o_custkey")).as("o_custkey"),
+          (coalesce(col("b.n_orders"), lit(0L)) + coalesce(col("d.n_orders"), lit(0L)))
+            .as("n_orders"),
+          (coalesce(col("b.spend"), lit(0.0)) + coalesce(col("d.spend"), lit(0.0)))
+            .as("spend"),
+          when(col("b.o_custkey").isNull, "insert")
+            .when(col("d.o_custkey").isNull, "unchanged")
+            .otherwise("update").as("merge_op"))
+        .orderBy(col("o_custkey"))
+    })
+
   def queries: Seq[GraftQuery] =
-    Seq(groupingSets, maxBy, listAgg, arrayFuncs, unpivotQ, percentiles, rangeFrame)
+    Seq(groupingSets, maxBy, listAgg, arrayFuncs, unpivotQ, percentiles, rangeFrame,
+      mergeUpsert)
 }

@@ -1,0 +1,81 @@
+package graft.sources
+
+import graft.{GraftQuery, T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Interchange-format sources/sinks beyond parquet and JSON (S-family
+  * breadth, SURVEY §2.1): CSV with an explicit schema and ORC, each
+  * proven by a write → read-back round trip whose result is
+  * oracle-compared against the parquet original. The reference reads
+  * raw-line text and writes JSON (`/root/reference/call-debias.py:141-147`);
+  * a complete engine must also ingest/emit the columnar and delimited
+  * formats a data platform exchanges.
+  *
+  * Both round trips declare the read schema EXPLICITLY (never inferred:
+  * schema inference is an extra full scan and a correctness hazard —
+  * a CSV column of digit-strings would come back as integers). The
+  * write is a normal partitioned Spark write (multiple part files, no
+  * coalesce(1) — a single-file write would serialize the sink at
+  * scale); the read is a directory scan, so the round trip exercises
+  * the same multi-file path a cluster run would.
+  */
+object Formats {
+
+  /** Session-scoped scratch root: per-process so concurrent harnesses
+    * (test JVM vs Bench) never collide, under java.io.tmpdir so the
+    * repo tree stays clean. */
+  private def scratch(sub: String): String = {
+    val pid = ProcessHandle.current().pid()
+    s"${sys.props("java.io.tmpdir")}/graft_formats_p$pid/$sub"
+  }
+
+  private val nationSchema = StructType(Seq(
+    StructField("n_nationkey", IntegerType),
+    StructField("n_name", StringType),
+    StructField("n_regionkey", IntegerType)))
+
+  /** CSV round trip on `nation`: write with the default quoting rules
+    * (commas/quotes in values are quoted on write and unescaped on
+    * read), read back with the explicit schema, return ordered. The
+    * oracle reads the parquet original — a value or type drift anywhere
+    * in the writer/parser path breaks the hash compare. */
+  private val csvRoundtrip = GraftQuery(
+    "q_csv_roundtrip",
+    "CSV sink + explicit-schema source round trip on nation (S-family §2.1)",
+    Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"),
+    (s, dir) => {
+      val path = scratch("nation_csv")
+      T(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .write.mode("overwrite").option("header", "false").csv(path)
+      s.read.schema(nationSchema).option("header", "false").csv(path)
+        .orderBy(col("n_nationkey"))
+    })
+
+  private val supplierSchema = StructType(Seq(
+    StructField("s_suppkey", LongType),
+    StructField("s_name", StringType),
+    StructField("s_nationkey", IntegerType),
+    StructField("s_acctbal", DoubleType)))
+
+  /** ORC round trip on `supplier` (includes a DOUBLE column — ORC is
+    * binary-exact, no text-formatting hazard, and like parquet it
+    * carries min/max stats for predicate pushdown, so it is the
+    * interchange format of choice when a peer system is ORC-native). */
+  private val orcRoundtrip = GraftQuery(
+    "q_orc_roundtrip",
+    "ORC sink + source round trip on supplier (S-family §2.1)",
+    Some("SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey"),
+    (s, dir) => {
+      val path = scratch("supplier_orc")
+      T(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
+        .write.mode("overwrite").orc(path)
+      s.read.schema(supplierSchema).orc(path)
+        .orderBy(col("s_suppkey"))
+    })
+
+  def queries: Seq[GraftQuery] = Seq(csvRoundtrip, orcRoundtrip)
+}

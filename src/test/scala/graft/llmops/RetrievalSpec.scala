@@ -1,0 +1,80 @@
+package graft.llmops
+
+import graft.{Registry, SparkSpec}
+import org.apache.spark.sql.functions._
+
+/** Semantics + plan-shape checks for the retrieval wave: BM25 ranking,
+  * bigram lift, and sort-free decile bucketing. */
+class RetrievalSpec extends SparkSpec {
+
+  private def run(name: String) = Registry.byName(name).run(spark, sfDir)
+
+  test("llm_e4_bm25_topdocs: <=10 docs per term, scores descending, tf consistent with the corpus") {
+    val rows = run("llm_e4_bm25_topdocs").collect()
+    rows.groupBy(_.getString(0)).foreach { case (_, g) =>
+      g.length should be <= 10
+      // rows come back ordered (term, score desc); per-term scores monotone
+      g.map(_.getAs[Double]("score")).sliding(2).foreach {
+        case Array(a, b) => a should be >= b
+        case _ => ()
+      }
+    }
+    // spot-check tf against a direct token count
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val byDoc = docs.collect().map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[String]("text").split(" ", -1).toSeq).toMap
+    rows.take(20).foreach { r =>
+      val tf = byDoc(r.getAs[Long]("doc_id")).count(_ == r.getString(0))
+      r.getAs[Long]("tf") shouldBe tf
+    }
+  }
+
+  test("llm_e4_bm25_topdocs plan: term filter runs before the tf aggregation") {
+    val p = run("llm_e4_bm25_topdocs").queryExecution.optimizedPlan.toString
+    // the isin filter must sit below the first Aggregate in the tf branch,
+    // i.e. the plan text shows Filter ... IN (...) somewhere (not filtered
+    // post-agg on the score side only)
+    p should include("term")
+    p.toLowerCase should include("filter")
+  }
+
+  test("llm_e4_bigram_collocations: every pair really is adjacent somewhere and meets min support") {
+    val rows = run("llm_e4_bigram_collocations").collect()
+    rows.length should be <= 50
+    rows.foreach(_.getAs[Long]("n_xy") should be >= 5L)
+    // lift ordering is descending
+    rows.map(_.getAs[Double]("lift")).sliding(2).foreach {
+      case Array(a, b) => a should be >= b
+      case _ => ()
+    }
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").collect()
+    val adjacency = docs.flatMap { r =>
+      val t = r.getAs[String]("text").split(" ", -1)
+      t.iterator.zip(t.iterator.drop(1)).map { case (a, b) => (a, b) }
+    }.groupBy(identity).view.mapValues(_.length).toMap
+    rows.take(10).foreach { r =>
+      adjacency((r.getString(0), r.getString(1))).toLong shouldBe r.getAs[Long]("n_xy")
+    }
+  }
+
+  test("llm_e4_quality_deciles: 10 buckets, counts conserve the corpus, ranges don't interleave") {
+    val rows = run("llm_e4_quality_deciles").collect().sortBy(_.getAs[Long]("decile"))
+    rows.length shouldBe 10
+    val n = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    rows.map(_.getAs[Long]("n_docs")).sum shouldBe n
+    // bucket k's max never exceeds bucket k+1's min (boundary assignment
+    // is order-preserving), and each bucket holds ~n/10 docs
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        a.getAs[Double]("max_score") should be <= b.getAs[Double]("min_score")
+      case _ => ()
+    }
+    rows.foreach(_.getAs[Long]("n_docs").toDouble shouldBe (n / 10.0) +- (n / 10.0 * 0.5))
+  }
+
+  test("llm_e4_quality_deciles plan: no global Sort — boundaries broadcast, not ntile") {
+    val p = run("llm_e4_quality_deciles").queryExecution.executedPlan.toString
+    p should not include "Window"
+    p.toLowerCase should include("broadcast")
+  }
+}

@@ -92,6 +92,28 @@ class AdvancedSpec extends SparkSpec {
     sample.except(again).count() shouldBe 0
   }
 
+  test("q_merge_upsert: merged totals equal a direct full-table aggregate; ops partition the keys") {
+    val merged = run("q_merge_upsert")
+    val direct = spark.read.parquet(s"$sfDir/orders.parquet")
+      .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+    // row-for-row conservation: every customer's merged order count equals
+    // the count a from-scratch aggregate produces (the MERGE lost nothing)
+    merged.select("o_custkey", "n_orders").except(direct).count() shouldBe 0
+    direct.except(merged.select("o_custkey", "n_orders")).count() shouldBe 0
+    val ops = merged.groupBy("merge_op").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    ops.keySet.subsetOf(Set("insert", "update", "unchanged")) shouldBe true
+    ops.values.sum shouldBe merged.count()
+  }
+
+  test("q_merge_upsert plan: both sides pre-aggregated — full outer join reuses the agg partitioning") {
+    val p = run("q_merge_upsert").queryExecution.executedPlan.toString
+    p should include("FullOuter")
+    // exactly 2 aggregate exchanges feed the join; no third shuffle for it
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    exchanges should be <= 2
+  }
+
   test("llm_e4_tfidf_topterms: <=3 terms per doc, rarer term outranks ubiquitous one at equal tf") {
     val df = Registry.byName("llm_e4_tfidf_topterms").run(spark, sfDir)
     val counts = df.groupBy("doc_id").count().agg(max("count")).head().getLong(0)
