@@ -75,11 +75,13 @@ object Registry {
       relational.Subqueries.queries ++
       events.EventAnalytics.queries ++
       events.Lifecycle.queries ++
+      events.Skew.queries ++
       llmops.LlmOps.queries ++
       llmops.TextRanking.queries ++
       llmops.Retrieval.queries ++
       llmops.Multimodal.queries ++
-      sources.Formats.queries
+      sources.Formats.queries ++
+      sources.Layout.queries
 
   def byName(name: String): GraftQuery =
     all.find(_.name == name).getOrElse(

@@ -221,5 +221,57 @@ object Retrieval {
         .orderBy(col("decile"))
     })
 
-  def queries: Seq[GraftQuery] = Seq(bm25, bigramLift, qualityDeciles)
+  /** Vocabulary coverage audit: build the top-1000 vocabulary (frequency
+    * desc, term asc — a total order, so the cut is deterministic), then
+    * per-language OOV statistics. The "will my tokenizer cover this
+    * corpus" question every training-data curation pass asks.
+    *
+    * Determinism: per-language counts are exact integers; the single
+    * `oov_rate` division happens once per output row on exact inputs —
+    * no floating-point accumulation anywhere.
+    *
+    * Scale shape: the vocab cut is `orderBy(...).limit(k)` — Spark plans
+    * TakeOrderedAndProject (per-partition top-k, then a k-row merge),
+    * NOT a global sort; k rows then broadcast into the membership join,
+    * so the token stream is scored map-side with zero extra shuffles.
+    * The only wide edges are the term-count aggregate and the final
+    * per-language rollup. At vocab sizes past broadcast range, the
+    * membership join degrades gracefully to a shuffled left-semi on
+    * term. */
+  private val vocabOov = GraftQuery(
+    "llm_e4_vocab_oov",
+    "top-1000 vocabulary + per-language OOV rate via broadcast membership join (E4)",
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term FROM documents),
+      vocab AS (
+        SELECT term FROM (
+          SELECT term, COUNT(*) AS n FROM tok GROUP BY term
+          ORDER BY n DESC, term LIMIT 1000)),
+      scored AS (
+        SELECT t.lang, t.term, (v.term IS NOT NULL) AS in_vocab
+        FROM tok t LEFT JOIN vocab v ON t.term = v.term)
+      SELECT lang,
+             COUNT(*) AS n_tokens,
+             CAST(SUM(CASE WHEN in_vocab THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+             CAST(SUM(CASE WHEN in_vocab THEN 0 ELSE 1 END) AS DOUBLE) / COUNT(*) AS oov_rate
+      FROM scored GROUP BY lang ORDER BY lang"""),
+    (s, dir) => {
+      val tok = docs(s, dir)
+        .select(col("doc_id"), col("lang"), explode(toks(col("text"))).as("term"))
+      val vocab = tok.groupBy(col("term")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term"))
+        .limit(1000)
+        .select(col("term"), lit(true).as("in_vocab_m"))
+      tok
+        .join(broadcast(vocab), Seq("term"), "left")
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          sum(when(col("in_vocab_m"), 0L).otherwise(1L)).as("n_oov"))
+        .withColumn("oov_rate", col("n_oov").cast("double") / col("n_tokens"))
+        .orderBy(col("lang"))
+    })
+
+  def queries: Seq[GraftQuery] = Seq(bm25, bigramLift, qualityDeciles, vocabOov)
 }

@@ -72,6 +72,22 @@ class RetrievalSpec extends SparkSpec {
     rows.foreach(_.getAs[Long]("n_docs").toDouble shouldBe (n / 10.0) +- (n / 10.0 * 0.5))
   }
 
+  test("llm_e4_vocab_oov: token totals conserve the corpus; vocab cut is TakeOrdered, not a global sort") {
+    val rows = run("llm_e4_vocab_oov").collect()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val totalTokens = docs.select(expr("sum(size(split(text, ' ', -1)))")).head().getLong(0)
+    rows.map(_.getAs[Long]("n_tokens")).sum shouldBe totalTokens
+    rows.foreach { r =>
+      val rate = r.getAs[Double]("oov_rate")
+      rate should be >= 0.0
+      rate should be <= 1.0
+      rate shouldBe r.getAs[Long]("n_oov").toDouble / r.getAs[Long]("n_tokens")
+    }
+    val plan = run("llm_e4_vocab_oov").queryExecution.executedPlan.toString
+    plan should include("TakeOrderedAndProject")
+    plan should include("BroadcastHashJoin")
+  }
+
   test("llm_e4_quality_deciles plan: no global Sort — boundaries broadcast, not ntile") {
     val p = run("llm_e4_quality_deciles").queryExecution.executedPlan.toString
     p should not include "Window"
