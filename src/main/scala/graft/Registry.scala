@@ -76,9 +76,11 @@ object Registry {
       events.EventAnalytics.queries ++
       events.Lifecycle.queries ++
       events.Skew.queries ++
+      events.Temporal.queries ++
       llmops.LlmOps.queries ++
       llmops.TextRanking.queries ++
       llmops.Retrieval.queries ++
+      llmops.Quantize.queries ++
       llmops.Multimodal.queries ++
       sources.Formats.queries ++
       sources.Layout.queries

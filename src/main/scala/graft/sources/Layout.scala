@@ -99,5 +99,81 @@ object Layout {
         .orderBy(col("lang"))
     })
 
-  def queries: Seq[GraftQuery] = Seq(prunedScan, dppScan)
+  /** 16-bit × 16-bit Morton (z-order) interleave: bit i of x lands at
+    * zval bit 2i, bit i of y at 2i+1. Disjoint bit positions, so the
+    * terms combine by plain addition — one codegen'd arithmetic chain,
+    * no UDF. Exposed for LayoutSpec's bit-exactness cases. */
+  private[graft] def zValue(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 16).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+
+  /** The identical interleave as DuckDB SQL, generated from the same
+    * loop so the two plans cannot drift. */
+  private[graft] def zValueSql(x: String, y: String): String =
+    (0 until 16).map { i =>
+      s"(($x >> $i) & 1) * ${1L << (2 * i)} + (($y >> $i) & 1) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+
+  /** Z-order (Morton-curve) layout audit over the events log, on the
+    * classic (user, time) query pair: normalize `user_id` and
+    * `epoch_us(ts)` into a 16-bit grid via broadcast min/max bounds,
+    * interleave into a 32-bit z-value, and audit locality per top-6-bit
+    * z-bucket (64 buckets). Fixing the top 6 z-bits fixes the top 3 bits
+    * of BOTH coordinates, so every bucket's x-span and y-span are < 2¹³
+    * of the 2¹⁶ grid — the property that makes min/max file stats prune
+    * BOTH a user-range and a time-range predicate. A row-major (time-
+    * sorted) layout prunes only time: any user filter reads every file.
+    *
+    * The production write path is `repartitionByRange(zval) +
+    * sortWithinPartitions(zval)` before the parquet write; the audit
+    * buckets by fixed z-prefix instead because range-boundary SAMPLING is
+    * nondeterministic — same locality math, oracle-reproducible. Scale
+    * shape: one 4-value bounds aggregate (broadcast back), then the
+    * z-value is a map-side arithmetic chain and the audit aggregates on
+    * the 64-value bucket key. One full scan, one tiny shuffle. */
+  private val zorderAudit = GraftQuery(
+    "q_zorder_locality",
+    "Morton-interleaved (user, time) layout key + per-z-bucket locality audit (§2.1)",
+    Some(s"""
+      WITH b AS (
+        SELECT MIN(user_id) AS xmin, MAX(user_id) AS xmax,
+               MIN(epoch_us(ts)) AS ymin, MAX(epoch_us(ts)) AS ymax
+        FROM events),
+      g AS (
+        SELECT CAST(floor((user_id - xmin) * CAST(65535.0 AS DOUBLE) / (xmax - xmin)) AS BIGINT) AS xn,
+               CAST(floor((epoch_us(ts) - ymin) * CAST(65535.0 AS DOUBLE) / (ymax - ymin)) AS BIGINT) AS yn
+        FROM events CROSS JOIN b),
+      z AS (
+        SELECT xn, yn, (${zValueSql("xn", "yn")}) AS zval FROM g)
+      SELECT zval >> 26 AS zbucket,
+             COUNT(*) AS n_events,
+             MAX(xn) - MIN(xn) AS x_span,
+             MAX(yn) - MIN(yn) AS y_span
+      FROM z GROUP BY 1 ORDER BY 1"""),
+    (s, dir) => {
+      val ev = graft.events.EventAnalytics.events(s, dir)
+        .select(col("user_id").as("x"), unix_micros(col("ts")).as("y"))
+      val bounds = ev.agg(
+        min(col("x")).as("xmin"), max(col("x")).as("xmax"),
+        min(col("y")).as("ymin"), max(col("y")).as("ymax"))
+      val grid = ev
+        .crossJoin(broadcast(bounds)) // 1-row bounds
+        .select(
+          floor((col("x") - col("xmin")) * lit(65535.0) / (col("xmax") - col("xmin")))
+            .cast("long").as("xn"),
+          floor((col("y") - col("ymin")) * lit(65535.0) / (col("ymax") - col("ymin")))
+            .cast("long").as("yn"))
+      grid
+        .withColumn("zval", zValue(col("xn"), col("yn")))
+        .groupBy(shiftright(col("zval"), 26).as("zbucket"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          (max(col("xn")) - min(col("xn"))).as("x_span"),
+          (max(col("yn")) - min(col("yn"))).as("y_span"))
+        .orderBy(col("zbucket"))
+    })
+
+  def queries: Seq[GraftQuery] = Seq(prunedScan, dppScan, zorderAudit)
 }
