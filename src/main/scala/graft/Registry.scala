@@ -72,8 +72,10 @@ object Registry {
     parity.Parity.queries ++
       relational.Relational.queries ++
       relational.Advanced.queries ++
+      relational.Multiset.queries ++
       relational.Subqueries.queries ++
       events.EventAnalytics.queries ++
+      events.GapFill.queries ++
       events.Lifecycle.queries ++
       events.Skew.queries ++
       events.Temporal.queries ++
@@ -81,6 +83,7 @@ object Registry {
       llmops.TextRanking.queries ++
       llmops.Retrieval.queries ++
       llmops.Quantize.queries ++
+      llmops.ProductQuant.queries ++
       llmops.Multimodal.queries ++
       sources.Formats.queries ++
       sources.Layout.queries

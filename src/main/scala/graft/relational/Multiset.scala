@@ -1,0 +1,173 @@
+package graft.relational
+
+import graft.{GraftQuery, T}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Third relational wave (extension family E6): multiset set operations
+  * (INTERSECT ALL / EXCEPT ALL), ratio-to-report percent-of-total
+  * windows, and deterministic two-phase stratified sampling — the
+  * remaining ANSI/warehouse surface past Relational/Advanced.
+  *
+  * Determinism discipline matches the rest of E6: decimal-exact money
+  * sums before any ratio, unique tie-breaks on every ordering, and a
+  * multiplicative integer "hash" (computable identically in Spark and
+  * DuckDB) wherever pseudo-random placement is needed — engine-native
+  * hash functions differ between engines and can never be oracle-paired.
+  */
+object Multiset {
+
+  import T._
+
+  /** INTERSECT ALL / EXCEPT ALL — bag semantics (SURVEY §2.8 lists only
+    * the distinct set ops as covered by q_set_ops; these are the
+    * multiset duplicates-preserving variants). Order priorities of H1-
+    * vs H2-1997 orders: intersect-all keeps min(n_a, n_b) copies per
+    * value, except-all keeps max(n_a - n_b, 0). The result is collapsed
+    * to (op, value, n) counts because a bag has no deterministic row
+    * order to hash.
+    *
+    * Scale: Spark plans both ops as a count-aggregate + generate
+    * replication, shuffling on the row value — here a 5-value key with
+    * large multiplicities, the partial/final agg absorbs the skew. */
+  private val multisetOps = GraftQuery(
+    "q_multiset_ops",
+    "INTERSECT ALL / EXCEPT ALL bag semantics over order priorities (E6 §2.8)",
+    Some("""
+      WITH a AS (
+        SELECT o_orderpriority AS prio FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'),
+      b AS (
+        SELECT o_orderpriority AS prio FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'),
+      i AS (SELECT prio FROM a INTERSECT ALL SELECT prio FROM b),
+      e AS (SELECT prio FROM a EXCEPT ALL SELECT prio FROM b)
+      SELECT op, prio, n FROM (
+        SELECT 'intersect_all' AS op, prio, COUNT(*) AS n FROM i GROUP BY prio
+        UNION ALL
+        SELECT 'except_all' AS op, prio, COUNT(*) AS n FROM e GROUP BY prio)
+      ORDER BY op, prio"""),
+    (s, dir) => {
+      val orders = T(s, dir, "orders")
+      def half(lo: String, hi: String) = orders
+        .filter(col("o_orderdate") >= expr(s"timestamp'$lo'") &&
+          col("o_orderdate") < expr(s"timestamp'$hi'"))
+        .select(col("o_orderpriority").as("prio"))
+      val a = half("1997-01-01 00:00:00", "1997-07-01 00:00:00")
+      val b = half("1997-07-01 00:00:00", "1998-01-01 00:00:00")
+      val inter = a.intersectAll(b).groupBy(col("prio"))
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+      val diff = a.exceptAll(b).groupBy(col("prio"))
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+      inter.unionByName(diff)
+        .select(col("op"), col("prio"), col("n"))
+        .orderBy("op", "prio")
+    })
+
+  /** Ratio-to-report: each nation's revenue as a share of its region and
+    * of the grand total. The window runs over the ALREADY-AGGREGATED
+    * nation frame (25 rows by schema constant — not SF-scaled), so the
+    * unpartitioned total window is safe at any scale; the heavy lifting
+    * (orders⋈customer) shuffles on custkey and aggregates partial+final
+    * before the tiny window sees a row. Shares divide two exact decimal
+    * sums cast to double — one IEEE division, bit-identical in both
+    * engines. */
+  private val percentOfTotal = GraftQuery(
+    "q_percent_of_total",
+    "nation revenue share of region + grand total via ratio-to-report windows (E6 §2.6)",
+    Some(s"""
+      WITH nrev AS (
+        SELECT r_name, n_name, SUM(${sqlMoney("o_totalprice")}) AS rev
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name)
+      SELECT r_name, n_name,
+        CAST(rev AS DOUBLE) AS revenue,
+        CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER (PARTITION BY r_name) AS DOUBLE) AS share_region,
+        CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER () AS DOUBLE) AS share_global
+      FROM nrev
+      ORDER BY r_name, n_name"""),
+    (s, dir) => {
+      val nrev = T(s, dir, "orders")
+        .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(T(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(T(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(money("o_totalprice")).as("rev"))
+      nrev
+        .withColumn("share_region",
+          col("rev").cast("double") /
+            sum(col("rev")).over(Window.partitionBy(col("r_name"))).cast("double"))
+        .withColumn("share_global",
+          col("rev").cast("double") /
+            sum(col("rev")).over(Window.partitionBy()).cast("double"))
+        .select(col("r_name"), col("n_name"), col("rev").cast("double").as("revenue"),
+          col("share_region"), col("share_global"))
+        .orderBy("r_name", "n_name")
+    })
+
+  /** Multiplicative Knuth hash of the order key: pseudo-uniform over
+    * [0, 2^32), identical arithmetic in Spark and DuckDB (BIGINT
+    * multiply + mod — orderkey·2654435761 < 2^63 at any plausible SF
+    * for a 32-bit-ish key, no overflow divergence). */
+  private val hashExpr = "(o_orderkey * 2654435761) % 4294967296"
+
+  /** Deterministic exact-count stratified sample, 10% per stratum
+    * (o_orderpriority). The naive formulation ranks EVERY row per
+    * stratum — with 5 strata that's 5 whole-table sort tasks, a
+    * scale-killer. This is the two-phase plan:
+    *
+    *   1. per-stratum counts (tiny aggregate, broadcast) give the exact
+    *      target k = ceil(n/10) as integer arithmetic ((n+9) div 10 —
+    *      never ceil(0.1·n): 0.1 is not FP-exact and the product can
+    *      land an ulp above an integer, flipping ceil between engines);
+    *   2. a cheap prefilter keeps rows whose hash falls under 1.25×
+    *      the target rate (h < 0.125·2^32), shrinking the sort input
+    *      8×; the exact row_number rank runs over the survivors only.
+    *
+    * The oracle mirrors BOTH phases verbatim, so the result is
+    * identical by construction (the prefilter is part of the operator's
+    * spec, not an approximation bolted on). */
+  private val stratifiedSample = GraftQuery(
+    "q_stratified_sample",
+    "exact 10%-per-stratum sample via hash prefilter + rank, two-phase (E6 §2.7)",
+    Some(s"""
+      WITH tgt AS (
+        SELECT o_orderpriority, CAST((COUNT(*) + 9) // 10 AS BIGINT) AS k
+        FROM orders GROUP BY o_orderpriority),
+      cand AS (
+        SELECT o_orderpriority, o_orderkey, $hashExpr AS h
+        FROM orders
+        WHERE $hashExpr < 536870912),
+      ranked AS (
+        SELECT c.o_orderpriority, c.o_orderkey, t.k,
+          ROW_NUMBER() OVER (PARTITION BY c.o_orderpriority
+                             ORDER BY c.h, c.o_orderkey) AS rn
+        FROM cand c JOIN tgt t ON c.o_orderpriority = t.o_orderpriority)
+      SELECT o_orderpriority, o_orderkey
+      FROM ranked WHERE rn <= k
+      ORDER BY o_orderpriority, o_orderkey"""),
+    (s, dir) => {
+      val orders = T(s, dir, "orders")
+      val tgt = orders.groupBy(col("o_orderpriority"))
+        .agg(expr("(count(1) + 9) div 10").as("k"))
+      val cand = orders
+        .withColumn("h", expr(hashExpr))
+        .filter(col("h") < 536870912L)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("h"))
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("h"), col("o_orderkey"))
+      cand
+        .join(broadcast(tgt), "o_orderpriority")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= col("k"))
+        .select(col("o_orderpriority"), col("o_orderkey"))
+        .orderBy("o_orderpriority", "o_orderkey")
+    })
+
+  def queries: Seq[GraftQuery] = Seq(multisetOps, percentOfTotal, stratifiedSample)
+}

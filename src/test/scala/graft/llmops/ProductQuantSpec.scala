@@ -1,0 +1,47 @@
+package graft.llmops
+
+import graft.{Registry, SparkSpec}
+import org.apache.spark.sql.functions._
+
+/** PQ ANN invariants: packed-code envelope, determinism, and recall of
+  * the ADC ranking against the exact cosine ordering. */
+class ProductQuantSpec extends SparkSpec {
+
+  private def run() = Registry.byName("llm_e3_pq_topk").run(spark, sfDir)
+
+  test("pq top-3 is deterministic across runs (seeded codebooks)") {
+    run().collect().toSeq shouldBe run().collect().toSeq
+  }
+
+  test("pq shape: 3 neighbors per query, no self-matches") {
+    val rows = run().collect()
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      rs.map(_.getAs[Int]("rn")).sorted shouldBe Seq(1, 2, 3)
+      rs.foreach(_.getAs[Long]("neighbor_id") should not be q)
+    }
+  }
+
+  test("pq recall: ADC top-3 overlaps the exact euclidean top-10") {
+    // exact squared-L2 top-10 per query by brute force (same metric as
+    // ADC approximates; sf0.001 corpus is small enough to cross-check)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val d2 = expr("aggregate(zip_with(qv, v, (a, b) -> (a - b) * (a - b)), " +
+      "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("d2"), col("vec_id"))
+    val exact10 = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("d2", d2)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = run().collect().map(r => (r.getLong(0), r.getAs[Long]("neighbor_id")))
+    val hit = pq.count(exact10.contains)
+    val recall = hit.toDouble / pq.length
+    withClue(s"recall@3-in-exact-10 = $recall") { recall should be >= 0.5 }
+  }
+}

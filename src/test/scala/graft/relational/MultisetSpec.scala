@@ -1,0 +1,56 @@
+package graft.relational
+
+import graft.{Registry, SparkSpec}
+import org.apache.spark.sql.functions._
+
+/** Semantics checks for the third relational wave: multiset set-op
+  * algebra, ratio-to-report shares, and the two-phase stratified
+  * sample's exactness + determinism. */
+class MultisetSpec extends SparkSpec {
+
+  private def run(name: String) = Registry.byName(name).run(spark, sfDir)
+
+  test("q_multiset_ops: bag algebra min(a,b) / max(a-b,0) per value") {
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    def counts(lo: String, hi: String) = orders
+      .filter(col("o_orderdate") >= expr(s"timestamp'$lo'") &&
+        col("o_orderdate") < expr(s"timestamp'$hi'"))
+      .groupBy(col("o_orderpriority")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val a = counts("1997-01-01 00:00:00", "1997-07-01 00:00:00")
+    val b = counts("1997-07-01 00:00:00", "1998-01-01 00:00:00")
+    val got = run("q_multiset_ops").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    for (v <- (a.keySet ++ b.keySet)) {
+      val inter = math.min(a.getOrElse(v, 0L), b.getOrElse(v, 0L))
+      val diff = math.max(a.getOrElse(v, 0L) - b.getOrElse(v, 0L), 0L)
+      got.getOrElse(("intersect_all", v), 0L) shouldBe inter
+      got.getOrElse(("except_all", v), 0L) shouldBe diff
+    }
+  }
+
+  test("q_percent_of_total: shares sum to 1 per region and globally") {
+    val rows = run("q_percent_of_total").collect()
+    val globalSum = rows.map(_.getAs[Double]("share_global")).sum
+    globalSum shouldBe 1.0 +- 1e-9
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      rs.map(_.getAs[Double]("share_region")).sum shouldBe 1.0 +- 1e-9
+    }
+  }
+
+  test("q_stratified_sample: exact per-stratum count, prefilter never starves") {
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val want = orders.groupBy("o_orderpriority").count().collect()
+      .map(r => r.getString(0) -> (r.getLong(1) + 9) / 10).toMap
+    val got = run("q_stratified_sample").groupBy("o_orderpriority").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got shouldBe want // ceil(n/10) sampled from every stratum — the 1.25×
+    // prefilter left at least k candidates per stratum at this SF
+  }
+
+  test("q_stratified_sample is deterministic across runs") {
+    val a = run("q_stratified_sample").collect().toSeq
+    val b = run("q_stratified_sample").collect().toSeq
+    a shouldBe b
+  }
+}
