@@ -169,5 +169,30 @@ object Multiset {
         .orderBy("o_orderpriority", "o_orderkey")
     })
 
-  def queries: Seq[GraftQuery] = Seq(multisetOps, percentOfTotal, stratifiedSample)
+  /** Approximate COUNT(DISTINCT) audit: HyperLogLog++ estimate next to
+    * the exact count, with the relative error. At 100 TB the approx
+    * variant is the only affordable way to watch distinct cardinality
+    * per slice — the sketch merges map-side (no shuffle of the raw
+    * keys, unlike exact distinct which must co-locate every key).
+    * Rows-only contract: the HLL++ estimate is implementation-specific
+    * (DuckDB's approx_count_distinct uses a different sketch), so
+    * there is no cross-engine oracle; MultisetSpec bounds the error
+    * against the exact twin instead. */
+  private val approxDistinct = GraftQuery(
+    "q_approx_distinct_audit",
+    "approx_count_distinct (HLL++) vs exact per returnflag, rel error (E6 §2.4, approx)",
+    None,
+    (s, dir) =>
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_nd"),
+          countDistinct(col("l_orderkey")).as("exact_nd"))
+        .withColumn("rel_err",
+          round(abs(col("approx_nd") - col("exact_nd")).cast("double") /
+            col("exact_nd").cast("double"), 6))
+        .orderBy("l_returnflag"))
+
+  def queries: Seq[GraftQuery] =
+    Seq(multisetOps, percentOfTotal, stratifiedSample, approxDistinct)
 }

@@ -44,4 +44,36 @@ class ProductQuantSpec extends SparkSpec {
     val recall = hit.toDouble / pq.length
     withClue(s"recall@3-in-exact-10 = $recall") { recall should be >= 0.5 }
   }
+
+  test("pq dedup audit: two band rows, candidate counts match cell algebra") {
+    val rows = Registry.byName("llm_e2_pq_dedup_audit").run(spark, sfDir).collect()
+    rows.map(_.getInt(0)).sorted shouldBe Array(0, 1)
+    rows.foreach { r =>
+      r.getAs[Long]("n_cells") should be > 0L
+      r.getAs[Long]("n_cand_pairs") should be >= 0L
+      // no semantic duplicates exist in the synthetic corpus
+      r.getAs[Long]("n_dup_pairs") shouldBe 0L
+    }
+  }
+
+  test("pq dedup core finds planted duplicates") {
+    import spark.implicits._
+    // 60 spread base vectors + 3 planted near-exact copies of vec 0
+    val rnd = new scala.util.Random(5)
+    val base = (0L until 60L).map { i =>
+      (i, Array.fill(64)(rnd.nextGaussian()))
+    }
+    val planted = Seq(100L, 101L, 102L).map { i =>
+      (i, base(0)._2.map(_ + 1e-3 * rnd.nextGaussian()))
+    }
+    val n = (base ++ planted).toDF("vec_id", "v")
+      .select(col("vec_id"), expr("transform(v, x -> CAST(x AS DOUBLE))").as("v"))
+    val cb = ProductQuant.trainCodebooks(n)
+    val codes = ProductQuant.encodeWith(n, cb)
+    val pairs = ProductQuant.semanticDupPairs(n, codes, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every planted copy pairs with vec 0 (and with each other)
+    pairs should contain allOf ((0L, 100L), (0L, 101L), (0L, 102L))
+    pairs.foreach { case (a, b) => Set(0L, 100L, 101L, 102L) should contain allOf (a, b) }
+  }
 }

@@ -48,6 +48,17 @@ class MultisetSpec extends SparkSpec {
     // prefilter left at least k candidates per stratum at this SF
   }
 
+  test("q_approx_distinct_audit: HLL estimate within the configured rsd envelope") {
+    val rows = run("q_approx_distinct_audit").collect()
+    rows should not be empty
+    rows.foreach { r =>
+      // rsd=0.02 → relative error beyond 5σ would be a sketch bug
+      withClue(s"flag=${r.getString(0)} err=${r.getAs[Double]("rel_err")}") {
+        r.getAs[Double]("rel_err") should be < 0.10
+      }
+    }
+  }
+
   test("q_stratified_sample is deterministic across runs") {
     val a = run("q_stratified_sample").collect().toSeq
     val b = run("q_stratified_sample").collect().toSeq
