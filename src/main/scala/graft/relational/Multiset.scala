@@ -1,6 +1,7 @@
 package graft.relational
 
 import graft.{GraftQuery, T}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -193,6 +194,103 @@ object Multiset {
             col("exact_nd").cast("double"), 6))
         .orderBy("l_returnflag"))
 
+  /** Correlated LATERAL subquery join: per region, the top-2 nations by
+    * customer count — the "top-N related rows per outer row" shape that
+    * LATERAL expresses directly and Catalyst decorrelates into a
+    * window-ranked join (no per-outer-row re-execution; the subquery
+    * aggregates once, shuffled on its own keys). Spelled in SQL on both
+    * sides: LATERAL is a parser-level feature with no DataFrame-API
+    * equivalent. */
+  private val lateralTopN = GraftQuery(
+    "q_lateral_topn",
+    "LATERAL correlated top-2-per-region subquery join (E6 §2.3)",
+    Some("""
+      SELECT r.r_name, l.n_name, l.n_custs
+      FROM region r,
+      LATERAL (
+        SELECT n_name, COUNT(*) AS n_custs
+        FROM nation JOIN customer ON c_nationkey = n_nationkey
+        WHERE n_regionkey = r.r_regionkey
+        GROUP BY n_name
+        ORDER BY n_custs DESC, n_name
+        LIMIT 2
+      ) l
+      ORDER BY r.r_name, l.n_custs DESC, l.n_name"""),
+    (s, dir) => {
+      T(s, dir, "region").createOrReplaceTempView("graft_lat_region")
+      T(s, dir, "nation").createOrReplaceTempView("graft_lat_nation")
+      T(s, dir, "customer").createOrReplaceTempView("graft_lat_customer")
+      s.sql("""
+        SELECT r.r_name, l.n_name, l.n_custs
+        FROM graft_lat_region r,
+        LATERAL (
+          SELECT n_name, COUNT(*) AS n_custs
+          FROM graft_lat_nation JOIN graft_lat_customer ON c_nationkey = n_nationkey
+          WHERE n_regionkey = r.r_regionkey
+          GROUP BY n_name
+          ORDER BY n_custs DESC, n_name
+          LIMIT 2
+        ) l
+        ORDER BY r.r_name, l.n_custs DESC, l.n_name""")
+    })
+
+  /** Null-safe equality join (<=> / IS NOT DISTINCT FROM): the '5-LOW'
+    * priority is mapped to NULL on both sides, so a plain equi-join
+    * would silently DROP that group (NULL = NULL is NULL); the
+    * null-safe operator matches it. This is the canonical
+    * dimension-with-unknown-bucket merge. */
+  private val nullSafeJoin = GraftQuery(
+    "q_null_safe_join",
+    "null-safe <=> join on a nullable priority key (E6 §2.3)",
+    Some("""
+      WITH a AS (
+        SELECT nullif(o_orderpriority, '5-LOW') AS prio, COUNT(*) AS n_a
+        FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY 1),
+      b AS (
+        SELECT nullif(o_orderpriority, '5-LOW') AS prio, COUNT(*) AS n_b
+        FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY 1)
+      SELECT a.prio, a.n_a, b.n_b
+      FROM a JOIN b ON a.prio IS NOT DISTINCT FROM b.prio
+      ORDER BY a.prio NULLS FIRST"""),
+    (s, dir) => {
+      val orders = T(s, dir, "orders")
+      val cutoff = expr("timestamp'1997-01-01 00:00:00'")
+      def half(pred: Column, n: String) = orders.filter(pred)
+        .groupBy(expr("nullif(o_orderpriority, '5-LOW')").as("prio"))
+        .agg(count(lit(1)).as(n))
+      val a = half(col("o_orderdate") < cutoff, "n_a")
+      val b = half(col("o_orderdate") >= cutoff, "n_b")
+        .withColumnRenamed("prio", "prio_b")
+      a.join(b, col("prio") <=> col("prio_b"))
+        .select(col("prio"), col("n_a"), col("n_b"))
+        .orderBy(col("prio").asc_nulls_first)
+    })
+
+  /** Array higher-order functions (filter/exists/forall) — all codegen'd
+    * builtins, no UDF. The oracle spells exists/forall through
+    * list_filter counts (the engine-neutral expansion). */
+  private val hofAudit = GraftQuery(
+    "q_hof_array_audit",
+    "array filter/exists/forall over tokenized part names (§2.9)",
+    Some("""
+      SELECT p_partkey,
+        CAST(len(list_filter(string_split(p_name, ' '), t -> len(t) > 4)) AS INT) AS n_long_toks,
+        len(list_filter(string_split(p_name, ' '), t -> t = 'red')) > 0 AS any_red,
+        len(list_filter(string_split(p_name, ' '), t -> len(t) > 10)) = 0 AS all_short
+      FROM part
+      ORDER BY p_partkey"""),
+    (s, dir) =>
+      T(s, dir, "part")
+        .withColumn("toks", split(col("p_name"), " ", -1))
+        .select(col("p_partkey"),
+          size(filter(col("toks"), t => length(t) > 4)).as("n_long_toks"),
+          exists(col("toks"), t => t === "red").as("any_red"),
+          forall(col("toks"), t => length(t) <= 10).as("all_short"))
+        .orderBy("p_partkey"))
+
   def queries: Seq[GraftQuery] =
-    Seq(multisetOps, percentOfTotal, stratifiedSample, approxDistinct)
+    Seq(multisetOps, percentOfTotal, stratifiedSample, approxDistinct,
+      lateralTopN, nullSafeJoin, hofAudit)
 }

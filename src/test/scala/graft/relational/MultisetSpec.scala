@@ -59,6 +59,31 @@ class MultisetSpec extends SparkSpec {
     }
   }
 
+  test("q_lateral_topn matches the window-rank formulation") {
+    val expected = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("r_name").orderBy(col("n_custs").desc, col("n_name"))
+      spark.read.parquet(s"$sfDir/region.parquet")
+        .join(spark.read.parquet(s"$sfDir/nation.parquet"),
+          col("r_regionkey") === col("n_regionkey"))
+        .join(spark.read.parquet(s"$sfDir/customer.parquet"),
+          col("n_nationkey") === col("c_nationkey"))
+        .groupBy("r_name", "n_name").agg(count(lit(1)).as("n_custs"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select("r_name", "n_name", "n_custs")
+    }
+    val got = run("q_lateral_topn")
+    got.except(expected).count() shouldBe 0
+    expected.except(got).count() shouldBe 0
+  }
+
+  test("q_null_safe_join keeps the NULL-key group a plain equi-join drops") {
+    val rows = run("q_null_safe_join").collect()
+    rows.count(_.isNullAt(0)) shouldBe 1 // the nulled '5-LOW' bucket survives
+    rows.length shouldBe 5
+  }
+
   test("q_stratified_sample is deterministic across runs") {
     val a = run("q_stratified_sample").collect().toSeq
     val b = run("q_stratified_sample").collect().toSeq
