@@ -155,6 +155,44 @@ object EventStreams {
     * is the shape for logic session_window can't express (e.g. carrying
     * counters across sessions); emits the updated per-user row each batch
     * (Update mode). */
+  /** One filled event for the streaming forward-fill. `last_purchase_value`
+    * is None until the user's first purchase (matching batch NULL). */
+  final case class FilledEvent(event_id: Long, user_id: Long, event_type: String,
+      last_purchase_value: Option[Double])
+
+  final case class FillState(seen: Boolean, v: Double)
+
+  /** Streaming IGNORE-NULLS forward fill (e5_forward_fill's twin): every
+    * event carries the user's most recent purchase value, with the carry
+    * surviving across micro-batches in per-user state (one Boolean +
+    * Double per user — bounded, no timeout needed for a finite user
+    * dimension; add a TTL timeout for an unbounded one). Purchase rows
+    * update the carry BEFORE emitting, so a purchase carries its own
+    * value — the batch window (ROWS ... AND CURRENT ROW) does the same.
+    * Micro-batch iterators are not time-ordered; order is restored per
+    * batch, so stream == batch holds when batches partition event time
+    * (the file/Kafka ingestion order). */
+  def forwardFillStream(events: Dataset[Event]): Dataset[FilledEvent] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FillState, FilledEvent](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, batch: Iterator[Event], state: GroupState[FillState]) =>
+          def micros(t: java.sql.Timestamp): Long =
+            Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+          var st = state.getOption.getOrElse(FillState(seen = false, 0.0))
+          val sorted = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          val out = sorted.map { e =>
+            if (e.event_type == "purchase") st = FillState(seen = true, e.value)
+            FilledEvent(e.event_id, user, e.event_type,
+              if (st.seen) Some(st.v) else None)
+          }
+          if (sorted.nonEmpty) state.update(st)
+          out.iterator
+      }
+  }
+
   def userSessionStats(events: Dataset[Event]): Dataset[UserSessions] = {
     import events.sparkSession.implicits._
     events

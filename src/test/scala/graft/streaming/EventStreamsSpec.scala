@@ -137,6 +137,28 @@ class EventStreamsSpec extends SparkSpec {
     streamed shouldBe batch
   }
 
+  test("streaming forward fill converges to batch e5_forward_fill") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[EventStreams.Event]
+    // time-ordered feed split mid-stream: the purchase-value carry must
+    // survive the micro-batch boundary in per-user state
+    val all = toEvents(batchEvents.orderBy($"ts", $"event_id").collect())
+    val (b1, b2) = all.splitAt(all.size / 2)
+    stream.addData(b1); stream.addData(b2)
+    val q = EventStreams.forwardFillStream(stream.toDS())
+      .writeStream.format("memory").queryName("ffill_t")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("ffill_t")
+      .select($"event_id", $"user_id", $"event_type", $"last_purchase_value")
+      .as[(Long, Long, String, Option[Double])].collect().toSet
+    val batch = Registry.byName("e5_forward_fill").run(spark, sfDir)
+      .as[(Long, Long, String, Option[Double])].collect().toSet
+    batch.exists(_._4.isDefined) shouldBe true
+    streamed shouldBe batch
+  }
+
   test("flatMapGroupsWithState carries per-user session state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[EventStreams.Event]
