@@ -73,12 +73,15 @@ object Registry {
       relational.Relational.queries ++
       relational.Advanced.queries ++
       relational.Multiset.queries ++
+      relational.Profile.queries ++
       relational.Subqueries.queries ++
       events.EventAnalytics.queries ++
       events.GapFill.queries ++
       events.Lifecycle.queries ++
+      events.Rolling.queries ++
       events.Skew.queries ++
       events.Temporal.queries ++
+      llmops.BigramLm.queries ++
       llmops.LlmOps.queries ++
       llmops.TextRanking.queries ++
       llmops.Retrieval.queries ++

@@ -1,0 +1,128 @@
+package graft.relational
+
+import graft.{GraftQuery, T}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dataset profiling / data-quality statistics (extension family E6,
+  * continued): the "what is in this table" pass every ingestion pipeline
+  * runs before trusting a new drop — per-column null rates, cardinality,
+  * and value ranges — plus the approximate-quantile audit that justifies
+  * replacing exact percentiles with sketches at scale.
+  *
+  * Scale notes: the profile is ONE scan of the fact table producing one
+  * row of partial aggregates per column (count / nulls / distinct / min
+  * / max are all algebraic or Expand-based), then a constant-sized
+  * unpivot — profiling 100 TB costs exactly one pass regardless of how
+  * many columns are profiled. The quantile audit compares
+  * `approx_percentile` (GK sketch, mergeable, one pass) against the
+  * exact sort-based percentile; at 100 TB only the sketch is viable, so
+  * the audit's error envelope is what licenses it.
+  */
+object Profile {
+
+  private def lineitem(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+
+  /** Numeric measures profiled through an exact-2-decimal string view. */
+  private val numericCols = Seq("l_quantity", "l_extendedprice", "l_discount")
+
+  /** One profiled column: Spark-side string view + DuckDB string view.
+    * Numerics go through DECIMAL(18,2) so both engines render identical
+    * fixed-scale strings ("1.00"), never shortest-round-trip doubles. */
+  private case class Prof(name: String, spark: Column, sql: String)
+
+  private val profiled: Seq[Prof] =
+    numericCols.map(c =>
+      Prof(c, col(c).cast("decimal(18,2)").cast("string"),
+        s"CAST(CAST($c AS DECIMAL(18,2)) AS VARCHAR)")) ++
+      Seq(
+        Prof("l_returnflag", col("l_returnflag"), "l_returnflag"),
+        Prof("l_linestatus", col("l_linestatus"), "l_linestatus"))
+
+  /** Column profile of lineitem, one output row per column.
+    *
+    * Plan shape: one column-PRUNED scan per profiled column, each
+    * aggregating count / nulls / distinct / min / max for just that
+    * column, unioned. On columnar storage this reads each profiled
+    * column's bytes exactly once — the same total I/O as a single
+    * all-column scan — while every aggregate stays a simple two-phase
+    * partial/final (a lone COUNT(DISTINCT) needs no Expand). The
+    * alternative single-scan formulation with five COUNT(DISTINCT)s in
+    * one aggregate compiles to a x5 Expand that multiplies every row
+    * through the shuffle — measured 6x slower at sf0.1, and strictly
+    * worse at 100 TB where the shuffle dwarfs the scan. The union's
+    * branches share no state and run concurrently in one job. */
+  private val profileStats = GraftQuery(
+    "q_profile_stats",
+    "per-column profile via pruned scans: rows/nulls/distinct/min/max, unioned (E6)",
+    Some {
+      val selects = profiled.map { p =>
+        s"""
+        SELECT '${p.name}' AS column_name,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN ${p.name} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+               COUNT(DISTINCT ${p.name}) AS n_distinct,
+               MIN(${p.sql}) AS min_value,
+               MAX(${p.sql}) AS max_value
+        FROM lineitem"""
+      }
+      selects.mkString(" UNION ALL ") + " ORDER BY column_name"
+    },
+    (s, dir) => {
+      val perColumn = profiled.map { p =>
+        lineitem(s, dir)
+          .select(col(p.name), p.spark.as("sv")) // prunes the scan to one column
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum(when(col(p.name).isNull, 1L).otherwise(0L)).as("n_null"),
+            countDistinct(col(p.name)).as("n_distinct"),
+            min(col("sv")).as("min_value"),
+            max(col("sv")).as("max_value"))
+          .select(lit(p.name).as("column_name"), col("n_rows"), col("n_null"),
+            col("n_distinct"), col("min_value"), col("max_value"))
+      }
+      perColumn.reduce(_ unionAll _).orderBy(col("column_name"))
+    })
+
+  /** Approximate-quantile audit: GK-sketch `approx_percentile` vs the
+    * exact percentile for p50/p90/p99 of two measures, with the
+    * relative error in the output. No SQL oracle — DuckDB's approx
+    * sketch is a different algorithm, so cross-engine hashes cannot
+    * match by construction; the driver records rows>0 and
+    * ProfileSpec pins the error envelope (rel_err well under the 1e-4
+    * accuracy the call requests) plus exact-value agreement with the
+    * sort-based formulation. */
+  private val quantileAudit = GraftQuery(
+    "q_approx_quantile_audit",
+    "approx_percentile vs exact percentiles with relative-error audit (E6; rows-only)",
+    None,
+    (s, dir) => {
+      val qs = Seq(0.5, 0.9, 0.99)
+      val measures = Seq("l_extendedprice", "l_quantity")
+      val aggs = measures.flatMap { m =>
+        Seq(
+          expr(s"approx_percentile($m, array(${qs.mkString(", ")}), 10000)")
+            .as(s"${m}__approx"),
+          expr(s"percentile($m, array(${qs.mkString(", ")}))").as(s"${m}__exact"))
+      }
+      val one = lineitem(s, dir).agg(aggs.head, aggs.tail: _*)
+      val rows = measures.flatMap { m =>
+        qs.zipWithIndex.map { case (q, i) =>
+          struct(
+            lit(m).as("measure"),
+            lit(q).as("quantile"),
+            col(s"${m}__approx").getItem(i).cast("double").as("approx_value"),
+            col(s"${m}__exact").getItem(i).cast("double").as("exact_value"))
+        }
+      }
+      one.select(inline(array(rows: _*)))
+        .withColumn("rel_err",
+          when(col("exact_value") === 0d, lit(0d))
+            .otherwise(abs(col("approx_value") - col("exact_value")) /
+              abs(col("exact_value"))))
+        .orderBy(col("measure"), col("quantile"))
+    })
+
+  def queries: Seq[GraftQuery] = Seq(profileStats, quantileAudit)
+}

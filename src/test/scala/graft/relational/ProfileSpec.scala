@@ -1,0 +1,40 @@
+package graft.relational
+
+import graft.{Registry, SparkSpec, T}
+import org.apache.spark.sql.functions._
+
+class ProfileSpec extends SparkSpec {
+
+  test("q_profile_stats: per-column stats agree with direct single-column queries") {
+    val li = T(spark, sfDir, "lineitem")
+    val n = li.count()
+    val out = Registry.byName("q_profile_stats").run(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+
+    out.keySet shouldBe Set(
+      "l_quantity", "l_extendedprice", "l_discount", "l_returnflag", "l_linestatus")
+    out.values.foreach { r =>
+      r.getLong(1) shouldBe n // n_rows: same single scan saw every row
+      r.getLong(2) shouldBe 0L // synthetic data has no nulls
+      r.getString(4) should be <= r.getString(5) // min <= max (string order)
+    }
+    // spot-check one numeric and one categorical against direct queries
+    out("l_returnflag").getLong(3) shouldBe
+      li.select(col("l_returnflag")).distinct().count()
+    out("l_quantity").getString(4) shouldBe
+      li.agg(min(col("l_quantity").cast("decimal(18,2)"))).head.getDecimal(0).toString
+  }
+
+  test("q_approx_quantile_audit: sketch stays inside a tight error envelope") {
+    val rows = Registry.byName("q_approx_quantile_audit").run(spark, sfDir).collect()
+    rows.length shouldBe 6 // 2 measures x 3 quantiles
+    rows.foreach { r =>
+      withClue(s"${r.getString(0)} p${r.getDouble(1)}: ") {
+        // accuracy=10000 bounds rank error at ~n/10000; at spec scale the
+        // sketch is effectively exact — allow a generous 1% relative slack
+        r.getDouble(4) should be <= 0.01
+        r.getDouble(2) should be > 0.0 // approx value is a real measure value
+      }
+    }
+  }
+}
