@@ -75,7 +75,10 @@ object Registry {
       relational.Multiset.queries ++
       relational.Profile.queries ++
       relational.Subqueries.queries ++
+      relational.TypedAgg.queries ++
+      relational.Graph.queries ++
       events.EventAnalytics.queries ++
+      events.Attribution.queries ++
       events.GapFill.queries ++
       events.Lifecycle.queries ++
       events.Rolling.queries ++
@@ -87,6 +90,7 @@ object Registry {
       llmops.Retrieval.queries ++
       llmops.Quantize.queries ++
       llmops.ProductQuant.queries ++
+      llmops.Weighted.queries ++
       llmops.Multimodal.queries ++
       sources.Formats.queries ++
       sources.Layout.queries

@@ -220,5 +220,73 @@ object Multimodal {
         .orderBy("media_id")
     })
 
-  def queries: Seq[GraftQuery] = Seq(mmFeatures, mmFrames, mmBatchDecode, mmResize)
+  /** Root for the materialized binary-file corpus, keyed by source dir so
+    * different SFs never collide. */
+  private def binDirFor(dir: String): java.io.File = {
+    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    new java.io.File(s"${sys.props("java.io.tmpdir")}/graft_binfiles_$tag")
+  }
+
+  /** Materialize one .bin file per document (content = UTF-8 text bytes)
+    * via a DISTRIBUTED foreachPartition write — the executor-side file
+    * sink pattern a real media pipeline uses against shared storage.
+    * Idempotent: a _DONE marker (written only after the job completes)
+    * skips rebuilds; bytes are a pure function of the table, so a lost
+    * marker race just rewrites identical files. */
+  private def ensureBinFiles(s: SparkSession, dir: String): String = synchronized {
+    val out = binDirFor(dir)
+    val marker = new java.io.File(out, "_DONE")
+    if (!marker.exists()) {
+      out.mkdirs()
+      val root = out.getAbsolutePath
+      T(s, dir, "documents").select(col("doc_id"), col("text"))
+        .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+          rows.foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(root, f"doc_${r.getLong(0)}%08d.bin"),
+              r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+        }
+      marker.createNewFile()
+    }
+    out.getAbsolutePath
+  }
+
+  /** Opaque-blob ingestion through Spark's real `binaryFile` source: scan
+    * a directory of media blobs into (path, length, content) with the
+    * doc id recovered from the file name, then hash/measure the payload.
+    *
+    * Scale notes: binaryFile is a FileScan — partition planning, glob
+    * pushdown (`pathGlobFilter` prunes non-media files before any read),
+    * and bin-packing of small files into tasks all come from the
+    * standard file-source machinery; content bytes stream straight into
+    * the per-row projection, no shuffle before the verify-only ORDER BY.
+    * The oracle recomputes length+md5 from the documents table (the
+    * files' bytes are exactly the UTF-8 text), closing the loop: write
+    * path and read path agree byte-for-byte.
+    */
+  private val mmBinaryIngest = GraftQuery(
+    "mm_binary_ingest",
+    "binaryFile-source ingestion of a materialized blob dir; byte-roundtrip vs documents",
+    Some("""
+      SELECT doc_id AS media_id,
+             octet_length(encode(text)) AS n_bytes,
+             md5(text) AS content_md5
+      FROM documents
+      ORDER BY media_id"""),
+    (s, dir) => {
+      val bin = ensureBinFiles(s, dir)
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(bin)
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1).cast("long")
+            .as("media_id"),
+          col("length").as("n_bytes"),
+          md5(col("content")).as("content_md5"))
+        .orderBy("media_id")
+    })
+
+  def queries: Seq[GraftQuery] =
+    Seq(mmFeatures, mmFrames, mmBatchDecode, mmResize, mmBinaryIngest)
 }

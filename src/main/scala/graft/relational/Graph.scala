@@ -1,0 +1,95 @@
+package graft.relational
+
+import graft.{GraftQuery, T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Iterative graph analytics on relational data (extension family E6,
+  * continued): PageRank over the supplier co-supply graph — suppliers
+  * are linked when they supply line items of the same order. Iterative
+  * join+aggregate is the one plan shape Catalyst cannot fuse away, so
+  * this exercises the "driver-side loop over a persisted distributed
+  * frame" pattern (same family as the connected-components dedup
+  * clusters, `llmops/LlmOps.scala`).
+  *
+  * Scale notes: the edge list is built by a self-join on l_orderkey —
+  * co-partitioned single shuffle, per-order fan-out bounded by orders'
+  * line count (≤ 7², and DISTINCT collapses repeats). Edges persist
+  * ONCE and every iteration reuses them; each iteration is one shuffle
+  * (group by dst). Ranks are O(|nodes|) — always the small side, so the
+  * rank⋈edge join broadcasts the ranks and never reshuffles the edge
+  * list. Exact-decimal contribution sums make the result order-insensitive
+  * and therefore bit-identical across engines and partitionings.
+  */
+object Graph {
+
+  private val iterations = 3
+  private val damping = 0.85
+
+  /** PageRank, 3 unrolled iterations, d=0.85, rank0 = 1.0.
+    *
+    * Contribution discipline: `rank/outdeg` is a deterministic double
+    * division (identical inputs ⇒ identical quotient in both engines);
+    * casting each contribution to DECIMAL(28,12) before SUM makes the
+    * per-node total exact and summation-order-independent, then one
+    * double multiply/add per node produces the next rank. The oracle
+    * unrolls the same three iterations as chained CTEs (a recursive CTE
+    * with aggregation in the recursive term is not portable SQL).
+    */
+  private val pagerank = GraftQuery(
+    "q_pagerank_cosupply",
+    "PageRank over the supplier co-supply graph: persisted edges, 3 exact-decimal iterations (E6)",
+    Some {
+      def step(prev: String): String =
+        s"""SELECT e.dst AS node,
+               CAST(${1 - damping} + $damping * CAST(SUM(CAST(r.rank / d.outdeg AS DECIMAL(28,12))) AS DOUBLE) AS DOUBLE) AS rank
+            FROM $prev r
+            JOIN deg d ON d.src = r.node
+            JOIN edges e ON e.src = r.node
+            GROUP BY e.dst"""
+      s"""
+      WITH edges AS (
+        SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+        FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_suppkey <> b.l_suppkey),
+      deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+      r0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) AS rank FROM deg),
+      r1 AS (${step("r0")}),
+      r2 AS (${step("r1")}),
+      r3 AS (${step("r2")})
+      SELECT node AS s_suppkey, rank AS pagerank FROM r3 ORDER BY node"""
+    },
+    (s, dir) => {
+      // Persist + materialize the edge list through the session memo so
+      // all three iterations (and any same-run re-use) read the one
+      // cached copy; released by the harness's SessionMemo.clear().
+      val edges = graft.SessionMemo.materialized(s, dir, "cosupply_edges") {
+        val li = T(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        li.toDF("o", "src").join(li.toDF("o", "dst"), "o")
+          .where(col("src") =!= col("dst"))
+          .select("src", "dst")
+          .distinct()
+      }
+      // toDF re-aliases per use: iteration N's plan embeds iteration
+      // N-1's, so re-joining the same deg/edges frames verbatim would
+      // trip Spark's ambiguous-self-join detection on repeated attribute ids.
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      var ranks = deg.select(col("src").as("node"), lit(1.0).as("rank"))
+      for (_ <- 1 to iterations) {
+        ranks = ranks
+          .join(deg.toDF("d_src", "outdeg"), col("node") === col("d_src"))
+          .join(edges.toDF("e_src", "dst"), col("node") === col("e_src"))
+          .groupBy(col("dst"))
+          .agg(
+            (lit(1 - damping) + lit(damping) *
+              sum((col("rank") / col("outdeg")).cast(DecimalType(28, 12)))
+                .cast("double")).cast("double").as("rank"))
+          .select(col("dst").as("node"), col("rank"))
+      }
+      ranks.select(col("node").as("s_suppkey"), col("rank").as("pagerank"))
+        .orderBy(col("s_suppkey"))
+    })
+
+  def queries: Seq[GraftQuery] = Seq(pagerank)
+}

@@ -124,5 +124,92 @@ object Profile {
         .orderBy(col("measure"), col("quantile"))
     })
 
-  def queries: Seq[GraftQuery] = Seq(profileStats, quantileAudit)
+  /** Pairwise correlation + sample covariance of the three numeric
+    * measures, per return flag, from EXACT decimal moment sums.
+    *
+    * Why not `corr()`: both engines implement streaming single-pass
+    * estimators whose floating-point accumulation order differs run to
+    * run and engine to engine — cross-engine hash equality is impossible
+    * by construction. Instead ONE scan accumulates the classic moment
+    * sums (Σx, Σy, Σxy, Σx², Σy²) as exact decimals (inputs are 2-dp
+    * money/quantity values, so products at scale 4 are exact), then the
+    * corr/cov formulas run on doubles derived from those exact sums —
+    * every arithmetic step is deterministic IEEE with an identical
+    * expression tree on both engines, so results are bit-identical. The
+    * constant-width aggregate is partial/final (no Expand), and adding
+    * measures grows the row width, not the pass count — the same
+    * one-scan posture as `q_profile_stats`.
+    */
+  private val corrMatrix = GraftQuery(
+    "q_corr_matrix",
+    "pairwise corr/cov matrix from exact decimal moment sums, one scan (E6)",
+    Some {
+      def pairSel(label: String, sx: String, sy: String,
+          sxx: String, syy: String, sxy: String): String =
+        s"""SELECT rf AS l_returnflag, '$label' AS pair,
+               (n * $sxy - $sx * $sy)
+                 / sqrt((n * $sxx - $sx * $sx) * (n * $syy - $sy * $sy)) AS corr_val,
+               (n * $sxy - $sx * $sy) / (n * (n - 1)) AS cov_val
+            FROM a"""
+      s"""
+      WITH d AS (
+        SELECT l_returnflag AS rf,
+               CAST(l_quantity AS DECIMAL(18,2)) AS xq,
+               CAST(l_extendedprice AS DECIMAL(18,2)) AS xp,
+               CAST(l_discount AS DECIMAL(18,2)) AS xd
+        FROM lineitem),
+      a AS (
+        SELECT rf,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(xq) AS DOUBLE) AS sq,
+               CAST(SUM(xp) AS DOUBLE) AS sp,
+               CAST(SUM(xd) AS DOUBLE) AS sd,
+               CAST(SUM(CAST(xq * xq AS DECIMAL(30,4))) AS DOUBLE) AS sqq,
+               CAST(SUM(CAST(xp * xp AS DECIMAL(30,4))) AS DOUBLE) AS spp,
+               CAST(SUM(CAST(xd * xd AS DECIMAL(30,4))) AS DOUBLE) AS sdd,
+               CAST(SUM(CAST(xq * xp AS DECIMAL(30,4))) AS DOUBLE) AS sqp,
+               CAST(SUM(CAST(xq * xd AS DECIMAL(30,4))) AS DOUBLE) AS sqd,
+               CAST(SUM(CAST(xp * xd AS DECIMAL(30,4))) AS DOUBLE) AS spd
+        FROM d GROUP BY rf)
+      ${pairSel("extendedprice~discount", "sp", "sd", "spp", "sdd", "spd")}
+      UNION ALL
+      ${pairSel("quantity~discount", "sq", "sd", "sqq", "sdd", "sqd")}
+      UNION ALL
+      ${pairSel("quantity~extendedprice", "sq", "sp", "sqq", "spp", "sqp")}
+      ORDER BY l_returnflag, pair"""
+    },
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      def dec(c: String): Column = col(c).cast(DecimalType(18, 2))
+      def prod(x: String, y: String): Column =
+        (dec(x) * dec(y)).cast(DecimalType(30, 4))
+      val a = lineitem(s, dir).groupBy(col("l_returnflag").as("rf")).agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(dec("l_quantity")).cast("double").as("sq"),
+        sum(dec("l_extendedprice")).cast("double").as("sp"),
+        sum(dec("l_discount")).cast("double").as("sd"),
+        sum(prod("l_quantity", "l_quantity")).cast("double").as("sqq"),
+        sum(prod("l_extendedprice", "l_extendedprice")).cast("double").as("spp"),
+        sum(prod("l_discount", "l_discount")).cast("double").as("sdd"),
+        sum(prod("l_quantity", "l_extendedprice")).cast("double").as("sqp"),
+        sum(prod("l_quantity", "l_discount")).cast("double").as("sqd"),
+        sum(prod("l_extendedprice", "l_discount")).cast("double").as("spd"))
+      def pairRow(label: String, sx: String, sy: String,
+          sxx: String, syy: String, sxy: String) = {
+        val n = col("n")
+        val num = n * col(sxy) - col(sx) * col(sy)
+        struct(
+          lit(label).as("pair"),
+          (num / sqrt((n * col(sxx) - col(sx) * col(sx)) *
+            (n * col(syy) - col(sy) * col(sy)))).as("corr_val"),
+          (num / (n * (n - lit(1)))).as("cov_val"))
+      }
+      a.select(col("rf").as("l_returnflag"), inline(array(
+          pairRow("extendedprice~discount", "sp", "sd", "spp", "sdd", "spd"),
+          pairRow("quantity~discount", "sq", "sd", "sqq", "sdd", "sqd"),
+          pairRow("quantity~extendedprice", "sq", "sp", "sqq", "spp", "sqp"))))
+        .orderBy(col("l_returnflag"), col("pair"))
+    })
+
+  def queries: Seq[GraftQuery] = Seq(profileStats, quantileAudit, corrMatrix)
 }

@@ -49,6 +49,27 @@ object EventStreams {
         date_format(col("window.start"), "yyyy-MM-dd HH:00").as("hour_bucket"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Streaming twin of e5_sliding_window_counts' count/sum columns:
+    * OVERLAPPING 1-hour windows sliding every 15 minutes — each event is
+    * Expanded into its 4 covering windows before one watermarked
+    * stateful aggregate, exactly the batch plan's shape; windows
+    * finalize and evict once the watermark passes their end. The batch
+    * twin's `n_users` (COUNT DISTINCT) column is intentionally absent:
+    * streaming aggregates cannot hold exact distincts, and the
+    * composable streaming answer is the dedupEvents (per-user-window
+    * dropDuplicates) stage feeding this one. EventStreamsSpec proves
+    * stream == batch on the shared columns. */
+  def slidingCounts(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast(DecimalType(18, 2))).cast("double"), 2)
+          .as("sum_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("window_start"),
+        col("n_events"), col("sum_value"))
+
   /** Streaming sessionization via the native session_window generator:
     * one row per (user, gap-merged session), half-open [ts, ts+gap)
     * semantics — a gap of EXACTLY 30 minutes starts a new session, and

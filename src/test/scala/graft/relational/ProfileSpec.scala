@@ -25,6 +25,30 @@ class ProfileSpec extends SparkSpec {
       li.agg(min(col("l_quantity").cast("decimal(18,2)"))).head.getDecimal(0).toString
   }
 
+  test("q_corr_matrix: exact-moment corr agrees with Spark's corr(); cov with covar_samp") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val rows = Registry.byName("q_corr_matrix").run(spark, sfDir).collect()
+    rows.length shouldBe 9 // 3 return flags x 3 pairs
+    val cols = Map(
+      "quantity~extendedprice" -> ("l_quantity", "l_extendedprice"),
+      "quantity~discount" -> ("l_quantity", "l_discount"),
+      "extendedprice~discount" -> ("l_extendedprice", "l_discount"))
+    rows.foreach { r =>
+      val (rf, pair) = (r.getString(0), r.getString(1))
+      val (x, y) = cols(pair)
+      val ref = li.filter(col("l_returnflag") === rf)
+        .agg(corr(col(x), col(y)), covar_samp(col(x), col(y)))
+        .collect()(0)
+      withClue(s"$rf/$pair: ") {
+        r.getDouble(2) should be >= -1.0
+        r.getDouble(2) should be <= 1.0
+        // the estimator's float path differs; agreement is statistical
+        r.getDouble(2) shouldBe ref.getDouble(0) +- 1e-6
+        r.getDouble(3) shouldBe ref.getDouble(1) +- math.abs(ref.getDouble(1)) * 1e-6
+      }
+    }
+  }
+
   test("q_approx_quantile_audit: sketch stays inside a tight error envelope") {
     val rows = Registry.byName("q_approx_quantile_audit").run(spark, sfDir).collect()
     rows.length shouldBe 6 // 2 measures x 3 quantiles

@@ -42,6 +42,26 @@ class EventStreamsSpec extends SparkSpec {
     streamed shouldBe batch
   }
 
+  test("streaming slidingCounts converges to batch e5_sliding_window_counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[EventStreams.Event]
+    val all = toEvents(batchEvents.collect())
+    val (b1, b2) = all.splitAt(all.size / 2)
+    stream.addData(b1); stream.addData(b2)
+    val q = EventStreams.slidingCounts(stream.toDF())
+      .writeStream.format("memory").queryName("sliding_t")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("sliding_t")
+      .select($"window_start", $"n_events", $"sum_value")
+      .as[(String, Long, Double)].collect().toSet
+    val batch = Registry.byName("e5_sliding_window_counts").run(spark, sfDir)
+      .select($"window_start", $"n_events", $"sum_value")
+      .as[(String, Long, Double)].collect().toSet
+    streamed shouldBe batch
+  }
+
   test("streaming session_window (append + watermark) matches the batch twin") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[EventStreams.Event]
