@@ -1583,10 +1583,54 @@ object LlmOps {
           col("n").as("n_tokens"))
         .orderBy("doc_id"))
 
+  /** Corpus novelty curve: for each document (in doc_id ingestion
+    * order), the fraction of its distinct `spanN`-token windows that NO
+    * earlier document contains — the marginal-contribution metric that
+    * tells a curation pipeline when a source is exhausted (novelty
+    * decays toward boilerplate as ingestion proceeds). A span is novel
+    * for the document that first introduces it: min(doc_id) == doc_id.
+    *
+    * 100 TB shape: reuses the spanWindows generator scan (no shuffle),
+    * then distinct (doc, span) pairs, one span-keyed aggregate for the
+    * first-seer, a span-keyed join back (AQE can broadcast the firsts
+    * side when small), and one doc-keyed rollup — every shuffle keys on
+    * span or doc cardinality, partial aggregation bounds hot
+    * boilerplate spans, and no all-pairs stage exists. */
+  private val e4Novelty = GraftQuery(
+    "llm_e4_ngram_novelty",
+    s"per-doc novel-$spanN-gram fraction in ingestion order (E4 novelty curve)",
+    Some(s"""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE len(string_split(text, ' ')) >= $spanN),
+      w AS (
+        SELECT DISTINCT doc_id, md5(array_to_string(t[i:i+${spanN - 1}], ' ')) AS span_md5
+        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - ${spanN - 1})) AS i FROM t)),
+      firsts AS (SELECT span_md5, min(doc_id) AS first_doc FROM w GROUP BY span_md5)
+      SELECT w.doc_id,
+             count(*) AS n_grams,
+             CAST(SUM(CASE WHEN f.first_doc = w.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+             CAST(SUM(CASE WHEN f.first_doc = w.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*) AS novelty
+      FROM w JOIN firsts f USING (span_md5)
+      GROUP BY w.doc_id
+      ORDER BY w.doc_id"""),
+    (s, dir) => {
+      val w = spanWindows(s, dir).select(col("doc_id"), col("span_md5")).distinct()
+      val firsts = w.groupBy(col("span_md5")).agg(min(col("doc_id")).as("first_doc"))
+      w.join(firsts, Seq("span_md5"))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+        .withColumn("novelty", col("n_novel").cast("double") / col("n_grams"))
+        .orderBy("doc_id")
+    })
+
   def queries: Seq[GraftQuery] = Seq(
     e1, e1Stats, e1Incremental, e2Jaccard, e2MinHash, e2SimHash, e2EmbedCosine, e2Clusters,
     e2DedupApply, e2Decontam, e2RepeatedSpans, e2SpanCut, e3TopK, e3Ann, e3Ivf, e3EvalNN,
     e4Terms, e4Quality,
     e4LangId, e4Fingerprint, e4Rolling, e4Repetition, e4Chunk, e4Mix, e4Scrub,
-    e4Surprisal, e4Split, e4Pack, e4PackEff, e4Cascade)
+    e4Surprisal, e4Split, e4Pack, e4PackEff, e4Cascade, e4Novelty)
 }

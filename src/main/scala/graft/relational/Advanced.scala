@@ -271,7 +271,114 @@ object Advanced {
         .orderBy(col("o_custkey"))
     })
 
+  /** The full ranking-function family (§2.6 breadth) in one audit:
+    * rank / dense_rank / percent_rank / cume_dist over an ordering WITH
+    * ties (order-month within priority — tie groups are where the four
+    * functions differ), plus ntile(4) and a 2nd-order lead over a
+    * TIE-FREE ordering (month, orderkey). The split matters for
+    * determinism: rank-family values are identical for all ties, but
+    * ntile/nth assignment within a tie group depends on physical row
+    * order — giving them a total order keeps the result engine- and
+    * partitioning-independent. Plan: both specs share the same
+    * partition key, so one Exchange + one in-partition sort serves the
+    * whole projection. */
+  private val rankFamily = GraftQuery(
+    "q_window_rank_family",
+    "rank/dense_rank/percent_rank/cume_dist over ties + ntile/nth over total order (§2.6)",
+    Some("""
+      SELECT o_orderkey, o_orderpriority,
+             strftime(date_trunc('month', o_orderdate), '%Y-%m') AS order_month,
+             rank() OVER w_ties AS rnk,
+             dense_rank() OVER w_ties AS drnk,
+             percent_rank() OVER w_ties AS prnk,
+             cume_dist() OVER w_ties AS cdist,
+             ntile(4) OVER w_total AS quartile,
+             lead(o_orderkey, 2) OVER w_total AS second_next_key
+      FROM orders
+      WINDOW
+        w_ties AS (PARTITION BY o_orderpriority
+                   ORDER BY date_trunc('month', o_orderdate)),
+        w_total AS (PARTITION BY o_orderpriority
+                    ORDER BY date_trunc('month', o_orderdate), o_orderkey)
+      ORDER BY o_orderpriority, order_month, o_orderkey"""),
+    (s, dir) => {
+      val month = date_trunc("month", col("o_orderdate"))
+      val wTies = Window.partitionBy(col("o_orderpriority")).orderBy(month)
+      val wTotal = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(month, col("o_orderkey"))
+      T(s, dir, "orders").select(
+          col("o_orderkey"), col("o_orderpriority"),
+          date_format(month, "yyyy-MM").as("order_month"),
+          rank().over(wTies).cast("long").as("rnk"),
+          dense_rank().over(wTies).cast("long").as("drnk"),
+          percent_rank().over(wTies).as("prnk"),
+          cume_dist().over(wTies).as("cdist"),
+          ntile(4).over(wTotal).cast("long").as("quartile"),
+          lead(col("o_orderkey"), 2).over(wTotal).as("second_next_key"))
+        .orderBy(col("o_orderpriority"), col("order_month"), col("o_orderkey"))
+    })
+
+  /** Row-level CDC snapshot diff (the companion to q_merge_upsert's
+    * aggregate MERGE): two per-customer activity snapshots — 1997 H1 vs
+    * 1997 H2 — full-outer-joined on the key and every row classified
+    * added / removed / changed / unchanged with old+new values carried.
+    * This is the change-audit every incremental pipeline publishes when
+    * a new snapshot lands.
+    *
+    * Plan shape: both snapshots aggregate the same fact scan on
+    * o_custkey, so the full outer join consumes two frames already
+    * partitioned on the join key (no third shuffle); the classification
+    * is a pure projection. Spend equality is exact (decimal-summed
+    * doubles), so 'changed' vs 'unchanged' is never a float judgement
+    * call. */
+  private val snapshotDiff = GraftQuery(
+    "q_snapshot_diff",
+    "CDC diff of two per-customer snapshots: added/removed/changed/unchanged (E6 §2.3)",
+    Some(s"""
+      WITH a AS (
+        SELECT o_custkey, COUNT(*) AS n_orders, ${sqlDsum("o_totalprice")} AS spend
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+        GROUP BY o_custkey),
+      b AS (
+        SELECT o_custkey, COUNT(*) AS n_orders, ${sqlDsum("o_totalprice")} AS spend
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY o_custkey)
+      SELECT COALESCE(a.o_custkey, b.o_custkey) AS o_custkey,
+             a.n_orders AS old_n_orders, b.n_orders AS new_n_orders,
+             a.spend AS old_spend, b.spend AS new_spend,
+             CASE WHEN a.o_custkey IS NULL THEN 'added'
+                  WHEN b.o_custkey IS NULL THEN 'removed'
+                  WHEN a.n_orders = b.n_orders AND a.spend = b.spend THEN 'unchanged'
+                  ELSE 'changed' END AS change_type
+      FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+      ORDER BY o_custkey"""),
+    (s, dir) => {
+      val orders = T(s, dir, "orders")
+      def snap(lo: String, hi: String) = orders
+        .filter(col("o_orderdate") >= expr(s"timestamp'$lo'") &&
+          col("o_orderdate") < expr(s"timestamp'$hi'"))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("spend"))
+      val a = snap("1997-01-01 00:00:00", "1997-07-01 00:00:00").as("a")
+      val b = snap("1997-07-01 00:00:00", "1998-01-01 00:00:00").as("b")
+      a.join(b, col("a.o_custkey") === col("b.o_custkey"), "full_outer")
+        .select(
+          coalesce(col("a.o_custkey"), col("b.o_custkey")).as("o_custkey"),
+          col("a.n_orders").as("old_n_orders"), col("b.n_orders").as("new_n_orders"),
+          col("a.spend").as("old_spend"), col("b.spend").as("new_spend"),
+          when(col("a.o_custkey").isNull, "added")
+            .when(col("b.o_custkey").isNull, "removed")
+            .when(col("a.n_orders") === col("b.n_orders") &&
+              col("a.spend") === col("b.spend"), "unchanged")
+            .otherwise("changed").as("change_type"))
+        .orderBy(col("o_custkey"))
+    })
+
   def queries: Seq[GraftQuery] =
     Seq(groupingSets, maxBy, listAgg, arrayFuncs, unpivotQ, percentiles, rangeFrame,
-      mergeUpsert)
+      mergeUpsert, rankFamily, snapshotDiff)
 }

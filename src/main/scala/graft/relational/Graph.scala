@@ -61,29 +61,36 @@ object Graph {
       SELECT node AS s_suppkey, rank AS pagerank FROM r3 ORDER BY node"""
     },
     (s, dir) => {
-      // Persist + materialize the edge list through the session memo so
-      // all three iterations (and any same-run re-use) read the one
-      // cached copy; released by the harness's SessionMemo.clear().
-      val edges = graft.SessionMemo.materialized(s, dir, "cosupply_edges") {
+      // Persist + materialize the edge list WITH the source's out-degree
+      // pre-attached, through the session memo: every iteration is then a
+      // single tiny-broadcast join + one partial/final aggregate over the
+      // one cached frame (attaching outdeg per round would re-derive and
+      // re-join the degree table three times — measured ~35% of the
+      // query). Released by the harness's SessionMemo.clear().
+      val edgesW = graft.SessionMemo.materialized(s, dir, "cosupply_edges_w") {
         val li = T(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
-        li.toDF("o", "src").join(li.toDF("o", "dst"), "o")
+        val edges = li.toDF("o", "src").join(li.toDF("o", "dst"), "o")
           .where(col("src") =!= col("dst"))
           .select("src", "dst")
           .distinct()
+        val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+          .toDF("d_src", "outdeg")
+        edges.join(deg, col("src") === col("d_src"))
+          .select("src", "dst", "outdeg")
       }
       // toDF re-aliases per use: iteration N's plan embeds iteration
-      // N-1's, so re-joining the same deg/edges frames verbatim would
-      // trip Spark's ambiguous-self-join detection on repeated attribute ids.
-      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-      var ranks = deg.select(col("src").as("node"), lit(1.0).as("rank"))
+      // N-1's, so re-joining the same edge frame verbatim would trip
+      // Spark's ambiguous-self-join detection on repeated attribute ids.
+      var ranks = edgesW.select(col("src").as("node"), col("outdeg"))
+        .distinct().select(col("node"), lit(1.0).as("rank"))
       for (_ <- 1 to iterations) {
         ranks = ranks
-          .join(deg.toDF("d_src", "outdeg"), col("node") === col("d_src"))
-          .join(edges.toDF("e_src", "dst"), col("node") === col("e_src"))
+          .join(edgesW.toDF("e_src", "dst", "outdeg2"),
+            col("node") === col("e_src"))
           .groupBy(col("dst"))
           .agg(
             (lit(1 - damping) + lit(damping) *
-              sum((col("rank") / col("outdeg")).cast(DecimalType(28, 12)))
+              sum((col("rank") / col("outdeg2")).cast(DecimalType(28, 12)))
                 .cast("double")).cast("double").as("rank"))
           .select(col("dst").as("node"), col("rank"))
       }

@@ -77,5 +77,55 @@ object Formats {
         .orderBy(col("s_suppkey"))
     })
 
-  def queries: Seq[GraftQuery] = Seq(csvRoundtrip, orcRoundtrip)
+  private val jsonlSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("lang", StringType),
+    StructField("n_chars", LongType),
+    StructField("_corrupt_record", StringType)))
+
+  /** PERMISSIVE JSON-lines ingestion with corrupt-record capture: the
+    * real-world JSONL feed is never clean, and the ingestion contract
+    * that scales is "parse what parses, QUARANTINE the rest in
+    * `_corrupt_record`" — never FAILFAST (one bad byte kills a 100 TB
+    * job) and never DROPMALFORMED (silent data loss). The fixture
+    * derives deterministically from `documents`: every doc_id % 50 == 0
+    * line is written truncated mid-string (invalid JSON), the rest as
+    * valid objects, so the oracle can predict exactly which rows land
+    * in the quarantine: parsed rows keep their lang, corrupt rows
+    * surface as lang NULL with the raw line preserved. The audit output
+    * is the per-lang count + quarantine size an ingestion run reports.
+    */
+  private val jsonlPermissive = GraftQuery(
+    "q_jsonl_permissive",
+    "PERMISSIVE JSONL source: parse + corrupt-record quarantine audit (S-family §2.1)",
+    Some("""
+      SELECT CASE WHEN doc_id % 50 = 0 THEN NULL ELSE lang END AS lang,
+             COUNT(*) AS n_rows,
+             CAST(SUM(CASE WHEN doc_id % 50 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_quarantined
+      FROM documents
+      GROUP BY 1
+      ORDER BY lang"""),
+    (s, dir) => {
+      val path = scratch(s"docs_jsonl_${Integer.toHexString(dir.hashCode)}")
+      T(s, dir, "documents")
+        .select(
+          when(col("doc_id") % 50 === 0,
+            concat(lit("{\"doc_id\": "), col("doc_id"), lit(", \"lang\": \"")))
+            .otherwise(to_json(struct(col("doc_id"), col("lang"), col("n_chars"))))
+            .as("value"))
+        .write.mode("overwrite").text(path)
+      s.read.schema(jsonlSchema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L))
+            .as("n_quarantined"))
+        .orderBy(col("lang"))
+    })
+
+  def queries: Seq[GraftQuery] = Seq(csvRoundtrip, orcRoundtrip, jsonlPermissive)
 }

@@ -439,4 +439,24 @@ class LlmOpsSpec extends SparkSpec {
     eff._5 should be <= 10000L          // efficiency is a fraction in bp
     eff._5 shouldBe (eff._3 * 10000L) / eff._4 // integer identity
   }
+
+  test("llm_e4_ngram_novelty: first doc is fully novel; novel counts tile the span space") {
+    val rows = run("llm_e4_ngram_novelty").collect()
+    val first = rows.minBy(_.getLong(0))
+    first.getDouble(3) shouldBe 1.0 // nothing precedes the first doc
+    rows.foreach { r =>
+      r.getLong(2) should be <= r.getLong(1) // novel <= distinct grams
+      r.getDouble(3) shouldBe r.getLong(2).toDouble / r.getLong(1)
+    }
+    // every distinct span in the corpus is novel for exactly one doc
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    import org.apache.spark.sql.functions.{col, expr, size => asize, split => ssplit}
+    val total = docs.select(col("doc_id"), ssplit(col("text"), " ", -1).as("t"))
+      .filter(asize(col("t")) >= 8)
+      .select(org.apache.spark.sql.functions.explode(
+        expr("transform(sequence(0, size(t) - 8), i -> concat_ws(' ', slice(t, i + 1, 8)))"))
+        .as("s"))
+      .distinct().count()
+    rows.map(_.getLong(2)).sum shouldBe total
+  }
 }

@@ -114,6 +114,49 @@ class AdvancedSpec extends SparkSpec {
     exchanges should be <= 2
   }
 
+  test("q_window_rank_family: rank/dense/percent/cume algebra holds on tie groups") {
+    val rows = run("q_window_rank_family").collect()
+    rows.groupBy(_.getString(1)).foreach { case (_, part) =>
+      val n = part.length.toDouble
+      // within a tie group (same month) rank-family values are constant
+      part.groupBy(_.getString(2)).foreach { case (_, ties) =>
+        ties.map(_.getLong(3)).distinct.length shouldBe 1 // rank
+        ties.map(_.getLong(4)).distinct.length shouldBe 1 // dense_rank
+        ties.map(_.getDouble(5)).distinct.length shouldBe 1 // percent_rank
+      }
+      // dense_rank is the tie-group index; rank jumps by group size
+      val groups = part.groupBy(_.getString(2)).toSeq.sortBy(_._1)
+      groups.map(_._2.head.getLong(4)) shouldBe (1L to groups.length)
+      // percent_rank in [0,1]; cume_dist positive, ending at exactly 1
+      part.foreach { r =>
+        r.getDouble(5) should (be >= 0.0 and be <= 1.0)
+        r.getDouble(6) should (be > 0.0 and be <= 1.0)
+      }
+      // ntile(4) buckets differ in size by at most 1
+      val sizes = part.groupBy(_.getLong(7)).values.map(_.size)
+      (sizes.max - sizes.min) should be <= 1
+      sizes.sum.toDouble shouldBe n
+    }
+  }
+
+  test("q_snapshot_diff: classification is consistent with the carried old/new values") {
+    val rows = run("q_snapshot_diff").collect()
+    rows.foreach { r =>
+      val (oldN, newN) = (Option(r.get(1)), Option(r.get(2)))
+      r.getString(5) match {
+        case "added" => oldN shouldBe None; newN should not be None
+        case "removed" => newN shouldBe None; oldN should not be None
+        case "unchanged" =>
+          r.getLong(1) shouldBe r.getLong(2)
+          r.getDouble(3) shouldBe r.getDouble(4)
+        case "changed" =>
+          assert(r.getLong(1) != r.getLong(2) || r.getDouble(3) != r.getDouble(4))
+      }
+    }
+    // keys are unique and cover both snapshots exactly once
+    rows.map(_.getLong(0)).distinct.length shouldBe rows.length
+  }
+
   test("llm_e4_tfidf_topterms: <=3 terms per doc, rarer term outranks ubiquitous one at equal tf") {
     val df = Registry.byName("llm_e4_tfidf_topterms").run(spark, sfDir)
     val counts = df.groupBy("doc_id").count().agg(max("count")).head().getLong(0)

@@ -39,4 +39,16 @@ class FormatsSpec extends SparkSpec {
     val parts = dir.listFiles().count(_.getName.startsWith("part-"))
     parts should be >= 1
   }
+
+  test("q_jsonl_permissive: quarantine captures exactly the planted corrupt lines") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val planted = docs.filter(col("doc_id") % 50 === 0).count()
+    val rows = run("q_jsonl_permissive").collect()
+    val (corrupt, parsed) = rows.partition(_.isNullAt(0))
+    corrupt.length shouldBe 1
+    corrupt.head.getLong(1) shouldBe planted // every corrupt row lands here
+    corrupt.head.getLong(2) shouldBe planted // ...flagged via _corrupt_record
+    parsed.foreach(_.getLong(2) shouldBe 0L) // no false quarantines
+    rows.map(_.getLong(1)).sum shouldBe docs.count() // nothing dropped
+  }
 }
