@@ -45,7 +45,14 @@ object GraftFunctions {
       ("simhash64", "64-bit SimHash of an array<string> token column",
         arity("simhash64", 1) { case Seq(t) => SimHash64(t) }),
       ("rolling_hashes16", "polynomial rolling hashes of 16-char windows (B=257, M=1e9+7)",
-        arity("rolling_hashes16", 1) { case Seq(t) => RollingHashes(t, 16, 257L, 1000000007L) }))
+        arity("rolling_hashes16", 1) { case Seq(t) => RollingHashes(t, 16, 257L, 1000000007L) }),
+      ("word_ngrams", "generator: all n-token windows of array<string> as (pos, ngram) rows",
+        arity("word_ngrams", 2) {
+          case Seq(t, org.apache.spark.sql.catalyst.expressions.Literal(i: Int,
+              org.apache.spark.sql.types.IntegerType)) => WordNgrams(t, i)
+          case _ => throw new IllegalArgumentException(
+            "word_ngrams: second argument must be an INT literal")
+        }))
   }
 
   /** Register into a live session's function registry. */

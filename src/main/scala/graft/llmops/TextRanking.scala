@@ -89,5 +89,35 @@ object TextRanking {
         .orderBy("lang", "doc_id")
     })
 
-  def queries: Seq[GraftQuery] = Seq(tfidf, quotaSample)
+  /** Corpus-wide top-20 trigrams through the custom `word_ngrams`
+    * Generator (the UDTF surface, §2.12 — [[graft.functions.WordNgrams]]):
+    * Generate streams each document's windows without materializing the
+    * per-doc n-gram array, then one partial/final count aggregate and a
+    * TakeOrdered top-k (per-partition heaps + a 20-row driver merge —
+    * never a global sort). Ties at the cut break on the ngram text, so
+    * the result is total-order deterministic. */
+  private val trigramTopK = GraftQuery(
+    "llm_e4_trigram_topk",
+    "top-20 corpus trigrams via the custom word_ngrams Generator (E4 §2.12 UDTF)",
+    Some("""
+      WITH t AS (SELECT string_split(text, ' ') AS t FROM documents),
+      w AS (
+        SELECT array_to_string(t[i:i+2], ' ') AS ngram
+        FROM (SELECT t, unnest(generate_series(1, len(t) - 2)) AS i
+              FROM t WHERE len(t) >= 3))
+      SELECT ngram, count(*) AS n_occurrences
+      FROM w GROUP BY ngram
+      ORDER BY n_occurrences DESC, ngram
+      LIMIT 20"""),
+    (s, dir) => {
+      import graft.functions.WordNgrams.wordNgrams
+      docs(s, dir)
+        .select(wordNgrams(split(col("text"), " ", -1), 3).as(Seq("pos", "ngram")))
+        .groupBy(col("ngram"))
+        .agg(count(lit(1)).as("n_occurrences"))
+        .orderBy(col("n_occurrences").desc, col("ngram"))
+        .limit(20)
+    })
+
+  def queries: Seq[GraftQuery] = Seq(tfidf, quotaSample, trigramTopK)
 }

@@ -36,6 +36,45 @@ class GraftExtensionsSpec extends SparkSpec {
       .as[Double].head() shouldBe 11.0
   }
 
+  test("word_ngrams generator: streams the same rows as the HOF formulation") {
+    import org.apache.spark.sql.functions.{expr, posexplode, split}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", split($"text", " ", -1).as("t"))
+    val viaGen = docs
+      .select($"doc_id", WordNgrams.wordNgrams($"t", 8).as(Seq("pos", "ngram")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val viaHof = docs
+      .filter(org.apache.spark.sql.functions.size($"t") >= 8)
+      .select($"doc_id", posexplode(expr(
+        "transform(sequence(0, size(t) - 8), i -> concat_ws(' ', slice(t, i + 1, 8)))"))
+        .as(Seq("pos", "ngram")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    viaGen shouldBe viaHof
+    viaGen.size should be > 0
+  }
+
+  test("word_ngrams: SQL lateral view, short-input emptiness, literal-arity guard") {
+    GraftFunctions.register(spark)
+    val rows = spark.sql(
+      """SELECT pos, ngram
+        |FROM VALUES (array('a','b','c','d')) AS v(t)
+        |LATERAL VIEW word_ngrams(t, 3) g AS pos, ngram""".stripMargin)
+      .as[(Int, String)].collect()
+    rows shouldBe Array((0, "a b c"), (1, "b c d"))
+    // shorter than n -> zero rows, not null rows
+    spark.sql(
+      """SELECT pos FROM VALUES (array('a','b')) AS v(t)
+        |LATERAL VIEW word_ngrams(t, 3) g AS pos, ngram""".stripMargin)
+      .count() shouldBe 0L
+    // non-literal n is rejected with a named error
+    val e = intercept[Exception] {
+      spark.sql(
+        """SELECT pos FROM VALUES (array('a'), 2) AS v(t, k)
+          |LATERAL VIEW word_ngrams(t, k) g AS pos, ngram""".stripMargin).collect()
+    }
+    e.getMessage should include("word_ngrams")
+  }
+
   test("SQL results agree with the Column API") {
     GraftFunctions.register(spark)
     val viaSql = spark.sql("SELECT simhash64(array('slow', 'big', 'dup')) AS h")
