@@ -268,6 +268,55 @@ object EventAnalytics {
         .orderBy("user_id", "event_id")
     })
 
+  /** Nearest-direction as-of: each purchase matched to the closest click
+    * either side ([[graft.operators.AsOfJoin.nearest]] — pandas
+    * merge_asof direction='nearest'). Same single shuffle as the
+    * backward op; the oracle ranks the full per-user candidate set by
+    * the op's documented contract (distance, then backward-preferred,
+    * then the side's tiebreak direction) — an O(pairs) spell-out the
+    * engine never executes. */
+  private val asofNearest = GraftQuery(
+    "e5_asof_nearest_click",
+    "nearest as-of join purchase -> closest click either direction (custom op)",
+    Some("""
+      WITH p AS (
+        SELECT user_id AS u, event_id AS p_id, ts AS p_ts
+        FROM events WHERE event_type = 'purchase'),
+      c AS (
+        SELECT user_id AS cu, event_id AS c_id, ts AS c_ts
+        FROM events WHERE event_type = 'click'),
+      cand AS (
+        SELECT p.u, p.p_id, p.p_ts, c.c_id, c.c_ts,
+               abs(epoch_us(c.c_ts) - epoch_us(p.p_ts)) AS adt,
+               CASE WHEN c.c_ts <= p.p_ts THEN 0 ELSE 1 END AS dir
+        FROM p LEFT JOIN c ON c.cu = p.u),
+      ranked AS (
+        SELECT *, row_number() OVER (
+          PARTITION BY p_id
+          ORDER BY adt, dir, CASE WHEN dir = 0 THEN -c_id ELSE c_id END) AS rn
+        FROM cand)
+      SELECT u AS user_id, p_id AS event_id,
+             epoch_us(p_ts) AS purchase_us,
+             epoch_us(c_ts) AS nearest_click_us,
+             c_id AS nearest_click_id
+      FROM ranked WHERE rn = 1
+      ORDER BY user_id, event_id"""),
+    (s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id")
+      val clicks = ev.filter(col("event_type") === "click")
+        .withColumn("click_id", col("event_id"))
+        .select("user_id", "ts", "event_id", "click_id")
+      graft.operators.AsOfJoin
+        .nearest(purchases, clicks, "user_id", "ts", "event_id", Seq("click_id"))
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("purchase_us"),
+          unix_micros(col("ts_matched")).as("nearest_click_us"),
+          col("click_id").as("nearest_click_id"))
+        .orderBy("user_id", "event_id")
+    })
+
   /** C6 proper: from_json with an EXPLICIT schema (inference would scan
     * twice) and to_json re-serialization — the declarative JSON path the
     * reference's json.loads/passthrough maps to (call-debias.py:56,154).
@@ -570,6 +619,7 @@ object EventAnalytics {
 
   def queries: Seq[GraftQuery] =
     Seq(hourly, sessionize, sessionHistogram, jsonProps, funnel, sessionWindowQ, asof,
+      asofNearest,
       jsonRoundtrip, hourlySalted, windowAnalytics, rangeJoin, sketches, cohortRetention,
       rfm)
 }

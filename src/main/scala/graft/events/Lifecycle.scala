@@ -1,6 +1,7 @@
 package graft.events
 
 import graft.GraftQuery
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -49,26 +50,79 @@ object Lifecycle {
              COUNT(*) AS n_days, CAST(SUM(n) AS BIGINT) AS n_events
       FROM grp GROUP BY user_id, tier, island
       ORDER BY user_id, valid_from"""),
+    (s, dir) => scd2Frame(s, dir)
+      .orderBy(col("user_id"), col("valid_from")))
+
+  /** The SCD2 history frame (unordered) — shared by the history query
+    * and the point-in-time lookup. */
+  private def scd2Frame(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val tiered = daily.withColumn("tier",
+      when(col("n") >= 5, "high").when(col("n") >= 2, "mid").otherwise("low"))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val byTier = Window.partitionBy(col("user_id"), col("tier")).orderBy(col("day"))
+    tiered
+      .withColumn("island",
+        row_number().over(byUser) - row_number().over(byTier))
+      .groupBy(col("user_id"), col("tier"), col("island"))
+      .agg(
+        min(col("day")).as("valid_from"),
+        max(col("day")).as("valid_to"),
+        count(lit(1)).as("n_days"),
+        sum(col("n")).as("n_events"))
+      .select(col("user_id"), col("tier"), col("valid_from"), col("valid_to"),
+        col("n_days"), col("n_events"))
+  }
+
+  /** Point-in-time dimension lookup: each purchase joined to the SCD2
+    * tier run valid on its day — the lakehouse "fact joins the
+    * dimension AS OF the event" pattern, here with the dimension derived
+    * from the same log. A purchase day is by construction an active day,
+    * and runs partition a user's active-day sequence into disjoint
+    * calendar intervals, so every purchase matches EXACTLY one run
+    * (LifecycleSpec asserts the bijection).
+    *
+    * Plan shape: equi join on user_id with the interval containment as a
+    * residual filter — one co-partitioned shuffle; per-user run counts
+    * are tier-change-bounded, never SF-scaled on one key. */
+  private val pointInTime = GraftQuery(
+    "e5_point_in_time_lookup",
+    "purchases joined to the SCD2 tier valid at event time (E5 §2.3)",
+    Some("""
+      WITH daily AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n
+        FROM events GROUP BY 1, 2),
+      tiered AS (
+        SELECT user_id, day, n,
+               CASE WHEN n >= 5 THEN 'high' WHEN n >= 2 THEN 'mid' ELSE 'low' END AS tier
+        FROM daily),
+      grp AS (
+        SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY day)
+                - row_number() OVER (PARTITION BY user_id, tier ORDER BY day) AS island
+        FROM tiered),
+      hist AS (
+        SELECT user_id, tier, MIN(day) AS valid_from, MAX(day) AS valid_to
+        FROM grp GROUP BY user_id, tier, island),
+      p AS (
+        SELECT event_id, user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events WHERE event_type = 'purchase')
+      SELECT p.event_id, p.user_id, p.day, h.tier
+      FROM p JOIN hist h
+        ON h.user_id = p.user_id AND p.day BETWEEN h.valid_from AND h.valid_to
+      ORDER BY p.event_id"""),
     (s, dir) => {
-      val daily = events(s, dir)
-        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("n"))
-      val tiered = daily.withColumn("tier",
-        when(col("n") >= 5, "high").when(col("n") >= 2, "mid").otherwise("low"))
-      val byUser = Window.partitionBy(col("user_id")).orderBy(col("day"))
-      val byTier = Window.partitionBy(col("user_id"), col("tier")).orderBy(col("day"))
-      tiered
-        .withColumn("island",
-          row_number().over(byUser) - row_number().over(byTier))
-        .groupBy(col("user_id"), col("tier"), col("island"))
-        .agg(
-          min(col("day")).as("valid_from"),
-          max(col("day")).as("valid_to"),
-          count(lit(1)).as("n_days"),
-          sum(col("n")).as("n_events"))
-        .select(col("user_id"), col("tier"), col("valid_from"), col("valid_to"),
-          col("n_days"), col("n_events"))
-        .orderBy(col("user_id"), col("valid_from"))
+      val hist = scd2Frame(s, dir)
+        .select(col("user_id").as("h_user"), col("tier"),
+          col("valid_from"), col("valid_to"))
+      events(s, dir).filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), to_date(col("ts")).as("day"))
+        .join(hist,
+          col("user_id") === col("h_user") &&
+            col("day").between(col("valid_from"), col("valid_to")))
+        .select(col("event_id"), col("user_id"), col("day"), col("tier"))
+        .orderBy(col("event_id"))
     })
 
   /** Robust daily-volume anomaly flags per event type: median + MAD
@@ -121,5 +175,5 @@ object Lifecycle {
         .orderBy(col("event_type"), col("day"))
     })
 
-  def queries: Seq[GraftQuery] = Seq(scd2, anomalyMad)
+  def queries: Seq[GraftQuery] = Seq(scd2, pointInTime, anomalyMad)
 }

@@ -51,4 +51,63 @@ object AsOfJoin {
     filled.filter(col("__side") === 1)
       .select(left.columns.map(col) ++ renames: _*)
   }
+
+  /** Nearest as-of join — for each left row, the right row with the same
+    * key minimizing |right.ts - left.ts|, either direction (pandas
+    * merge_asof direction='nearest'). Unmatched left rows keep null
+    * payload.
+    *
+    * Same single-shuffle shape as [[backward]]: ONE union, ONE window
+    * sort per key partition, and TWO frames over that one sort — the
+    * running `last` fills the backward candidate, the mirrored `first`
+    * over (currentRow, unboundedFollowing) fills the forward candidate;
+    * a final projection picks the closer. Spark plans both frames over
+    * the same Sort+Exchange, so nearest costs exactly one extra window
+    * pass over backward, never a second shuffle.
+    *
+    * Determinism contract (mirrored by oracles): ties at equal distance
+    * prefer the BACKWARD candidate; within the backward side an equal-ts
+    * tie takes the greatest tiebreak (the running `last`), within the
+    * forward side the smallest (the mirrored `first`).
+    */
+  def nearest(
+      left: DataFrame, right: DataFrame,
+      key: String, ts: String, tiebreak: String,
+      payload: Seq[String]): DataFrame = {
+    val shared = Seq(key, ts, tiebreak)
+    val rPay = ts +: payload // carry right ts to compute distances
+    val l = left.select(shared.map(col) ++
+      Seq(lit(1).as("__side")) ++
+      rPay.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")) ++
+      left.columns.filterNot(shared.contains).map(col): _*)
+    val r = right.select(shared.map(col) ++
+      Seq(lit(0).as("__side")) ++
+      rPay.map(c => col(c).as(s"__r_$c")) ++
+      left.columns.filterNot(shared.contains)
+        .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val ord = Seq(col(ts), col("__side"), col(tiebreak))
+    val back = Window.partitionBy(col(key)).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(col(key)).orderBy(ord: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val filled = rPay.foldLeft(l.unionByName(r)) { (df, c) =>
+      df
+        .withColumn(s"__b_$c", last(col(s"__r_$c"), ignoreNulls = true).over(back))
+        .withColumn(s"__f_$c", first(col(s"__r_$c"), ignoreNulls = true).over(fwd))
+    }
+    val bTs = col(s"__b_$ts")
+    val fTs = col(s"__f_$ts")
+    // backward wins when it exists and is at least as close; distances in
+    // microseconds (a plain long cast floors to seconds and would merge
+    // sub-second distinctions into false ties)
+    val useBack = bTs.isNotNull &&
+      (fTs.isNull ||
+        unix_micros(col(ts)) - unix_micros(bTs) <=
+          unix_micros(fTs) - unix_micros(col(ts)))
+    val picked = payload.map(c =>
+      when(useBack, col(s"__b_$c")).otherwise(col(s"__f_$c")).as(c)) :+
+      when(useBack, bTs).otherwise(fTs).as(s"${ts}_matched")
+    filled.filter(col("__side") === 1)
+      .select(left.columns.map(col) ++ picked: _*)
+  }
 }

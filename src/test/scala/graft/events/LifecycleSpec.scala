@@ -40,6 +40,25 @@ class LifecycleSpec extends SparkSpec {
     total shouldBe expected
   }
 
+  test("e5_point_in_time_lookup: every purchase resolves to exactly one SCD2 run") {
+    val purchases = EventAnalytics.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+    val out = run("e5_point_in_time_lookup").collect()
+    out.length shouldBe purchases.count() // bijection: no drops, no fan-out
+    out.map(_.getLong(0)).distinct.length shouldBe out.length
+    // the looked-up tier is the run containing the purchase day
+    val hist = run("e5_scd2_activity_tiers").collect()
+      .map(r => (r.getLong(0), r.getDate(2), r.getDate(3), r.getString(1)))
+    val byUser = hist.groupBy(_._1)
+    out.take(200).foreach { r =>
+      val (user, day, tier) = (r.getLong(1), r.getDate(2), r.getString(3))
+      val runs = byUser(user).filter(h =>
+        !day.before(h._2) && !day.after(h._3))
+      runs.length shouldBe 1 // runs are disjoint calendar intervals
+      runs.head._4 shouldBe tier
+    }
+  }
+
   test("e5_daily_anomaly_mad: one row per (type, day); anomaly iff |n - med| > 3*mad") {
     val rows = run("e5_daily_anomaly_mad").collect()
     rows.map(r => (r.getString(0), r.get(1))).distinct.length shouldBe rows.length

@@ -42,4 +42,46 @@ class AsOfJoinSpec extends SparkSpec {
     out.count() shouldBe 1L
     out.select($"px").head().isNullAt(0) shouldBe true
   }
+
+  test("nearest picks the closer side, prefers backward on exact ties") {
+    val quotes = Seq( // key, ts, id, px
+      (1L, t("2024-01-01 10:00:00"), 1L, 100.0),
+      (1L, t("2024-01-01 10:10:00"), 2L, 102.0),
+      (2L, t("2024-01-01 12:00:00"), 3L, 200.0)
+    ).toDF("user_id", "ts", "event_id", "px")
+    val trades = Seq(
+      (1L, t("2024-01-01 10:04:00"), 10L), // 4min back vs 6min fwd -> 100
+      (1L, t("2024-01-01 10:06:00"), 11L), // 6min back vs 4min fwd -> 102
+      (1L, t("2024-01-01 10:05:00"), 12L), // exact tie -> backward 100
+      (1L, t("2024-01-01 10:10:00"), 13L), // dt=0 backward (>= semantics) -> 102
+      (2L, t("2024-01-01 09:00:00"), 14L), // only a future quote -> 200
+      (3L, t("2024-01-01 09:00:00"), 15L)  // no quotes for key -> null
+    ).toDF("user_id", "ts", "event_id")
+
+    val out = AsOfJoin.nearest(trades, quotes, "user_id", "ts", "event_id", Seq("px"))
+      .select($"event_id", $"px").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    out shouldBe Map(
+      10L -> Some(100.0), 11L -> Some(102.0), 12L -> Some(100.0),
+      13L -> Some(102.0), 14L -> Some(200.0), 15L -> None)
+  }
+
+  test("nearest carries the matched right ts and breaks equal-ts ties per side contract") {
+    val quotes = Seq( // two quotes at the SAME ts: backward takes max id, forward min id
+      (1L, t("2024-01-01 10:00:00"), 1L, 100.0),
+      (1L, t("2024-01-01 10:00:00"), 2L, 101.0)
+    ).toDF("user_id", "ts", "event_id", "px")
+    val before = Seq((1L, t("2024-01-01 09:00:00"), 10L)).toDF("user_id", "ts", "event_id")
+    val after = Seq((1L, t("2024-01-01 11:00:00"), 11L)).toDF("user_id", "ts", "event_id")
+    // left BEFORE both quotes -> forward candidate -> min id (px 100)
+    AsOfJoin.nearest(before, quotes, "user_id", "ts", "event_id", Seq("px"))
+      .select($"px", $"ts_matched").head() match {
+      case r => r.getDouble(0) shouldBe 100.0
+        r.getTimestamp(1) shouldBe t("2024-01-01 10:00:00")
+    }
+    // left AFTER both quotes -> backward candidate -> max id (px 101)
+    AsOfJoin.nearest(after, quotes, "user_id", "ts", "event_id", Seq("px"))
+      .select($"px").head().getDouble(0) shouldBe 101.0
+  }
 }
