@@ -889,6 +889,92 @@ object LlmOps {
         .orderBy("train_id")
     })
 
+  /** k-NN label classification (E3): each eval vector (vec_id % 50 == 0)
+    * predicted as the majority label of its 5 nearest training vectors
+    * by cosine — the label-propagation / weak-annotation pass an
+    * embedding pipeline runs to score a labeling model, with the
+    * per-query accuracy bit in the output.
+    *
+    * 100 TB shape: the eval side broadcasts (2% by construction; real
+    * eval sets are small), the training corpus scans ONCE, and the
+    * per-eval top-5 comes from the k-bounded [[graft.functions.TopKAgg]]
+    * — partial aggregation ships ≤ 5 rows per eval per map partition
+    * instead of window-sorting the |train|×|eval| scored rows. Labels
+    * re-attach to the 5·|eval| shortlist only (the shortlist side
+    * broadcasts), and the vote argmax is a lexicographic struct max —
+    * map-side combinable, no window. Cosines round to 4dp so FP ulps
+    * cannot flip ranks between engines; vote ties break to the smaller
+    * label. */
+  private val e3KnnClassify = GraftQuery(
+    "llm_e3_knn_classify",
+    "k-NN majority-label classification of the eval split, k=5 via TopKAgg (E3)",
+    Some("""
+      WITH e AS (
+        SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      n AS (
+        SELECT vec_id, label, v,
+               sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+        FROM e),
+      ev AS (SELECT vec_id AS eval_id, label AS true_label, v AS evv, nrm AS evn
+             FROM n WHERE vec_id % 50 = 0),
+      tr AS (SELECT vec_id AS train_id, label, v, nrm FROM n WHERE vec_id % 50 <> 0),
+      scored AS (
+        SELECT ev.eval_id, ev.true_label, tr.train_id, tr.label,
+               round(list_reduce(list_transform(list_zip(ev.evv, tr.v), p -> p[1] * p[2]),
+                                 (a, b) -> a + b) / (ev.evn * tr.nrm), 4) AS cosine
+        FROM ev CROSS JOIN tr),
+      top5 AS (
+        SELECT * FROM (
+          SELECT *, row_number() OVER (PARTITION BY eval_id
+                                       ORDER BY cosine DESC, train_id) AS rn
+          FROM scored) WHERE rn <= 5),
+      votes AS (
+        SELECT eval_id, true_label, label, COUNT(*) AS v
+        FROM top5 GROUP BY eval_id, true_label, label),
+      pick AS (
+        SELECT *, row_number() OVER (PARTITION BY eval_id ORDER BY v DESC, label) AS pr
+        FROM votes)
+      SELECT eval_id, true_label, label AS predicted_label,
+             CAST(v AS BIGINT) AS n_votes,
+             label = true_label AS correct
+      FROM pick WHERE pr = 1
+      ORDER BY eval_id"""),
+    (s, dir) => {
+      val labels = embeddings(s, dir).select(col("vec_id"), col("label"))
+      val n = normed(s, dir)
+      val ev = n.filter(col("vec_id") % 50 === 0)
+        .join(labels.toDF("vec_id", "true_label"), "vec_id")
+        .select(col("vec_id").as("eval_id"), col("true_label"),
+          col("v").as("evv"), col("nrm").as("evn"))
+      val tr = n.filter(col("vec_id") % 50 =!= 0)
+        .select(col("vec_id").as("train_id"), col("v"), col("nrm"))
+      val topk = graft.functions.TopKAgg.udaf(5)
+      val top5 = tr.crossJoin(broadcast(ev))
+        .withColumn("cosine",
+          round(graft.functions.VectorFunctions.dot(col("evv"), col("v"))
+            / (col("evn") * col("nrm")), 4))
+        .groupBy(col("eval_id"), col("true_label"))
+        .agg(topk(col("cosine"), col("train_id")).as("top"))
+        .select(col("eval_id"), col("true_label"),
+          explode(col("top")).as("item"))
+        .select(col("eval_id"), col("true_label"), col("item.id").as("train_id"))
+      // labels re-attach to the bounded shortlist: broadcast the 5·|eval|
+      // rows against the train-sized label scan, never the reverse
+      labels.toDF("train_id", "label")
+        .join(broadcast(top5), "train_id")
+        .groupBy(col("eval_id"), col("true_label"), col("label"))
+        .agg(count(lit(1)).as("v"))
+        .groupBy(col("eval_id"), col("true_label"))
+        .agg(max(struct(col("v"), (-col("label")).cast("int").as("neg"),
+          col("label"))).as("best"))
+        .select(col("eval_id"), col("true_label"),
+          col("best.label").as("predicted_label"),
+          col("best.v").as("n_votes"),
+          (col("best.label") === col("true_label")).as("correct"))
+        .orderBy("eval_id")
+    })
+
   // Multi-table hyperplane LSH: L independent tables of b sign bits each.
   // Recall for a pair at angle θ is 1-(1-(1-θ/π)^b)^L — one table of many
   // planes has near-zero recall on mid-cosine neighbors (the testdata's
@@ -1629,7 +1715,7 @@ object LlmOps {
 
   def queries: Seq[GraftQuery] = Seq(
     e1, e1Stats, e1Incremental, e2Jaccard, e2MinHash, e2SimHash, e2EmbedCosine, e2Clusters,
-    e2DedupApply, e2Decontam, e2RepeatedSpans, e2SpanCut, e3TopK, e3Ann, e3Ivf, e3EvalNN,
+    e2DedupApply, e2Decontam, e2RepeatedSpans, e2SpanCut, e3TopK, e3Ann, e3Ivf, e3EvalNN, e3KnnClassify,
     e4Terms, e4Quality,
     e4LangId, e4Fingerprint, e4Rolling, e4Repetition, e4Chunk, e4Mix, e4Scrub,
     e4Surprisal, e4Split, e4Pack, e4PackEff, e4Cascade, e4Novelty)

@@ -70,6 +70,57 @@ object EventStreams {
         date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("window_start"),
         col("n_events"), col("sum_value"))
 
+  /** foreachBatch incremental MERGE — the production streaming-upsert
+    * sink (the streaming twin of the batch `q_merge_upsert`): each
+    * micro-batch re-aggregates ONLY its own rows, full-outer-merges them
+    * into the persisted per-user state, and publishes a new immutable
+    * state version (`v<batchId>`) — readers always see a complete
+    * snapshot, never a half-written overwrite, and the previous version
+    * stays readable until the new one lands (poor-man's MVCC; a
+    * lakehouse table format would do the same commit atomically).
+    *
+    * Scale: per batch, work is O(batch) + O(|users in state|) with both
+    * sides aggregated on user_id before the merge join — the base fact
+    * history is NEVER rescanned. Spend accumulates as DECIMAL(18,2) in
+    * the state schema so merged totals stay exact across any batch
+    * split (the spec proves batch-split invariance against the batch
+    * twin). */
+  def startIncrementalMerge(events: DataFrame, stateDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    def aggregate(df: DataFrame): DataFrame = df
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(18, 2))
+          .as("spend"))
+    events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val delta = aggregate(batch.toDF())
+        val merged = latestState(spark, stateDir) match {
+          case Some(prev) => prev.unionByName(delta)
+            .groupBy(col("user_id"))
+            .agg(sum(col("n_events")).as("n_events"),
+              sum(col("spend")).cast(DecimalType(18, 2)).as("spend"))
+          case None => delta
+        }
+        merged.write.mode("overwrite")
+          .parquet(f"$stateDir/v$batchId%09d")
+        ()
+      }
+      .start()
+  }
+
+  /** The newest complete state version under `stateDir`, if any. */
+  def latestState(spark: SparkSession, stateDir: String): Option[DataFrame] = {
+    val root = new java.io.File(stateDir)
+    Option(root.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("v") &&
+        new java.io.File(f, "_SUCCESS").exists())
+      .sortBy(_.getName).lastOption
+      .map(f => spark.read.parquet(f.getAbsolutePath))
+  }
+
   /** Streaming sessionization via the native session_window generator:
     * one row per (user, gap-merged session), half-open [ts, ts+gap)
     * semantics — a gap of EXACTLY 30 minutes starts a new session, and

@@ -440,6 +440,28 @@ class LlmOpsSpec extends SparkSpec {
     eff._5 shouldBe (eff._3 * 10000L) / eff._4 // integer identity
   }
 
+  test("llm_e3_knn_classify matches a driver-side brute-force vote replay") {
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val r = d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      BigDecimal(r).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val evs = embs.filter(_._1 % 50 == 0)
+    val tr = embs.filter(_._1 % 50 != 0)
+    val want = evs.map { case (eid, ev, trueLabel) =>
+      val top5 = tr.map { case (tid, tv, lbl) => (cos(ev, tv), tid, lbl) }
+        .sortBy { case (c, tid, _) => (-c, tid) }.take(5)
+      val (votes, label) = top5.groupBy(_._3).view.mapValues(_.length).toSeq
+        .maxBy { case (lbl, v) => (v, -lbl) }.swap
+      eid -> (trueLabel, label, votes.toLong)
+    }.toMap
+    val got = run("llm_e3_knn_classify").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getLong(3))).toMap
+    got shouldBe want
+  }
+
   test("llm_e4_ngram_novelty: first doc is fully novel; novel counts tile the span space") {
     val rows = run("llm_e4_ngram_novelty").collect()
     val first = rows.minBy(_.getLong(0))

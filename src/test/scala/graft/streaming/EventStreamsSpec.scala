@@ -62,6 +62,34 @@ class EventStreamsSpec extends SparkSpec {
     streamed shouldBe batch
   }
 
+  test("foreachBatch incremental merge: versioned state equals the one-shot aggregate") {
+    implicit val sqlCtx = spark.sqlContext
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_merge_state").toString
+    val stream = MemoryStream[EventStreams.Event]
+    val all = toEvents(batchEvents.collect())
+    // three uneven batches: the merge must be split-invariant
+    val (b1, rest) = all.splitAt(all.size / 4)
+    val (b2, b3) = rest.splitAt(rest.size / 2)
+    stream.addData(b1)
+    val q = EventStreams.startIncrementalMerge(stream.toDF(), stateDir)
+    q.processAllAvailable()
+    stream.addData(b2); q.processAllAvailable()
+    stream.addData(b3); q.processAllAvailable()
+    q.stop()
+
+    val state = EventStreams.latestState(spark, stateDir).get
+      .select($"user_id", $"n_events", $"spend".cast("double"))
+      .as[(Long, Long, Double)].collect().toSet
+    val direct = batchEvents.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("spend"))
+      .as[(Long, Long, Double)].collect().toSet
+    state shouldBe direct
+    // every published version is a complete snapshot (has _SUCCESS)
+    new java.io.File(stateDir).listFiles().count(_.getName.startsWith("v")) should be >= 2
+  }
+
   test("streaming session_window (append + watermark) matches the batch twin") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[EventStreams.Event]
