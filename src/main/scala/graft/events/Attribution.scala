@@ -14,10 +14,12 @@ import org.apache.spark.sql.types.DecimalType
   * counts are activity-bounded, never SF-front-loaded onto one key. The
   * per-purchase touch count is a window partitioned by purchase id
   * (bounded groups), and the per-click rollup is one partial/final
-  * aggregate. Shares are summed as exact decimals so the attributed
-  * totals are order-insensitive (and conservation — attributed total ==
-  * attributable purchase total — holds exactly, which AttributionSpec
-  * asserts).
+  * aggregate. Shares quantize to exact integers (value/n × 1e8
+  * TRUNCATED — truncation has no rounding ties, so the quantities are
+  * bit-identical cross-engine where a decimal cast of a computed double
+  * is not) and sum exactly, so the attributed totals are
+  * order-insensitive and conservation — attributed total ==
+  * quantized-share total — holds exactly (AttributionSpec).
   */
 object Attribution {
 
@@ -38,10 +40,11 @@ object Attribution {
          AND c.c_ts > p.p_ts - INTERVAL 7 DAY),
       shared AS (
         SELECT u, c_id, p_id,
-               CAST(value / (COUNT(*) OVER (PARTITION BY p_id)) AS DECIMAL(20,8)) AS share
+               CAST(trunc(value / (COUNT(*) OVER (PARTITION BY p_id)) * 1e8)
+                    AS DECIMAL(20,0)) AS share_q
         FROM m)
       SELECT u AS user_id, c_id AS click_event_id,
-             CAST(SUM(share) AS DOUBLE) AS attributed,
+             CAST(SUM(share_q) AS DOUBLE) / 1e8 AS attributed,
              COUNT(DISTINCT p_id) AS n_purchases
       FROM shared
       GROUP BY u, c_id
@@ -58,12 +61,13 @@ object Attribution {
           col("cu") === col("u") &&
             col("c_ts") <= col("p_ts") &&
             col("c_ts") > col("p_ts") - expr("INTERVAL 7 DAY"))
-        .withColumn("share",
-          (col("value") / count(lit(1)).over(Window.partitionBy(col("p_id"))))
-            .cast(DecimalType(20, 8)))
+        // double->long cast truncates toward zero, matching trunc()
+        .withColumn("share_q",
+          (col("value") / count(lit(1)).over(Window.partitionBy(col("p_id"))) * 1e8)
+            .cast("long").cast(DecimalType(20, 0)))
         .groupBy(col("u"), col("c_id"))
         .agg(
-          sum(col("share")).cast("double").as("attributed"),
+          (sum(col("share_q")).cast("double") / 1e8).as("attributed"),
           countDistinct(col("p_id")).as("n_purchases"))
         .select(col("u").as("user_id"), col("c_id").as("click_event_id"),
           col("attributed"), col("n_purchases"))

@@ -975,6 +975,58 @@ object LlmOps {
         .orderBy("eval_id")
     })
 
+  /** Per-label mean embedding — the class-prototype build (nearest-
+    * centroid classifiers, clustering seeds, drift monitoring). Output
+    * is dim-exploded (label, dim, centroid) so the oracle compares
+    * scalar-by-scalar.
+    *
+    * Components quantize to 1e-7 by TRUNCATION toward zero before
+    * summing: truncating a double has no rounding ties, so the integer
+    * quantities (and therefore the sums, in any order) are bit-identical
+    * across engines. Decimal CASTS of full-precision doubles are NOT —
+    * Spark rounds the shortest string rendering of the double where
+    * DuckDB rounds the exact binary value, and at scale 10 the two
+    * disagree about once per few thousand embedding floats (measured).
+    * The ≤1e-7 per-component quantization is noise for prototype use —
+    * and an int8-quantizing pipeline (llm_e3_quantize_audit) truncates
+    * far harder.
+    *
+    * 100 TB shape: one generator explode (×dims, no shuffle) feeding a
+    * single partial/final aggregate on (label, dim) — |labels|·|dims|
+    * groups regardless of corpus size, map-side combined; BIGINT sums
+    * never overflow (|x|·1e7 ≤ 1e8 per component). */
+  private val e3Centroids = GraftQuery(
+    "llm_e3_label_centroids",
+    "per-label mean embedding (class prototypes), 1e-7-quantized exact means (E3)",
+    Some("""
+      WITH e AS (
+        SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      d AS (
+        SELECT label, CAST(i AS BIGINT) AS dim,
+               CAST(trunc(v[i] * 10000000.0) AS BIGINT) AS q
+        FROM (SELECT label, v, unnest(generate_series(1, len(v))) AS i FROM e))
+      SELECT label, dim,
+             COUNT(*) AS n_vecs,
+             CAST(SUM(q) AS DOUBLE) / (10000000.0 * COUNT(*)) AS centroid
+      FROM d GROUP BY label, dim
+      ORDER BY label, dim"""),
+    (s, dir) => {
+      embeddings(s, dir)
+        .select(col("label"),
+          posexplode(expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+            .as(Seq("pos", "x")))
+        // double->long cast truncates toward zero, matching trunc()
+        .select(col("label"), (col("pos") + 1).cast("long").as("dim"),
+          (col("x") * 10000000.0).cast("long").as("q"))
+        .groupBy(col("label"), col("dim"))
+        .agg(
+          count(lit(1)).as("n_vecs"),
+          (sum(col("q")).cast("double") / (lit(10000000.0) * count(lit(1))))
+            .as("centroid"))
+        .orderBy("label", "dim")
+    })
+
   // Multi-table hyperplane LSH: L independent tables of b sign bits each.
   // Recall for a pair at angle θ is 1-(1-(1-θ/π)^b)^L — one table of many
   // planes has near-zero recall on mid-cosine neighbors (the testdata's
@@ -1715,7 +1767,7 @@ object LlmOps {
 
   def queries: Seq[GraftQuery] = Seq(
     e1, e1Stats, e1Incremental, e2Jaccard, e2MinHash, e2SimHash, e2EmbedCosine, e2Clusters,
-    e2DedupApply, e2Decontam, e2RepeatedSpans, e2SpanCut, e3TopK, e3Ann, e3Ivf, e3EvalNN, e3KnnClassify,
+    e2DedupApply, e2Decontam, e2RepeatedSpans, e2SpanCut, e3TopK, e3Ann, e3Ivf, e3EvalNN, e3KnnClassify, e3Centroids,
     e4Terms, e4Quality,
     e4LangId, e4Fingerprint, e4Rolling, e4Repetition, e4Chunk, e4Mix, e4Scrub,
     e4Surprisal, e4Split, e4Pack, e4PackEff, e4Cascade, e4Novelty)

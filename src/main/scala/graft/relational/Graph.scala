@@ -19,8 +19,9 @@ import org.apache.spark.sql.types.DecimalType
   * ONCE and every iteration reuses them; each iteration is one shuffle
   * (group by dst). Ranks are O(|nodes|) — always the small side, so the
   * rank⋈edge join broadcasts the ranks and never reshuffles the edge
-  * list. Exact-decimal contribution sums make the result order-insensitive
-  * and therefore bit-identical across engines and partitionings.
+  * list. Contributions quantize to exact integers before summing, so the
+  * result is order-insensitive and bit-identical across engines and
+  * partitionings.
   */
 object Graph {
 
@@ -31,11 +32,17 @@ object Graph {
     *
     * Contribution discipline: `rank/outdeg` is a deterministic double
     * division (identical inputs ⇒ identical quotient in both engines);
-    * casting each contribution to DECIMAL(28,12) before SUM makes the
-    * per-node total exact and summation-order-independent, then one
-    * double multiply/add per node produces the next rank. The oracle
-    * unrolls the same three iterations as chained CTEs (a recursive CTE
-    * with aggregation in the recursive term is not portable SQL).
+    * each contribution then quantizes to an exact integer by TRUNCATING
+    * `quotient × 1e12` toward zero — truncation has no rounding ties, so
+    * the quantities (and their exact decimal-backed sums, in any order)
+    * are bit-identical across engines. A decimal CAST would not be:
+    * Spark rounds the double's shortest string rendering where DuckDB
+    * rounds the exact binary value, and near the scale limit the two
+    * disagree often enough to flake at sf≥0.1 (measured on the label-
+    * centroid query). One double multiply/add per node then produces the
+    * next rank. The oracle unrolls the same three iterations as chained
+    * CTEs (a recursive CTE with aggregation in the recursive term is not
+    * portable SQL).
     */
   private val pagerank = GraftQuery(
     "q_pagerank_cosupply",
@@ -43,7 +50,9 @@ object Graph {
     Some {
       def step(prev: String): String =
         s"""SELECT e.dst AS node,
-               CAST(${1 - damping} + $damping * CAST(SUM(CAST(r.rank / d.outdeg AS DECIMAL(28,12))) AS DOUBLE) AS DOUBLE) AS rank
+               CAST(${1 - damping} + $damping *
+                 (CAST(SUM(CAST(trunc(r.rank / d.outdeg * 1e12) AS DECIMAL(20,0))) AS DOUBLE)
+                  / 1e12) AS DOUBLE) AS rank
             FROM $prev r
             JOIN deg d ON d.src = r.node
             JOIN edges e ON e.src = r.node
@@ -89,9 +98,11 @@ object Graph {
             col("node") === col("e_src"))
           .groupBy(col("dst"))
           .agg(
+            // double->long cast truncates toward zero, matching trunc()
             (lit(1 - damping) + lit(damping) *
-              sum((col("rank") / col("outdeg2")).cast(DecimalType(28, 12)))
-                .cast("double")).cast("double").as("rank"))
+              (sum((col("rank") / col("outdeg2") * 1e12).cast("long")
+                  .cast(DecimalType(20, 0)))
+                .cast("double") / 1e12)).cast("double").as("rank"))
           .select(col("dst").as("node"), col("rank"))
       }
       ranks.select(col("node").as("s_suppkey"), col("rank").as("pagerank"))

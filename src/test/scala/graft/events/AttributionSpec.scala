@@ -31,10 +31,9 @@ class AttributionSpec extends SparkSpec {
           c.tsMicros > p.tsMicros - weekMicros)
       if (touches == 0) None
       else {
-        // the query's share discipline: value/n as DECIMAL(20,8), n of them
-        val share = BigDecimal(p.value / touches)
-          .setScale(8, BigDecimal.RoundingMode.HALF_UP)
-        Some((share * touches).toDouble)
+        // the query's share discipline: trunc(value/n * 1e8), n of them
+        val shareQ = (p.value / touches * 1e8).toLong
+        Some(shareQ.toDouble * touches / 1e8)
       }
     }.sum
     val attributed = Registry.byName("e5_linear_attribution").run(spark, sfDir)
@@ -45,18 +44,17 @@ class AttributionSpec extends SparkSpec {
   test("per-click attribution matches a driver-side reference") {
     val all = evs()
     val clicks = all.filter(_.tpe == "click")
-    val want = scala.collection.mutable.Map[(Long, Long), (BigDecimal, Set[Long])]()
+    val want = scala.collection.mutable.Map[(Long, Long), (BigInt, Set[Long])]()
     for (p <- all.filter(_.tpe == "purchase")) {
       val touched = clicks.filter(c =>
         c.user == p.user && c.tsMicros <= p.tsMicros &&
           c.tsMicros > p.tsMicros - weekMicros)
       if (touched.nonEmpty) {
-        val share = BigDecimal(p.value / touched.size)
-          .setScale(8, BigDecimal.RoundingMode.HALF_UP)
+        val shareQ = BigInt((p.value / touched.size * 1e8).toLong)
         for (c <- touched) {
           val k = (c.user, c.id)
-          val (s0, ps) = want.getOrElse(k, (BigDecimal(0), Set.empty[Long]))
-          want(k) = (s0 + share, ps + p.id)
+          val (s0, ps) = want.getOrElse(k, (BigInt(0), Set.empty[Long]))
+          want(k) = (s0 + shareQ, ps + p.id)
         }
       }
     }
@@ -64,7 +62,7 @@ class AttributionSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getLong(3))).toMap
     got.keySet shouldBe want.keySet.toSet
     got.foreach { case (k, (attr, n)) =>
-      attr shouldBe want(k)._1.toDouble +- 1e-9
+      attr shouldBe (want(k)._1.toDouble / 1e8) +- 1e-9
       n shouldBe want(k)._2.size.toLong
     }
   }

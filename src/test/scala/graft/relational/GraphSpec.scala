@@ -30,16 +30,14 @@ class GraphSpec extends SparkSpec {
     val outdeg = es.groupBy(_._1).view.mapValues(_.size.toLong).toMap
     var rank: Map[Long, Double] = outdeg.keys.map(_ -> 1.0).toMap
     for (_ <- 1 to 3) {
-      // mirror the query: per-edge contribution rank/outdeg rounded to
-      // DECIMAL(28,12) (HALF_UP), summed exactly, then one double step
+      // mirror the query: per-edge contribution rank/outdeg * 1e12
+      // TRUNCATED to an integer (tie-free), summed exactly, then one
+      // double step
       val in = es.groupBy(_._2).map { case (dst, inEdges) =>
         val sum = inEdges
-          .map { case (src, _) =>
-            BigDecimal(rank(src) / outdeg(src))
-              .setScale(12, BigDecimal.RoundingMode.HALF_UP)
-          }
+          .map { case (src, _) => BigInt((rank(src) / outdeg(src) * 1e12).toLong) }
           .sum
-        dst -> (0.15 + 0.85 * sum.toDouble)
+        dst -> (0.15 + 0.85 * (sum.toDouble / 1e12))
       }
       rank = in
     }
