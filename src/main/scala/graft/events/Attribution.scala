@@ -74,5 +74,72 @@ object Attribution {
         .orderBy(col("user_id"), col("click_event_id"))
     })
 
-  def queries: Seq[GraftQuery] = Seq(linearAttribution)
+  /** Time-to-convert: for every click, the delay to the user's FIRST
+    * purchase at-or-after it ([[graft.operators.AsOfJoin.forward]] —
+    * completing the backward/forward/nearest direction family), counted
+    * as converted when within 7 days; one summary row with the exact
+    * delay percentiles. The conversion-latency distribution is the
+    * funnel metric product teams actually page on.
+    *
+    * Scale notes: the forward as-of is the same one-shuffle union+window
+    * as backward — never a pairs join (the oracle's LEFT JOIN + MIN
+    * spell-out is the O(pairs) formulation the engine avoids). The
+    * percentile aggregate holds the delay vector of converted clicks —
+    * bounded by conversion volume; the documented fallback at unbounded
+    * width is approx_percentile (q_approx_quantile_audit licenses it).
+    * Delays are integer micros, so `percentile`'s dyadic interpolation
+    * is FP-exact cross-engine (the q_exact_percentiles discipline).
+    */
+  private val timeToConvert = GraftQuery(
+    "e5_time_to_convert",
+    "click -> first-purchase-within-7d delay percentiles via forward as-of (E5)",
+    Some("""
+      WITH c AS (
+        SELECT user_id AS u, event_id AS c_id, ts AS c_ts
+        FROM events WHERE event_type = 'click'),
+      p AS (
+        SELECT user_id AS pu, ts AS p_ts
+        FROM events WHERE event_type = 'purchase'),
+      m AS (
+        SELECT c.u, c.c_id, c.c_ts, MIN(p.p_ts) AS p_ts
+        FROM c LEFT JOIN p ON p.pu = c.u AND p.p_ts >= c.c_ts
+        GROUP BY c.u, c.c_id, c.c_ts),
+      d AS (
+        SELECT CASE WHEN p_ts IS NOT NULL
+                     AND epoch_us(p_ts) - epoch_us(c_ts) <= 604800000000
+                    THEN epoch_us(p_ts) - epoch_us(c_ts) END AS delay_us
+        FROM m)
+      SELECT COUNT(*) AS n_clicks,
+             COUNT(delay_us) AS n_converted,
+             CAST(COUNT(delay_us) AS DOUBLE) / COUNT(*) AS conversion_rate,
+             quantile_cont(delay_us, 0.25) AS p25_us,
+             quantile_cont(delay_us, 0.50) AS p50_us,
+             quantile_cont(delay_us, 0.75) AS p75_us,
+             quantile_cont(delay_us, 0.90) AS p90_us
+      FROM d"""),
+    (s, dir) => {
+      val ev = EventAnalytics.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "ts", "event_id")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .withColumn("p_ts", col("ts"))
+        .select("user_id", "ts", "event_id", "p_ts")
+      graft.operators.AsOfJoin
+        .forward(clicks, purchases, "user_id", "ts", "event_id", Seq("p_ts"))
+        .withColumn("delay_us",
+          when(col("p_ts").isNotNull &&
+            unix_micros(col("p_ts")) - unix_micros(col("ts")) <= 604800000000L,
+            unix_micros(col("p_ts")) - unix_micros(col("ts"))))
+        .agg(
+          count(lit(1)).as("n_clicks"),
+          count(col("delay_us")).as("n_converted"),
+          (count(col("delay_us")).cast("double") / count(lit(1)))
+            .as("conversion_rate"),
+          expr("percentile(delay_us, 0.25)").as("p25_us"),
+          expr("percentile(delay_us, 0.50)").as("p50_us"),
+          expr("percentile(delay_us, 0.75)").as("p75_us"),
+          expr("percentile(delay_us, 0.90)").as("p90_us"))
+    })
+
+  def queries: Seq[GraftQuery] = Seq(linearAttribution, timeToConvert)
 }

@@ -52,6 +52,41 @@ object AsOfJoin {
       .select(left.columns.map(col) ++ renames: _*)
   }
 
+  /** Forward as-of join — for each left row, carry values from the
+    * EARLIEST right row with the same key and right.ts >= left.ts (ties
+    * included): [[backward]] mirrored. Right rows sort AFTER left rows at
+    * equal ts (side 0 vs 1 flipped relative to backward) so an
+    * equal-timestamp right row is inside the forward frame, and the
+    * mirrored `first(payload, ignoreNulls)` over
+    * (currentRow, unboundedFollowing) fills each left row with the next
+    * right payload. Same single-shuffle cost as backward; at equal
+    * (ts, side) the SMALLEST tiebreak wins (the first row in order).
+    */
+  def forward(
+      left: DataFrame, right: DataFrame,
+      key: String, ts: String, tiebreak: String,
+      payload: Seq[String]): DataFrame = {
+    val shared = Seq(key, ts, tiebreak)
+    val l = left.select(shared.map(col) ++
+      Seq(lit(0).as("__side")) ++
+      payload.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")) ++
+      left.columns.filterNot(shared.contains).map(col): _*)
+    val r = right.select(shared.map(col) ++
+      Seq(lit(1).as("__side")) ++
+      payload.map(c => col(c).as(s"__r_$c")) ++
+      left.columns.filterNot(shared.contains)
+        .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts), col("__side"), col(tiebreak))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val filled = payload.foldLeft(l.unionByName(r)) { (df, c) =>
+      df.withColumn(s"__r_$c", first(col(s"__r_$c"), ignoreNulls = true).over(w))
+    }
+    val renames = payload.map(c => col(s"__r_$c").as(c))
+    filled.filter(col("__side") === 0)
+      .select(left.columns.map(col) ++ renames: _*)
+  }
+
   /** Nearest as-of join — for each left row, the right row with the same
     * key minimizing |right.ts - left.ts|, either direction (pandas
     * merge_asof direction='nearest'). Unmatched left rows keep null

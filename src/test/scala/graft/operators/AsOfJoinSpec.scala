@@ -43,6 +43,26 @@ class AsOfJoinSpec extends SparkSpec {
     out.select($"px").head().isNullAt(0) shouldBe true
   }
 
+  test("forward picks the earliest right row at-or-after each left row, per key") {
+    val quotes = Seq(
+      (1L, t("2024-01-01 10:00:00"), 1L, 100.0),
+      (1L, t("2024-01-01 10:05:00"), 2L, 101.0),
+      (2L, t("2024-01-01 10:07:00"), 4L, 200.0)
+    ).toDF("user_id", "ts", "event_id", "px")
+    val trades = Seq(
+      (1L, t("2024-01-01 09:59:00"), 10L), // before both -> earliest = 100
+      (1L, t("2024-01-01 10:05:00"), 11L), // exactly at quote 2 -> 101 (ties match)
+      (1L, t("2024-01-01 10:06:00"), 12L), // after the last quote -> null
+      (2L, t("2024-01-01 10:00:00"), 13L)  // -> 200
+    ).toDF("user_id", "ts", "event_id")
+    val out = AsOfJoin.forward(trades, quotes, "user_id", "ts", "event_id", Seq("px"))
+      .select($"event_id", $"px").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    out shouldBe Map(
+      10L -> Some(100.0), 11L -> Some(101.0), 12L -> None, 13L -> Some(200.0))
+  }
+
   test("nearest picks the closer side, prefers backward on exact ties") {
     val quotes = Seq( // key, ts, id, px
       (1L, t("2024-01-01 10:00:00"), 1L, 100.0),
