@@ -119,5 +119,53 @@ object TextRanking {
         .limit(20)
     })
 
-  def queries: Seq[GraftQuery] = Seq(tfidf, quotaSample, trigramTopK)
+  /** Heavy hitters: terms above a 1/30 frequency share, via the
+    * two-pass sketch-then-verify pattern — pass 1 runs Spark's
+    * `stat.freqItems` (Karp et al. single-pass, bounded memory, returns
+    * a SUPERSET of the true heavy hitters whose contents can vary with
+    * partitioning), pass 2 exact-counts ONLY the broadcast candidate
+    * list and keeps terms meeting the threshold. The superset ∩
+    * exact-threshold intersection is the exact heavy-hitter set, so the
+    * output is deterministic and oracle-checkable even though the
+    * intermediate sketch is not.
+    *
+    * Why this shape at 100 TB: a plain groupBy(term) aggregates EVERY
+    * distinct term (billions for web text); the sketch bounds pass-2's
+    * aggregate to ≤ 1/support candidates, so the exact verification
+    * aggregate is constant-sized no matter how large the vocabulary.
+    * Thresholding is integer arithmetic (cnt·30 ≥ total, shares in
+    * basis points via integer div) — no float boundary anywhere. */
+  private val heavyHitters = GraftQuery(
+    "llm_e4_heavy_hitters",
+    "exact heavy hitters (share >= 1/30) via freqItems sketch + exact verify (E4)",
+    Some("""
+      WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+      tot AS (SELECT COUNT(*) AS n FROM tok),
+      c AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term)
+      SELECT term, cnt AS n_occurrences,
+             cnt * 10000 // n AS share_bp
+      FROM c, tot
+      WHERE cnt * 30 >= n
+      ORDER BY term"""),
+    (s, dir) => {
+      val tok = docs(s, dir)
+        .select(explode(split(col("text"), " ", -1)).as("term"))
+      // pass 1: sketch candidates (support just under 1/30 so the
+      // superset guarantee covers the exact threshold)
+      val cands = tok.stat.freqItems(Seq("term"), 0.03)
+        .select(explode(col("term_freqItems")).as("term"))
+      val total = tok.agg(count(lit(1)).as("n"))
+      // pass 2: exact counts of the bounded candidate list only
+      tok.join(broadcast(cands), "term")
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("n_occurrences"))
+        .crossJoin(broadcast(total))
+        .filter(col("n_occurrences") * 30 >= col("n"))
+        .select(col("term"), col("n_occurrences"),
+          expr("n_occurrences * 10000 div n").as("share_bp"))
+        .orderBy(col("term"))
+    })
+
+  def queries: Seq[GraftQuery] = Seq(tfidf, quotaSample, trigramTopK, heavyHitters)
 }

@@ -440,6 +440,22 @@ class LlmOpsSpec extends SparkSpec {
     eff._5 shouldBe (eff._3 * 10000L) / eff._4 // integer identity
   }
 
+  test("llm_e4_heavy_hitters: sketch+verify equals the exhaustive threshold set") {
+    import org.apache.spark.sql.functions.{explode, split => ssplit}
+    val tok = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(explode(ssplit(col("text"), " ", -1)).as("term"))
+    val total = tok.count()
+    val want = tok.groupBy("term").count().collect()
+      .filter(r => r.getLong(1) * 30 >= total)
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = run("llm_e4_heavy_hitters").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    got shouldBe want // the candidate superset never drops a true hitter
+    // deterministic despite the partition-sensitive sketch pass
+    run("llm_e4_heavy_hitters").collect().map(_.getString(0)).toSeq shouldBe
+      got.keys.toSeq.sorted
+  }
+
   test("llm_e3_knn_classify matches a driver-side brute-force vote replay") {
     val embs = spark.read.parquet(s"$sfDir/embeddings.parquet").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
