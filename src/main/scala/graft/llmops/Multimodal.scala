@@ -287,6 +287,76 @@ object Multimodal {
         .orderBy("media_id")
     })
 
+  private val shardParts = 8
+  private val shardCap = 262144L // 256 KiB target shard payload
+  private val shardShift = 1L << 30 // local shard ids stay < 2^30 per bucket
+
+  /** WebDataset-style shard manifest: media are deterministically
+    * shuffled (md5 of the id — reproducible, content-independent),
+    * hash-split into `shardParts` independent bucket streams, and each
+    * bucket stream is chunked into ~`shardCap`-byte shards by START
+    * offset (a shard may overrun the cap by at most one item — the
+    * target-size semantics real shard writers use). Output is the
+    * manifest row a dataloader needs: which shard, at what byte offset,
+    * how many bytes.
+    *
+    * Scale notes: the same partitioned-running-sum discipline as
+    * `llm_e4_shuffle_pack` — NO global window; each bucket's running
+    * byte sum is an independent window partition, so layout of 100 TB
+    * of media parallelizes across buckets while staying byte-exact and
+    * engine-independent (all integer arithmetic). */
+  private val mmShardManifest = GraftQuery(
+    "mm_shard_manifest",
+    "deterministic shuffled shard manifest: bucketed running-byte-sum layout",
+    Some(s"""
+      WITH m AS (
+        SELECT doc_id AS media_id,
+               md5(CAST(doc_id AS VARCHAR)) AS sk,
+               octet_length(encode(text)) AS n_bytes
+        FROM documents),
+      p AS (
+        SELECT media_id, sk, n_bytes,
+               CAST(('0x' || substr(sk, 1, 4)) AS BIGINT) % $shardParts AS part
+        FROM m),
+      c AS (
+        SELECT media_id, n_bytes, part,
+               SUM(n_bytes) OVER (PARTITION BY part ORDER BY sk, media_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM p)
+      SELECT CAST(part * $shardShift + floor((cum - n_bytes) / $shardCap.0) AS BIGINT)
+               AS shard_id,
+             media_id,
+             CAST((cum - n_bytes)
+               - floor((cum - n_bytes) / $shardCap.0) * $shardCap AS BIGINT)
+               AS offset_bytes,
+             CAST(n_bytes AS BIGINT) AS n_bytes
+      FROM c
+      ORDER BY shard_id, offset_bytes, media_id"""),
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("part"))
+        .orderBy(col("sk"), col("media_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      T(s, dir, "documents")
+        .select(col("doc_id").as("media_id"),
+          md5(col("doc_id").cast("string")).as("sk"),
+          octet_length(col("text").cast(BinaryType)).cast("long").as("n_bytes"))
+        .withColumn("part",
+          conv(substring(col("sk"), 1, 4), 16, 10).cast("long") % shardParts)
+        .withColumn("cum", sum(col("n_bytes")).over(w))
+        .withColumn("start", col("cum") - col("n_bytes"))
+        .select(
+          (col("part") * shardShift + floor(col("start") / shardCap.toDouble))
+            .cast("long").as("shard_id"),
+          col("media_id"),
+          (col("start") - floor(col("start") / shardCap.toDouble) * shardCap)
+            .cast("long").as("offset_bytes"),
+          col("n_bytes"))
+        .orderBy(col("shard_id"), col("offset_bytes"), col("media_id"))
+    })
+
   def queries: Seq[GraftQuery] =
-    Seq(mmFeatures, mmFrames, mmBatchDecode, mmResize, mmBinaryIngest)
+    Seq(mmFeatures, mmFrames, mmBatchDecode, mmResize, mmBinaryIngest,
+      mmShardManifest)
 }
