@@ -37,8 +37,17 @@ object T {
     * (warehouse.dir is a STATIC conf, set only at session build). */
   def warehouseDir: String = s"${sys.props("java.io.tmpdir")}/graft_warehouse"
 
+  /** Table frames are memoized per (session, dir, name): `spark.read
+    * .parquet` runs a footer/schema-inference job at CONSTRUCTION time,
+    * so without the memo every one of the 139 registry queries pays
+    * 1-3 small driver-scheduled jobs just to be built. The memoized
+    * frame pins nothing (no persist — only the resolved plan is
+    * reused); [[SessionMemo.clear]] drops the entries so a regenerated
+    * testdata dir is re-listed on the next run. */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    SessionMemo.value(spark, dir, s"table:$name") {
+      spark.read.parquet(s"$dir/$name.parquet")
+    }
 
   /** Exact 2-decimal view of a double measure column (prices, discounts). */
   def money(c: Column): Column = c.cast(DecimalType(18, 2))

@@ -24,6 +24,10 @@ object SessionMemo {
 
   private val memo =
     scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]()
+  // driver-side (non-Spark) values that pair with memoized frames, e.g.
+  // the PQ codebook arrays that produced the memoized code column
+  private val values =
+    scala.collection.concurrent.TrieMap[(SparkSession, String, String), Any]()
   // epoch fences registration against clear(): bumped under `lock` by
   // every clear, read under `lock` before a build starts
   private val lock = new Object
@@ -64,6 +68,16 @@ object SessionMemo {
       built
     }
 
+  /** A plain driver-side value memoized per (session, dir, key) — for
+    * expensive non-DataFrame artifacts (codebooks, fitted constants)
+    * that must stay consistent with a memoized frame derived from them.
+    * Values pin no cluster resources, so no epoch guard is needed: a
+    * build racing [[clear]] leaves at most a stale entry that the next
+    * clear removes, and a lost first-access race just discards the
+    * loser's value. */
+  def value[T](s: SparkSession, dir: String, key: String)(build: => T): T =
+    values.getOrElseUpdate((s, dir, key), build).asInstanceOf[T]
+
   /** Unpersist and drop every memoized frame belonging to `s`. Builds
     * in flight when this runs will NOT register afterwards (epoch
     * guard) — nothing stays pinned past this call. */
@@ -72,5 +86,6 @@ object SessionMemo {
     memo.keys.filter(_._1 eq s).foreach { k =>
       memo.remove(k).foreach(_.unpersist())
     }
+    values.keys.filter(_._1 eq s).foreach(values.remove)
   }
 }

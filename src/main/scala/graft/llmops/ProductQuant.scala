@@ -105,11 +105,19 @@ object ProductQuant {
   /** The compressed index: (vec_id, packed code) + the codebooks that
     * produced it. Code packing: Σ_m code_m << 4m — one BIGINT holding
     * 8×4 bits (the top 4 bits would overflow a signed INT). Shared by
-    * the ANN search and the code-level semantic dedup. */
+    * the ANN search and the code-level semantic dedup — and memoized
+    * per (session, dir) so the two consumers pay ONE codebook fit +
+    * corpus encode per run: the codebooks live in the driver-side
+    * value memo, the encoded frame is persisted via the frame memo,
+    * and both are released together by [[graft.SessionMemo.clear]]. */
   private[llmops] def codeIndex(s: SparkSession, dir: String): (DataFrame, Array[Array[Array[Double]]]) = {
-    val n = embeddings(s, dir)
-    val cb = trainCodebooks(n)
-    (encodeWith(n, cb), cb)
+    val cb = graft.SessionMemo.value(s, dir, "pq_codebooks") {
+      trainCodebooks(embeddings(s, dir))
+    }
+    val codes = graft.SessionMemo.materialized(s, dir, "pq_codes") {
+      encodeWith(embeddings(s, dir), cb)
+    }
+    (codes, cb)
   }
 
   /** Encode any (vec_id, v) frame against the given codebooks. */
@@ -143,9 +151,13 @@ object ProductQuant {
       val (codes, cb) = codeIndex(s, dir)
       val queries = n.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("v").as("qv"))
-      // per-query ADC distance as LUT-literal lookups over the packed code
-      val qVecs = queries.collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+      // per-query ADC distance as LUT-literal lookups over the packed code.
+      // The bounded query-vector collect is memoized alongside the code
+      // index so re-constructing the query with a warm memo runs no jobs.
+      val qVecs = graft.SessionMemo.value(s, dir, "pq_query_vecs") {
+        queries.collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+      }
       val perQuery = qVecs.map { case (qid, qv) =>
         val adc = (0 until M).map { m =>
           val lut = cb(m).map { cw =>
@@ -249,9 +261,13 @@ object ProductQuant {
           count(lit(1)).as("n_cells"),
           max(col("m")).as("max_cell"),
           sum(col("m") * (col("m") - 1) / 2).cast("long").as("n_cand_pairs"))
-      val nDup = semanticDupPairs(n, codes, 0.4).count()
+      // the verified-dup count joins in as a lazy 1-row broadcast (NOT an
+      // eager .count() at plan-construction time — building a GraftQuery
+      // must stay job-free, like every other query in the registry)
+      val nDup = semanticDupPairs(n, codes, 0.4)
+        .agg(count(lit(1)).cast("long").as("n_dup_pairs"))
       cellStats
-        .withColumn("n_dup_pairs", lit(nDup))
+        .crossJoin(broadcast(nDup))
         .select(col("band"), col("n_cells"), col("max_cell"),
           col("n_cand_pairs"), col("n_dup_pairs"))
         .orderBy("band")

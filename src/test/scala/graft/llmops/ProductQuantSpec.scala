@@ -56,6 +56,35 @@ class ProductQuantSpec extends SparkSpec {
     }
   }
 
+  test("pq audit construction is job-free once the code index is memoized") {
+    // warm the (session, dir) memo: first construction pays the codebook
+    // fit + code encode + query-vector collect (jobs are expected here)
+    Registry.byName("llm_e2_pq_dedup_audit").run(spark, sfDir)
+    Registry.byName("llm_e3_pq_topk").run(spark, sfDir)
+    // the listener bus is async: warm-up JobStart events can still be
+    // in the queue when the listener registers, so count only jobs
+    // SUBMITTED after this point (event time, not delivery time)
+    Thread.sleep(100)
+    val t0 = System.currentTimeMillis()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        if (s.time >= t0) jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Registry.byName("llm_e2_pq_dedup_audit").run(spark, sfDir) // construct only
+      Registry.byName("llm_e3_pq_topk").run(spark, sfDir)        // shares the memo
+      // listener delivery is async; give a would-be job time to surface
+      Thread.sleep(1000)
+      withClue("constructing PQ queries with a warm memo must run no jobs") {
+        jobs.get() shouldBe 0
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("pq dedup core finds planted duplicates") {
     import spark.implicits._
     // 60 spread base vectors + 3 planted near-exact copies of vec 0
