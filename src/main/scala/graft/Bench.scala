@@ -32,6 +32,7 @@ object Bench {
       .config("spark.sql.warehouse.dir", T.warehouseDir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    T.quietBoundedWindowWarnings()
     // Warm the session before timing: JVM/codegen/parquet-reader costs land
     // here instead of inflating whichever query happens to run first. One
     // scan per input table — no data is cached, only the machinery warms.

@@ -23,6 +23,7 @@ object Verify {
       .config("spark.sql.warehouse.dir", T.warehouseDir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    T.quietBoundedWindowWarnings()
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => nameFilter(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -220,10 +220,23 @@ object Multimodal {
         .orderBy("media_id")
     })
 
-  /** Root for the materialized binary-file corpus, keyed by source dir so
-    * different SFs never collide. */
+  /** Root for the materialized binary-file corpus, keyed by the FULL
+    * source path plus a content fingerprint of the documents table's
+    * file listing (name, size, mtime — driver-side metadata only, no
+    * Spark job): regenerated testdata at the same path gets a fresh blob
+    * dir instead of silently reusing stale .bin files, and two distinct
+    * dirs can never alias (the old `dir.hashCode` tag allowed both). */
   private def binDirFor(dir: String): java.io.File = {
-    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val listing =
+      if (src.isDirectory)
+        Option(src.listFiles()).toSeq.flatten.sortBy(_.getName)
+          .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      else Seq(s"${src.getName}:${src.length}:${src.lastModified}")
+    val sig = (dir +: listing).mkString("|")
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(sig.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val tag = md.take(8).map(b => f"$b%02x").mkString
     new java.io.File(s"${sys.props("java.io.tmpdir")}/graft_binfiles_$tag")
   }
 

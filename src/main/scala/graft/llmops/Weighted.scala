@@ -14,10 +14,18 @@ import org.apache.spark.sql.functions._
   *
   * Determinism: u derives from md5(doc_id) (the same content-independent
   * coin as `llm_e4_hash_split`), never from a RNG, so the sample is a
-  * pure function of the table — re-runs, engines, and partitionings all
-  * agree. Priorities compare via ln(u)/w (monotone in u^(1/w)); the
-  * priority VALUE is never output (libm `ln` may differ in the last ulp
-  * across engines — safe for ordering, not for hash-compared output).
+  * pure function of the table — re-runs and partitionings agree
+  * exactly. Priorities compare via ln(u)/w (monotone in u^(1/w)); the
+  * priority VALUE is never output because libm `ln` may differ in the
+  * last ulp across engines. CROSS-ENGINE caveat: that same last-ulp
+  * difference could in principle swap two docs whose priorities collide
+  * within ~1 ulp exactly at the top-n boundary, flipping one sample
+  * member vs the oracle. With 32-bit-hash-derived uniforms the
+  * probability of such a boundary collision is ~2^-40 per run —
+  * accepted, because the exact alternative (comparing u1^w2 vs u2^w1
+  * as big-integer powers with w up to n_chars) is thousands of bits per
+  * comparison and not expressible in portable SQL. Within ONE engine
+  * the sample is fully deterministic regardless.
   *
   * Scale notes: one scan computes (u, w); the global top-n is
   * TakeOrderedAndProject (per-partition heaps + an n-row driver merge),

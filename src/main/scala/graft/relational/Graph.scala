@@ -108,12 +108,19 @@ object Graph {
           .join(edgesW.toDF("e_src", "dst", "outdeg2"),
             col("node") === col("e_src"))
           .groupBy(col("dst"))
-          .agg(
-            // double->long cast truncates toward zero, matching trunc()
+          .agg {
+            // exact truncation toward zero via q - (q % 1.0): IEEE
+            // remainder is exact, so the result is DuckDB trunc() of the
+            // same binary quotient bit-for-bit, and — unlike a long
+            // cast — it cannot saturate/wrap when a hub node's
+            // rank/outdeg quotient exceeds ~9.2e6 at extreme scale
+            // (integral doubles convert exactly to DECIMAL(20,0) in
+            // both engines)
+            val q = col("rank") / col("outdeg2") * 1e12
             (lit(1 - damping) + lit(damping) *
-              (sum((col("rank") / col("outdeg2") * 1e12).cast("long")
-                  .cast(DecimalType(20, 0)))
-                .cast("double") / 1e12)).cast("double").as("rank"))
+              (sum((q - (q % lit(1.0))).cast(DecimalType(20, 0)))
+                .cast("double") / 1e12)).cast("double").as("rank")
+          }
           .select(col("dst").as("node"), col("rank"))
       }
       ranks.select(col("node").as("s_suppkey"), col("rank").as("pagerank"))

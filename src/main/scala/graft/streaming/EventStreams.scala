@@ -84,42 +84,77 @@ object EventStreams {
     * history is NEVER rescanned. Spend accumulates as DECIMAL(18,2) in
     * the state schema so merged totals stay exact across any batch
     * split (the spec proves batch-split invariance against the batch
-    * twin). */
-  def startIncrementalMerge(events: DataFrame, stateDir: String)
+    * twin).
+    *
+    * Recovery: pass `checkpointLocation` in production so a restarted
+    * query resumes from committed offsets; replayed batches are safe
+    * either way because [[mergeBatch]] is idempotent per batchId. */
+  def startIncrementalMerge(events: DataFrame, stateDir: String,
+      checkpointLocation: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    def aggregate(df: DataFrame): DataFrame = df
+    val writer = events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        mergeBatch(batch.toDF(), batchId, stateDir)
+      }
+    checkpointLocation.foreach(writer.option("checkpointLocation", _))
+    writer.start()
+  }
+
+  /** One micro-batch of the incremental merge — REPLAY-IDEMPOTENT, which
+    * is what makes the sink exactly-once under foreachBatch's at-least-
+    * once contract: a crash between the state write and the streaming
+    * checkpoint commit re-runs the batch, so (a) an already-published
+    * complete `v<batchId>` short-circuits (the delta was merged; merging
+    * it again would double-count), and (b) the merge base is the newest
+    * version with id STRICTLY BELOW batchId — never v<batchId> itself,
+    * which a replay after a torn (no `_SUCCESS`) write would otherwise
+    * pick up. Package-visible so the spec can drive replays directly. */
+  private[streaming] def mergeBatch(batch: DataFrame, batchId: Long,
+      stateDir: String): Unit = {
+    val spark = batch.sparkSession
+    if (completedVersions(stateDir).exists(_._1 == batchId)) return
+    val delta = batch
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(18, 2))
           .as("spend"))
-    events.writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val spark = batch.sparkSession
-        val delta = aggregate(batch.toDF())
-        val merged = latestState(spark, stateDir) match {
-          case Some(prev) => prev.unionByName(delta)
-            .groupBy(col("user_id"))
-            .agg(sum(col("n_events")).as("n_events"),
-              sum(col("spend")).cast(DecimalType(18, 2)).as("spend"))
-          case None => delta
-        }
-        merged.write.mode("overwrite")
-          .parquet(f"$stateDir/v$batchId%09d")
-        ()
-      }
-      .start()
+    val merged = stateBefore(spark, stateDir, batchId) match {
+      case Some(prev) => prev.unionByName(delta)
+        .groupBy(col("user_id"))
+        .agg(sum(col("n_events")).as("n_events"),
+          sum(col("spend")).cast(DecimalType(18, 2)).as("spend"))
+      case None => delta
+    }
+    merged.write.mode("overwrite")
+      .parquet(f"$stateDir/v$batchId%09d")
+    ()
   }
 
-  /** The newest complete state version under `stateDir`, if any. */
-  def latestState(spark: SparkSession, stateDir: String): Option[DataFrame] = {
+  /** (version id, dir) of every COMPLETE (`_SUCCESS`-marked) state
+    * version, ascending. A torn write (crash mid-parquet) has no marker
+    * and is invisible — its directory is simply overwritten on replay. */
+  private def completedVersions(stateDir: String): Seq[(Long, java.io.File)] = {
     val root = new java.io.File(stateDir)
     Option(root.listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("v") &&
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+") &&
         new java.io.File(f, "_SUCCESS").exists())
-      .sortBy(_.getName).lastOption
-      .map(f => spark.read.parquet(f.getAbsolutePath))
+      .map(f => (f.getName.drop(1).toLong, f))
+      .sortBy(_._1)
   }
+
+  /** The newest complete state version under `stateDir`, if any — what
+    * READERS consume (always a full snapshot, never a torn write). */
+  def latestState(spark: SparkSession, stateDir: String): Option[DataFrame] =
+    completedVersions(stateDir).lastOption
+      .map { case (_, f) => spark.read.parquet(f.getAbsolutePath) }
+
+  /** The merge base for batch `batchId`: newest complete version with a
+    * strictly smaller id. */
+  private def stateBefore(spark: SparkSession, stateDir: String,
+      batchId: Long): Option[DataFrame] =
+    completedVersions(stateDir).filter(_._1 < batchId).lastOption
+      .map { case (_, f) => spark.read.parquet(f.getAbsolutePath) }
 
   /** Streaming sessionization via the native session_window generator:
     * one row per (user, gap-merged session), half-open [ts, ts+gap)

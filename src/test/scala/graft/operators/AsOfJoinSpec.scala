@@ -104,4 +104,38 @@ class AsOfJoinSpec extends SparkSpec {
     AsOfJoin.nearest(after, quotes, "user_id", "ts", "event_id", Seq("px"))
       .select($"px").head().getDouble(0) shouldBe 101.0
   }
+
+  test("null payload fields are carried atomically from the matched row") {
+    // the MATCHED quote has px = NULL: the output must keep that null and
+    // take src from the same row — never stitch px from an older quote
+    val quotes = Seq(
+      (1L, t("2024-01-01 10:00:00"), 1L, Option(100.0), Option("mic")),
+      (1L, t("2024-01-01 10:05:00"), 2L, Option.empty[Double], Option("dark"))
+    ).toDF("user_id", "ts", "event_id", "px", "venue")
+    val trades = Seq((1L, t("2024-01-01 10:06:00"), 10L))
+      .toDF("user_id", "ts", "event_id")
+
+    val b = AsOfJoin.backward(trades, quotes, "user_id", "ts", "event_id",
+      Seq("px", "venue")).select($"px", $"venue").head()
+    b.isNullAt(0) shouldBe true
+    b.getString(1) shouldBe "dark"
+
+    val n = AsOfJoin.nearest(trades, quotes, "user_id", "ts", "event_id",
+      Seq("px", "venue")).select($"px", $"venue", $"ts_matched").head()
+    n.isNullAt(0) shouldBe true
+    n.getString(1) shouldBe "dark"
+    n.getTimestamp(2) shouldBe t("2024-01-01 10:05:00")
+
+    // forward mirror: trade before a null-px quote that precedes a non-null
+    val earlyTrade = Seq((1L, t("2024-01-01 10:01:00"), 11L))
+      .toDF("user_id", "ts", "event_id")
+    val fwdQuotes = Seq(
+      (1L, t("2024-01-01 10:02:00"), 3L, Option.empty[Double], Option("lit")),
+      (1L, t("2024-01-01 10:09:00"), 4L, Option(103.0), Option("mic"))
+    ).toDF("user_id", "ts", "event_id", "px", "venue")
+    val f = AsOfJoin.forward(earlyTrade, fwdQuotes, "user_id", "ts", "event_id",
+      Seq("px", "venue")).select($"px", $"venue").head()
+    f.isNullAt(0) shouldBe true
+    f.getString(1) shouldBe "lit"
+  }
 }

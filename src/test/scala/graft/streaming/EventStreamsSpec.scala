@@ -90,6 +90,36 @@ class EventStreamsSpec extends SparkSpec {
     new java.io.File(stateDir).listFiles().count(_.getName.startsWith("v")) should be >= 2
   }
 
+  test("incremental merge replay is idempotent and rebuilds over torn writes") {
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_merge_replay").toString
+    val b0 = batchEvents.filter($"event_id" % 3 === 0).toDF()
+    val b1 = batchEvents.filter($"event_id" % 3 === 1).toDF()
+    val b2 = batchEvents.filter($"event_id" % 3 === 2).toDF()
+    def snap() = EventStreams.latestState(spark, stateDir).get
+      .select($"user_id", $"n_events", $"spend".cast("double"))
+      .as[(Long, Long, Double)].collect().toSet
+    EventStreams.mergeBatch(b0, 0L, stateDir)
+    EventStreams.mergeBatch(b1, 1L, stateDir)
+    val committed = snap()
+    // crash AFTER v1 published but BEFORE the checkpoint commit → batch 1
+    // replays; the complete v1 must short-circuit, not double-count b1
+    EventStreams.mergeBatch(b1, 1L, stateDir)
+    snap() shouldBe committed
+    // crash MID-write: v2 exists without _SUCCESS → the replay must merge
+    // from v1 (newest id < 2) and overwrite the torn directory
+    val torn = new java.io.File(stateDir, "v000000002")
+    torn.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(torn, "part-torn.parquet").toPath, Array[Byte](1, 2, 3))
+    EventStreams.mergeBatch(b2, 2L, stateDir)
+    val direct = batchEvents.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("spend"))
+      .as[(Long, Long, Double)].collect().toSet
+    snap() shouldBe direct
+  }
+
   test("streaming session_window (append + watermark) matches the batch twin") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[EventStreams.Event]
