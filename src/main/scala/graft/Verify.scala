@@ -50,5 +50,52 @@ object Verify {
     graft.SessionMemo.clear(spark)
     graft.relational.Relational.dropBucketedTables(spark)
     spark.stop()
+
+    // Partition-invariance audit (opt-in): SPARK_GRAFT_VERIFY_CORES=N
+    // re-runs every query in a fresh local[N] session and compares row
+    // multisets against the dump above. Every query — including the
+    // rows-only approximate ones — is partition-deterministic by design
+    // (seeded sketches, tie-broken windows, decimal-exact sums), so ANY
+    // drift is a real bug; the audit exits nonzero so a round script
+    // fails loudly instead of recording a silently weaker check. (One
+    // SparkContext per JVM → the main session must stop first.)
+    sys.env.get("SPARK_GRAFT_VERIFY_CORES").foreach { altCores =>
+      val alt = SparkSession.builder()
+        .master(s"local[$altCores]")
+        .config("spark.sql.shuffle.partitions", altCores)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.warehouse.dir", T.warehouseDir)
+        .getOrCreate()
+      alt.sparkContext.setLogLevel("WARN")
+      T.quietBoundedWindowWarnings()
+      def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.collect().map(_.toSeq.map(String.valueOf).mkString(""))
+          .sorted.toSeq
+      var drifted = 0; var checked = 0
+      SparkEntry.queries.filter(kv => nameFilter(kv._1)).foreach { case (name, fn) =>
+        try {
+          checked += 1
+          val fresh = canon(fn(alt, sfDir))
+          val dumped = canon(alt.read.parquet(s"$outDir/$name"))
+          if (fresh != dumped) {
+            drifted += 1
+            System.err.println(s"[verify] PARTITION-DRIFT $name: " +
+              s"local[$altCores] differs from the dumped local[$cpus] result")
+          }
+        } catch { case e: Throwable =>
+          drifted += 1
+          System.err.println(s"[verify] $name failed at local[$altCores]: ${e.getMessage}")
+        }
+      }
+      graft.SessionMemo.clear(alt)
+      graft.relational.Relational.dropBucketedTables(alt)
+      alt.stop()
+      if (drifted > 0) {
+        System.err.println(s"[verify] PARTITION-INVARIANCE FAILED: $drifted of $checked queries drifted at local[$altCores]")
+        sys.exit(1)
+      } else println(s"[verify] partition-invariance OK: $checked queries identical at local[$altCores] vs local[$cpus]")
+    }
   }
 }

@@ -457,7 +457,9 @@ object EventAnalytics {
   /** Sketch aggregates (the approximate pre-aggregation family): HLL++
     * distinct users and quantile-sketch percentiles per event type. No
     * SQL oracle (sketch internals are engine-specific); the spec bounds
-    * each estimate against the exact answer at small SF. */
+    * each estimate against the exact answer at small SF, and
+    * [[sketchExactTwin]] is the hash-checked exact companion over the
+    * same grouping. */
   private val sketches = GraftQuery(
     "e5_sketch_aggregates",
     "approx_count_distinct (HLL++) + approx_percentile sketches (approx)",
@@ -470,6 +472,44 @@ object EventAnalytics {
           count(lit(1)).as("n_events"),
           percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_value"),
           percentile_approx(col("value"), lit(0.95), lit(10000)).as("p95_value"))
+        .orderBy("event_type"))
+
+  /** The EXACT half of the sketch family, split out so it can be
+    * oracle-paired: per event type, exact distinct users (what the HLL
+    * approximates), exact counts, an order-insensitive decimal-exact
+    * value sum, and exact min/max. Only the estimates themselves
+    * (HLL/quantile sketches, engine-specific by construction) stay
+    * rows-only in [[sketches]]; exact PERCENTILES are deliberately not
+    * here either — both engines interpolate in doubles with different
+    * formulas, so cross-engine hash equality is impossible
+    * (q_approx_quantile_audit documents that and bounds them instead).
+    *
+    * Scale: same single partial/final aggregate as the sketch query;
+    * the exact distinct adds the one key-expansion shuffle that HLL
+    * exists to avoid — which is exactly the comparison this twin makes
+    * auditable. */
+  private val sketchExactTwin = GraftQuery(
+    "e5_sketch_exact_twin",
+    "exact distinct users / counts / decimal sums per event type — the sketch family's hash-checked companion",
+    Some("""
+      SELECT event_type,
+             COUNT(DISTINCT user_id) AS n_users,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+             MIN(value) AS min_value,
+             MAX(value) AS max_value
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""),
+    (s, dir) =>
+      events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
         .orderBy("event_type"))
 
   /** Cohort retention — the canonical product-analytics rollup: users
@@ -620,6 +660,7 @@ object EventAnalytics {
   def queries: Seq[GraftQuery] =
     Seq(hourly, sessionize, sessionHistogram, jsonProps, funnel, sessionWindowQ, asof,
       asofNearest,
-      jsonRoundtrip, hourlySalted, windowAnalytics, rangeJoin, sketches, cohortRetention,
+      jsonRoundtrip, hourlySalted, windowAnalytics, rangeJoin, sketches,
+      sketchExactTwin, cohortRetention,
       rfm)
 }

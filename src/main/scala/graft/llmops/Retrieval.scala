@@ -26,10 +26,11 @@ object Retrieval {
   private def docs(s: SparkSession, dir: String): DataFrame = T(s, dir, "documents")
   private def toks(text: Column): Column = split(text, " ", -1)
 
-  /** Fixed query-term set for the BM25 demo — three mid-frequency terms
-    * from the synthetic vocabulary. A real deployment parameterizes
-    * this; the contract query pins it so the oracle is closed-form. */
-  private val bm25Terms = Seq("join", "scan", "filter")
+  /** Fixed query-term set for the BM25 CONTRACT query — three
+    * mid-frequency terms from the synthetic vocabulary, pinned so the
+    * oracle is closed-form. A real deployment calls [[bm25TopDocs]]
+    * with its own terms (RetrievalSpec exercises a different set). */
+  private[llmops] val bm25Terms = Seq("join", "scan", "filter")
 
   /** BM25 top-10 documents per query term (k1 = 1.2, b = 0.75), with a
     * rational idf `(N - df + 0.5) / (df + 0.5)` — the standard BM25 idf
@@ -76,32 +77,41 @@ object Retrieval {
       SELECT term, doc_id, CAST(tf AS BIGINT) AS tf, CAST(dl AS BIGINT) AS dl, score
       FROM ranked WHERE rk <= 10
       ORDER BY term, score DESC, doc_id"""),
-    (s, dir) => {
-      val d = docs(s, dir)
-      val tok = d.select(col("doc_id"), explode(toks(col("text"))).as("term"))
-      val dl = d.select(col("doc_id"), size(toks(col("text"))).cast("long").as("dl"))
-      val stats = dl.agg(
-        count(lit(1)).as("n"),
-        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-      val tf = tok
-        .filter(col("term").isin(bm25Terms: _*))
-        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val scored = tf
-        .join(broadcast(df), "term") // |terms| rows
-        .join(dl, "doc_id")
-        .crossJoin(broadcast(stats)) // 1-row scalar
-        .withColumn("score",
-          ((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
-            ((col("tf") * lit(2.2)) /
-              (col("tf") + lit(1.2) *
-                (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl"))))))
-      val w = Window.partitionBy(col("term")).orderBy(col("score").desc, col("doc_id"))
-      scored.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 10)
-        .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("score"))
-        .orderBy(col("term"), col("score").desc, col("doc_id"))
-    })
+    (s, dir) => bm25TopDocs(s, dir, bm25Terms))
+
+  /** Reusable BM25 retrieval over the documents table: top-`k` docs per
+    * term in `terms` (k1 = 1.2, b = 0.75, rational idf — see the
+    * contract query's doc for the scale shape and the determinism
+    * discipline). `terms` is the caller's query set; the registry entry
+    * pins [[bm25Terms]] so its oracle stays closed-form. */
+  def bm25TopDocs(s: SparkSession, dir: String, terms: Seq[String],
+      k: Int = 10): DataFrame = {
+    require(terms.nonEmpty, "BM25 needs at least one query term")
+    val d = docs(s, dir)
+    val tok = d.select(col("doc_id"), explode(toks(col("text"))).as("term"))
+    val dl = d.select(col("doc_id"), size(toks(col("text"))).cast("long").as("dl"))
+    val stats = dl.agg(
+      count(lit(1)).as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = tok
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(df), "term") // |terms| rows
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats)) // 1-row scalar
+      .withColumn("score",
+        ((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          ((col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) *
+              (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl"))))))
+    val w = Window.partitionBy(col("term")).orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("score"))
+      .orderBy(col("term"), col("score").desc, col("doc_id"))
+  }
 
   /** Bigram collocations ranked by lift = P(xy) / (P(x)·P(y)) — log-free
     * PMI. Counts: n_xy over adjacent token pairs, n_x over all unigram

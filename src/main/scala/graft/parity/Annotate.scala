@@ -78,6 +78,82 @@ final class LexiconAnnotator(lexicon: Seq[(String, String)] = Lexicon.terms) ext
     }
 }
 
+/** Transport seam for [[HttpAnnotator]]: POST a JSON body to a URL and
+  * return the response body. Production uses [[JdkHttpTransport]]; specs
+  * inject a recording fake — this sandbox has zero egress, so the unit
+  * contract is the REQUEST the annotator emits and how it parses a
+  * response, never the remote service itself. */
+trait HttpTransport extends Serializable {
+  def post(url: String, jsonBody: String): String
+}
+
+/** java.net.http transport (JDK 11+, no extra dependency). A non-2xx
+  * status throws so [[RetryingAnnotator]]'s backoff/skip applies — the
+  * reference's response.raise_for_status() (call-debias.py:50). */
+final class JdkHttpTransport(
+    timeout: java.time.Duration = java.time.Duration.ofSeconds(60))
+    extends HttpTransport {
+  @transient private lazy val client = java.net.http.HttpClient.newHttpClient()
+  override def post(url: String, jsonBody: String): String = {
+    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+      .timeout(timeout)
+      .header("Content-Type", "application/json")
+      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+        jsonBody, java.nio.charset.StandardCharsets.UTF_8))
+      .build()
+    val resp = client.send(req,
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() < 200 || resp.statusCode() >= 300)
+      throw new java.io.IOException(s"HTTP ${resp.statusCode()} from $url")
+    resp.body()
+  }
+}
+
+/** X1 over HTTP: emits the reference's exact request payload
+  * `{"language", "useNER", "useLLM", "values"}` (call-debias.py:43-48,
+  * same key order), POSTs it through the transport, and parses the
+  * response's `results[].tags[]` into [[Tag]]s aligned to input order
+  * (the same fields parser.py:22-26 reads). Any transport error, non-2xx
+  * status, or malformed/misaligned response throws — wrap with
+  * [[RetryingAnnotator]] for the reference's backoff/skip semantics,
+  * exactly like the local impl. */
+final class HttpAnnotator(
+    url: String,
+    useNER: Boolean = true,
+    useLLM: Boolean = false,
+    transport: HttpTransport = new JdkHttpTransport()) extends Annotator {
+
+  override def annotate(language: String, values: Seq[String]): Seq[Seq[Tag]] = {
+    val om = HttpAnnotator.mapper
+    val root = om.createObjectNode()
+    root.put("language", language)
+    root.put("useNER", useNER)
+    root.put("useLLM", useLLM)
+    val arr = root.putArray("values")
+    values.foreach(arr.add)
+    val results = om.readTree(transport.post(url, om.writeValueAsString(root)))
+      .path("results")
+    if (!results.isArray || results.size() != values.size)
+      throw new java.io.IOException(
+        s"De-bias response results size ${results.size()} != ${values.size} values sent")
+    (0 until results.size()).map { i =>
+      val tags = results.get(i).path("tags")
+      (0 until tags.size()).map { j =>
+        val t = tags.get(j)
+        Tag(t.path("literal").asText(""), t.path("issue").asText(""),
+          t.path("source").asText(""))
+      }
+    }
+  }
+}
+
+object HttpAnnotator {
+  // one mapper per JVM: ObjectMapper is thread-safe after config and not
+  // java-serializable, so it must not be a field of the (Serializable)
+  // annotator that ships to executors
+  private lazy val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+}
+
 /** Test hook: fails the first `failures` calls, then delegates. */
 final class FlakyAnnotator(inner: Annotator, failures: Int) extends Annotator {
   private val remaining = new java.util.concurrent.atomic.AtomicInteger(failures)

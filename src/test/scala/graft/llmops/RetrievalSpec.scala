@@ -38,6 +38,17 @@ class RetrievalSpec extends SparkSpec {
     p.toLowerCase should include("filter")
   }
 
+  test("bm25TopDocs is parameterized: a different term set ranks those terms") {
+    // a non-contract query set (and a tighter k) through the same engine
+    val out = Retrieval.bm25TopDocs(spark, sfDir, Seq("hash", "sort"), k = 5)
+      .collect()
+    out.map(_.getString(0)).toSet shouldBe Set("hash", "sort")
+    out.groupBy(_.getString(0)).foreach { case (_, g) => g.length should be <= 5 }
+    // the contract query still pins its fixed term set
+    run("llm_e4_bm25_topdocs").collect().map(_.getString(0)).toSet shouldBe
+      Set("join", "scan", "filter")
+  }
+
   test("llm_e4_bigram_collocations: every pair really is adjacent somewhere and meets min support") {
     val rows = run("llm_e4_bigram_collocations").collect()
     rows.length should be <= 50

@@ -91,4 +91,62 @@ class AnnotateSpec extends SparkSpec {
     metrics.retries.value.longValue shouldBe metrics.batchesSkipped.value.longValue // 1 retry per skipped batch
     n should be > 0L
   }
+
+  test("HttpAnnotator emits the reference payload verbatim and parses tags") {
+    val recorded = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val transport = new HttpTransport {
+      def post(url: String, body: String): String = {
+        recorded += ((url, body))
+        // reference response shape: one result per value, in order
+        // (analytics/parser.py:22-26 reads language/literal/tags)
+        """{"results": [
+             {"language": "en", "literal": "a slow scan", "tags": [
+               {"literal": "slow", "issue": "performance", "source": "debias"},
+               {"literal": "scan", "issue": "io", "source": "debias"}]},
+             {"language": "en", "literal": "clean", "tags": []}
+           ]}"""
+      }
+    }
+    val ann = new HttpAnnotator("https://example.invalid/simple",
+      useNER = true, useLLM = false, transport = transport)
+    val tags = ann.annotate("en", Seq("a slow scan", "clean"))
+    // request: exact payload shape AND key order of call-debias.py:43-48
+    val (url, body) = recorded.head
+    url shouldBe "https://example.invalid/simple"
+    body shouldBe """{"language":"en","useNER":true,"useLLM":false,"values":["a slow scan","clean"]}"""
+    // response: tags aligned to input order
+    tags shouldBe Seq(
+      Seq(Tag("slow", "performance", "debias"), Tag("scan", "io", "debias")),
+      Seq.empty)
+  }
+
+  test("HttpAnnotator retries through the standard wrapper and skips on exhaustion") {
+    // transport fails twice then succeeds: BatchOk on attempt 3, with the
+    // reference's 2^attempt backoff schedule
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val flakyTransport = new HttpTransport {
+      def post(url: String, body: String): String =
+        if (calls.incrementAndGet() <= 2) throw new java.io.IOException("HTTP 503")
+        else """{"results": [{"language": "en", "literal": "x", "tags": []}]}"""
+    }
+    val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+    val retrying = new RetryingAnnotator(
+      new HttpAnnotator("https://example.invalid/simple", transport = flakyTransport),
+      maxRetries = 5, sleeper = sleeps += _)
+    retrying.annotateBatch("en", Seq("x")) shouldBe BatchOk(Seq(Seq.empty), 3)
+    sleeps.toSeq shouldBe Seq(2000L, 4000L)
+
+    // a misaligned response (results size != values size) is a retryable
+    // failure like any transport error: exhaustion skips, never throws
+    val misaligned = new HttpTransport {
+      def post(url: String, body: String): String = """{"results": []}"""
+    }
+    val skipping = new RetryingAnnotator(
+      new HttpAnnotator("https://example.invalid/simple", transport = misaligned),
+      maxRetries = 2, sleeper = _ => ())
+    skipping.annotateBatch("en", Seq("x")) match {
+      case BatchSkipped(_, attempts) => attempts shouldBe 2
+      case other => fail(s"expected BatchSkipped, got $other")
+    }
+  }
 }
