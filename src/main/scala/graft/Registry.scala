@@ -94,6 +94,7 @@ object Registry {
       relational.Relational.queries ++
       relational.Advanced.queries ++
       relational.Multiset.queries ++
+      relational.Olap.queries ++
       relational.Profile.queries ++
       relational.Subqueries.queries ++
       relational.TypedAgg.queries ++

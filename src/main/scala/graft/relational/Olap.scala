@@ -1,0 +1,150 @@
+package graft.relational
+
+import graft.{GraftQuery, T}
+import graft.T.{money, sqlMoney}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** OLAP shapes beyond the ROLLUP/CUBE/GROUPING SETS trio already in
+  * [[Relational]]/[[Advanced]] (extension family E6, continued): the
+  * native pivot operator with pinned values, deterministic rate-based
+  * stratified sampling, and an order-insensitive table checksum — the
+  * reshaping, sampling, and validation ops a warehouse pipeline leans
+  * on.
+  *
+  * All three keep the repo's exactness discipline: decimal-cast money
+  * sums, hash-derived (never RNG) sampling coins, and canonical string
+  * renderings inside checksums, so every query is oracle-paired.
+  */
+object Olap {
+
+  /** Native pivot with PINNED values — order spend per customer nation,
+    * reshaped one column per order status. Pinning the value list
+    * matters twice: it makes the output schema static (required for an
+    * oracle), and it keeps plan construction lazy — `.pivot(col)`
+    * without values runs an eager distinct-scan job just to discover
+    * the columns, the construction-time job this repo bans. Catalyst
+    * lowers pinned pivot to the same conditional partial/final
+    * aggregate as the manual CASE form (q_conditional_agg_pivot), so
+    * there is no second shuffle and nothing row-proportional on the
+    * reshaped axis. The nation dim broadcasts onto customer, orders
+    * join customer on the natural key shuffle. */
+  private val qPivotNative = GraftQuery(
+    "q_pivot_status_spend",
+    "native pivot (pinned values): per-nation order spend by status (§2.4/§2.9)",
+    Some(s"""
+      SELECT n_name,
+        CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN ${sqlMoney("o_totalprice")} ELSE 0 END) AS DOUBLE) AS f_spend,
+        CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN ${sqlMoney("o_totalprice")} ELSE 0 END) AS DOUBLE) AS o_spend,
+        CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN ${sqlMoney("o_totalprice")} ELSE 0 END) AS DOUBLE) AS p_spend
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name
+      ORDER BY n_name"""),
+    (s, dir) => {
+      val cust = T(s, dir, "customer")
+        .join(broadcast(T(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"))
+      T(s, dir, "orders")
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("n_name"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        // coalesce matches the CASE form's ELSE 0: a nation with no
+        // orders in some status gets 0, not NULL
+        .agg(sum(money("o_totalprice")))
+        .select(col("n_name"),
+          coalesce(col("F"), lit(0).cast(DecimalType(18, 2))).cast("double").as("f_spend"),
+          coalesce(col("O"), lit(0).cast(DecimalType(18, 2))).cast("double").as("o_spend"),
+          coalesce(col("P"), lit(0).cast(DecimalType(18, 2))).cast("double").as("p_spend"))
+        .orderBy("n_name")
+    })
+
+  /** Per-stratum sampling rates for the stratified sample: rare/valuable
+    * strata keep more mass (the curation shape: oversample purchases,
+    * downsample views). */
+  private val strataRates: Seq[(String, Double)] = Seq(
+    "click" -> 0.05, "error" -> 0.02, "purchase" -> 0.5,
+    "signup" -> 0.2, "view" -> 0.1)
+
+  /** Deterministic RATE-based stratified sample — per-event-type
+    * Bernoulli with a hash-derived coin, NOT `df.stat.sampleBy`:
+    * sampleBy draws from a seeded RNG whose stream depends on
+    * partitioning, so its output changes under repartition and can
+    * never be oracle-paired. (The complementary EXACT-COUNT stratified
+    * sample — rank to a per-stratum k — is `q_stratified_sample` in
+    * [[Multiset]]; this is the shuffle-free variant for when a rate,
+    * not a count, is the spec.) The coin is the same md5-uniform as the
+    * weighted sampler (llmops/Weighted.scala): u =
+    * (first-8-md5-hex(event_id) + 0.5) / 2^32, keep iff u <
+    * rate(event_type). A pure per-row predicate — embarrassingly
+    * parallel, zero shuffle before the output sort, identical on any
+    * cluster layout, and exactly repeatable for train/eval
+    * reproducibility. */
+  private val qStratifiedSample = GraftQuery(
+    "q_bernoulli_stratified_sample",
+    "deterministic hash-coin per-stratum Bernoulli sample of events (§2.2)",
+    Some {
+      val cases = strataRates
+        .map { case (t, r) => s"WHEN '$t' THEN CAST($r AS DOUBLE)" }
+        .mkString(" ")
+      s"""
+      SELECT event_id, event_type, user_id
+      FROM events
+      WHERE (CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
+              / 4294967296.0
+            < CASE event_type $cases ELSE CAST(0.0 AS DOUBLE) END
+      ORDER BY event_id"""
+    },
+    (s, dir) => {
+      val u = (conv(substring(md5(col("event_id").cast("string")), 1, 8), 16, 10)
+        .cast("double") + lit(0.5)) / lit(4294967296.0)
+      val rate = strataRates.foldLeft(lit(0.0)) { case (acc, (t, r)) =>
+        when(col("event_type") === t, lit(r)).otherwise(acc)
+      }
+      T(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("user_id"))
+        .filter(u < rate)
+        .orderBy("event_id")
+    })
+
+  /** Order-insensitive table checksum — the anti-entropy fingerprint a
+    * pipeline computes on both sides of a copy/migration/backfill to
+    * prove 100 TB moved intact without comparing rows: each row renders
+    * to a CANONICAL string (ints as-is, money via exact decimal(18,2),
+    * timestamps reduced to dates — each piece chosen to render
+    * identically in any engine), hashes to a 60-bit integer (15 md5 hex
+    * chars — fits BIGINT/DECIMAL exactly in both engines), and the
+    * per-group checksum is the plain SUM: commutative, so partial
+    * aggregation, partition layout, and row order are all invisible,
+    * and two tables differing in ANY row disagree with probability
+    * 1 - 2^-60 per group. One scan, one 4-row aggregate. */
+  private val qTableFingerprint = GraftQuery(
+    "q_table_fingerprint",
+    "order-insensitive per-group md5 checksum of lineitem (validation op)",
+    Some("""
+      SELECT l_returnflag, COUNT(*) AS n_rows,
+        SUM(CAST(CAST(('0x' || substr(md5(
+              concat_ws('|', l_orderkey, l_linenumber, l_linestatus,
+                CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR),
+                CAST(CAST(l_shipdate AS DATE) AS VARCHAR))),
+            1, 15)) AS BIGINT) AS DECIMAL(38,0))) AS checksum
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""),
+    (s, dir) => {
+      val canonical = concat_ws("|",
+        col("l_orderkey"), col("l_linenumber"), col("l_linestatus"),
+        money("l_extendedprice").cast("string"),
+        col("l_shipdate").cast("date").cast("string"))
+      val rowHash = conv(substring(md5(canonical), 1, 15), 16, 10)
+        .cast(DecimalType(38, 0))
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"), sum(rowHash).as("checksum"))
+        .orderBy("l_returnflag")
+    })
+
+  def queries: Seq[GraftQuery] =
+    Seq(qPivotNative, qStratifiedSample, qTableFingerprint)
+}

@@ -1,0 +1,92 @@
+package graft.relational
+
+import graft.{Registry, SparkSpec}
+import org.apache.spark.sql.functions._
+
+/** Semantics + plan-shape checks for the OLAP wave: pinned-value pivot,
+  * deterministic stratified sampling, and the order-insensitive table
+  * checksum. */
+class OlapSpec extends SparkSpec {
+
+  private def run(name: String) = Registry.byName(name).run(spark, sfDir)
+
+  test("pivot with pinned values constructs job-free and conserves total spend") {
+    run("q_pivot_status_spend") // warm the T() table memo
+    Thread.sleep(100)
+    val t0 = System.currentTimeMillis()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        if (s.time >= t0) jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      run("q_pivot_status_spend") // pinned values: no distinct-scan job
+      Thread.sleep(1000)
+      withClue("pivot with pinned values must not run a distinct-scan job") {
+        jobs.get() shouldBe 0
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+
+    val rows = run("q_pivot_status_spend").collect()
+    val pivotTotal = rows.map(r =>
+      r.getDouble(1) + r.getDouble(2) + r.getDouble(3)).sum
+    val direct = spark.read.parquet(s"$sfDir/orders.parquet")
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"))
+      .head().getDouble(0)
+    pivotTotal shouldBe direct +- 0.01
+  }
+
+  test("stratified sample is deterministic and partition-invariant") {
+    val a = run("q_bernoulli_stratified_sample").collect().map(_.getLong(0)).toSeq
+    val b = run("q_bernoulli_stratified_sample").collect().map(_.getLong(0)).toSeq
+    a shouldBe b
+    // same rows regardless of layout: the coin is a pure row function
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    def sampleOf(parts: Int): Set[Long] = {
+      val u = (conv(substring(md5(col("event_id").cast("string")), 1, 8), 16, 10)
+        .cast("double") + lit(0.5)) / lit(4294967296.0)
+      ev.repartition(parts).filter(col("event_type") === "purchase" && u < 0.5)
+        .select("event_id").collect().map(_.getLong(0)).toSet
+    }
+    sampleOf(3) shouldBe sampleOf(13)
+    // rates land near nominal per stratum (binomial, generous bounds)
+    val byType = run("q_bernoulli_stratified_sample").groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = ev.groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rate = byType("purchase").toDouble / totals("purchase")
+    rate shouldBe 0.5 +- 0.1
+  }
+
+  test("table checksum is order/partition-insensitive and splits additively") {
+    val one = run("q_table_fingerprint").collect()
+    val again = run("q_table_fingerprint").collect()
+    one.map(_.toString).toSeq shouldBe again.map(_.toString).toSeq
+    one.length shouldBe 3 // A/N/R
+    // n_rows conserves the table
+    one.map(_.getAs[Long]("n_rows")).sum shouldBe
+      spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    // the checksum is a plain SUM of row hashes: computing it over any
+    // disjoint split of the data and adding must reproduce it — the
+    // property that lets each side of a 100 TB copy checksum shards
+    // independently
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val canonical = concat_ws("|",
+      col("l_orderkey"), col("l_linenumber"), col("l_linestatus"),
+      col("l_extendedprice").cast("decimal(18,2)").cast("string"),
+      col("l_shipdate").cast("date").cast("string"))
+    val rowHash = conv(substring(md5(canonical), 1, 15), 16, 10)
+      .cast("decimal(38,0)")
+    def checksum(df: org.apache.spark.sql.DataFrame): BigDecimal =
+      BigDecimal(df.agg(sum(rowHash)).head().getDecimal(0))
+    val whole = checksum(li.filter(col("l_returnflag") === "A"))
+    val lo = checksum(li.filter(col("l_returnflag") === "A" && col("l_orderkey") % 2 === 0))
+    val hi = checksum(li.filter(col("l_returnflag") === "A" && col("l_orderkey") % 2 =!= 0))
+    lo + hi shouldBe whole
+    // and it must equal the registered query's A-group checksum
+    BigDecimal(one.find(_.getString(0) == "A").get.getDecimal(2)) shouldBe whole
+  }
+}
