@@ -197,6 +197,36 @@ object EventStreams {
         col("purchase_ts"), col("click_ts"))
   }
 
+  /** Stream-stream LEFT OUTER interval join — [[purchaseClickJoin]] with
+    * unmatched purchases kept (click columns null): the "purchases with
+    * no preceding click" feed an attribution pipeline needs as a stream.
+    * Outer results CANNOT emit eagerly: a purchase is only provably
+    * click-less once the watermark passes the end of its 30-minute
+    * lookback, so unmatched rows surface with watermark delay — the
+    * inherent outer-join latency, not an implementation artifact. The
+    * same both-sides time bound keeps the join state evictable; Spark
+    * rejects an unbounded outer stream-stream join outright. */
+  def purchaseClickJoinLeftOuter(events: DataFrame,
+      watermark: String = "1 hour"): DataFrame = {
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermark)
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", watermark)
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 30 MINUTES"),
+      "left_outer")
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"),
+        col("purchase_ts"), col("click_ts"))
+  }
+
   /** S5 streaming analog: append-mode parquet sink for the watermarked
     * hourly aggregation — windows finalize when the watermark passes,
     * each micro-batch appends its finalized buckets exactly once

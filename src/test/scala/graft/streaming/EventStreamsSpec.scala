@@ -215,6 +215,52 @@ class EventStreamsSpec extends SparkSpec {
     streamed shouldBe batch
   }
 
+  test("stream-stream LEFT OUTER join emits unmatched purchases after the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[EventStreams.Event]
+    val all = toEvents(batchEvents.orderBy($"ts", $"event_id").collect())
+    val (b1, b2) = all.splitAt(all.size / 2)
+    stream.addData(b1); stream.addData(b2)
+    // outer rows only finalize once the watermark passes their lookback:
+    // push it far past every real event with a sentinel user
+    // outer rows need the watermark to pass their lookback AND a further
+    // micro-batch to emit the expired state. The sentinels must reach
+    // the EventTimeWatermark nodes, which sit BEHIND the per-branch
+    // event_type filters — so each sentinel batch carries one fake
+    // click AND one fake purchase (user -1, excluded below), and each
+    // addData between processAllAvailable calls is its own batch.
+    val maxTs = batchEvents.agg(max($"ts")).as[java.sql.Timestamp].head()
+    val q = EventStreams.purchaseClickJoinLeftOuter(stream.toDF())
+      .writeStream.format("memory").queryName("ssjoin_lo_t")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    Seq(48, 96).foreach { h =>
+      val ts = java.sql.Timestamp.from(maxTs.toInstant.plusSeconds(h * 3600L))
+      stream.addData(Seq(
+        EventStreams.Event(-1L, ts, -1L, "click", 0.0, "{}"),
+        EventStreams.Event(-2L, ts, -1L, "purchase", 0.0, "{}")))
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    val streamed = spark.table("ssjoin_lo_t")
+      .filter($"user_id" =!= -1L) // drop the sentinel purchases
+      .select($"user_id", $"purchase_id",
+        coalesce($"click_id", lit(-1L)).as("click_id"))
+      .as[(Long, Long, Long)].collect().toSet
+    val batch = EventStreams.purchaseClickJoinLeftOuter(batchEvents)
+      .select($"user_id", $"purchase_id",
+        coalesce($"click_id", lit(-1L)).as("click_id"))
+      .as[(Long, Long, Long)].collect().toSet
+    batch should not be empty
+    // the outer join must produce strictly more rows than the inner one
+    // (the click-less purchases), and match the batch binding exactly
+    batch.count(_._3 == -1L) should be > 0
+    withClue(s"missing=${(batch -- streamed).take(5)} extra=${(streamed -- batch).take(5)}: ") {
+      streamed shouldBe batch
+    }
+  }
+
   test("streaming forward fill converges to batch e5_forward_fill") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[EventStreams.Event]
