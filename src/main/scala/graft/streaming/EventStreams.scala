@@ -330,6 +330,54 @@ object EventStreams {
       }
   }
 
+  /** [[userSessionStats]] on the transformWithState API (Spark 4's
+    * arbitrary-state successor to flatMapGroupsWithState): state is a
+    * named, typed [[org.apache.spark.sql.streaming.ValueState]] obtained
+    * from the processor handle — composable (a processor can hold many
+    * value/list/map states), TTL-capable per state, and RocksDB-backed
+    * (the provider transformWithState requires, which is also the one a
+    * 100 TB deployment runs for state larger than executor heap). Same
+    * gap rule and ordering discipline as the fMGWS twin;
+    * EventStreamsSpec proves the two agree exactly. */
+  final class SessionStatsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserSessions] {
+    @transient private var state:
+      org.apache.spark.sql.streaming.ValueState[UserSessions] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[UserSessions]("sessions",
+        org.apache.spark.sql.Encoders.product[UserSessions],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[UserSessions] = {
+      def micros(t: java.sql.Timestamp): Long =
+        Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+      val prev = Option(state.get())
+        .getOrElse(UserSessions(user, 0L, 0L, Long.MinValue))
+      val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+      val next = sorted.foldLeft(prev) { (st, e) =>
+        val tsMicros = micros(e.ts)
+        val newSession = st.last_ts == Long.MinValue || tsMicros - st.last_ts > gapMicros
+        UserSessions(user,
+          st.n_sessions + (if (newSession) 1 else 0),
+          st.n_events + 1,
+          tsMicros)
+      }
+      if (sorted.isEmpty) Iterator.empty
+      else { state.update(next); Iterator.single(next) }
+    }
+  }
+
+  def userSessionStatsTws(events: Dataset[Event]): Dataset[UserSessions] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionStatsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   def userSessionStats(events: Dataset[Event]): Dataset[UserSessions] = {
     import events.sparkSession.implicits._
     events

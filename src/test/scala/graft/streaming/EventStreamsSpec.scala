@@ -311,6 +311,43 @@ class EventStreamsSpec extends SparkSpec {
     finalPerUser shouldBe batch
   }
 
+  test("transformWithState session stats equal the fMGWS twin and the batch oracle") {
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState requires the RocksDB state store provider (also
+    // the provider a deployment with state > heap runs); scope it to
+    // this query and restore the session default after
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[EventStreams.Event]
+      val updates = scala.collection.mutable.ArrayBuffer[EventStreams.UserSessions]()
+      val all = toEvents(batchEvents.orderBy($"ts", $"event_id").collect())
+      val (b1, b2) = all.splitAt(all.size / 2)
+      stream.addData(b1); stream.addData(b2)
+      val q = EventStreams.userSessionStatsTws(stream.toDS())
+        .writeStream.outputMode("update")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[EventStreams.UserSessions], _: Long) =>
+          updates.synchronized { updates ++= batch.collect() }; ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+
+      val finalPerUser = updates.groupBy(_.user_id).map { case (u, us) =>
+        u -> { val last = us.last; (last.n_sessions, last.n_events) }
+      }
+      val batch = Registry.byName("e5_sessionization").run(spark, sfDir)
+        .select($"user_id", $"n_sessions", $"n_events")
+        .as[(Long, Long, Long)].collect()
+        .map { case (u, s, n) => u -> ((s, n)) }.toMap
+      finalPerUser shouldBe batch
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("streaming decontamination flags stream docs against the static eval index") {
     implicit val sqlCtx = spark.sqlContext
     // static eval split: one doc -> two distinct 5-grams
