@@ -61,27 +61,29 @@ object ProductQuant {
 
   /** Seeded Lloyd's iterations: deterministic evenly-spaced init over the
     * vec_id-sorted sample, 8 refinement passes, empty cells keep their
-    * previous center. */
-  private def lloyd(xs: Array[Array[Double]]): Array[Array[Double]] = {
+    * previous center. Parameterized over (k, dim) so the same fit serves
+    * the 16×8-d PQ codebooks and the 16×64-d IVF coarse cells. */
+  private def lloyd(xs: Array[Array[Double]], k: Int = K,
+      dim: Int = subDim): Array[Array[Double]] = {
     val n = xs.length
-    var centers = Array.tabulate(K)(k => xs(((k.toLong * n) / K).toInt).clone())
+    var centers = Array.tabulate(k)(c => xs(((c.toLong * n) / k).toInt).clone())
     for (_ <- 0 until 8) {
-      val sums = Array.fill(K, subDim)(0.0)
-      val cnt = new Array[Long](K)
+      val sums = Array.fill(k, dim)(0.0)
+      val cnt = new Array[Long](k)
       xs.foreach { x =>
-        var best = 0; var bd = Double.MaxValue; var k = 0
-        while (k < K) {
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < k) {
           var d = 0.0; var i = 0
-          while (i < subDim) { val t = x(i) - centers(k)(i); d += t * t; i += 1 }
-          if (d < bd) { bd = d; best = k }
-          k += 1
+          while (i < dim) { val t = x(i) - centers(c)(i); d += t * t; i += 1 }
+          if (d < bd) { bd = d; best = c }
+          c += 1
         }
         cnt(best) += 1
         var i = 0
-        while (i < subDim) { sums(best)(i) += x(i); i += 1 }
+        while (i < dim) { sums(best)(i) += x(i); i += 1 }
       }
-      centers = Array.tabulate(K) { k =>
-        if (cnt(k) > 0) sums(k).map(_ / cnt(k)) else centers(k)
+      centers = Array.tabulate(k) { c =>
+        if (cnt(c) > 0) sums(c).map(_ / cnt(c)) else centers(c)
       }
     }
     centers
@@ -273,5 +275,130 @@ object ProductQuant {
         .orderBy("band")
     })
 
-  def queries: Seq[GraftQuery] = Seq(pqTopK, pqCodeDedup)
+  private val ivfCells = 16
+  private val ivfProbes = 4
+
+  /** IVF coarse quantizer trained on the same bounded sample discipline
+    * as the PQ codebooks (16 full-dimension cells, seeded local Lloyd),
+    * memoized per (session, dir) beside them. */
+  private def ivfCentroids(s: SparkSession, dir: String): Array[Array[Double]] =
+    graft.SessionMemo.value(s, dir, "ivfpq_centroids") {
+      val n = embeddings(s, dir)
+      val total = n.count()
+      val fraction = math.min(1.0, 16000.0 / total)
+      val sample = n.sample(withReplacement = false, fraction, seed = 11L)
+        .select(col("vec_id"), col("v")).collect()
+        .sortBy(_.getLong(0))
+        .map(_.getSeq[Double](1).toArray)
+      lloyd(sample, k = ivfCells, dim = M * subDim)
+    }
+
+  /** nearest-cell id as a codegen'd projection over centroid literals —
+    * the 64-d analog of [[codeOf]]. */
+  private def cellOf(cs: Array[Array[Double]], v: Column): Column = {
+    val cands = cs.zipWithIndex.map { case (c, i) =>
+      val cc = array(c.map(lit): _*)
+      struct(
+        (lit(-2.0) * dot(v, cc) + lit(c.map(x => x * x).sum)).as("d2"),
+        lit(i).as("cell"))
+    }
+    array_min(array(cands: _*)).getField("cell")
+  }
+
+  /** The combined IVF-PQ index: (vec_id, cell, packed PQ code) — one
+    * INT + one BIGINT per vector. Memoized; the PQ codes are THE SAME
+    * frame the flat ADC scan and the dedup audit use (direct-coding
+    * IVF-PQ — residual coding would need per-cell codebooks and forfeit
+    * that sharing; at 16 cells the recall difference is marginal). */
+  private[llmops] def ivfPqIndex(s: SparkSession, dir: String)
+      : (DataFrame, Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val cs = ivfCentroids(s, dir)
+    val (codes, cb) = codeIndex(s, dir)
+    val indexed = graft.SessionMemo.materialized(s, dir, "ivfpq_index") {
+      embeddings(s, dir).select(col("vec_id"), cellOf(cs, col("v")).as("cell"))
+        .join(codes, "vec_id")
+    }
+    (indexed, cs, cb)
+  }
+
+  /** IVF-PQ ANN top-3 — the billion-scale composition: the IVF cell
+    * filter prunes the corpus to each query's `ivfProbes` nearest cells
+    * (~probes/cells of the data), and the PQ ADC scan then reads ONLY
+    * those cells' compressed codes; exact re-rank on the shortlist as
+    * in [[pqTopK]]. Probe-cell selection is pure driver arithmetic over
+    * the memoized centroids and query vectors (no job); the per-query
+    * probe list rides into the plan as an array literal inside a
+    * filter() higher-order function, so non-probed rows generate ZERO
+    * exploded candidates — the fan-out is (probed fraction) × queries,
+    * not queries × corpus.
+    *
+    * At 100 TB: a billion-vector index is 4 GB of codes + 12 B of cell
+    * ids per vector; a query touches probes/cells ≈ 25% of it here, and
+    * production tunes cells up (√N cells → ~0.4% scanned at 1e9 rows)
+    * with the identical plan shape. Rows-only (cell and codeword
+    * geometry are seed-specific); ProductQuantSpec asserts recall
+    * against the exact top-10 and the scan-pruning fraction. */
+  private val ivfPqTopK = GraftQuery(
+    "llm_e3_ivfpq_topk",
+    "IVF cell pruning + PQ ADC compressed scan + exact re-rank ANN top-3 (E3, approx)",
+    None,
+    (s, dir) => {
+      val n = embeddings(s, dir)
+      val (indexed, cs, cb) = ivfPqIndex(s, dir)
+      val queries = n.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val qVecs = graft.SessionMemo.value(s, dir, "pq_query_vecs") {
+        queries.collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+      }
+      def nearestCells(qv: Array[Double]): Seq[Int] =
+        cs.zipWithIndex.map { case (c, i) =>
+          var d = 0.0; var j = 0
+          while (j < qv.length) { val t = qv(j) - c(j); d += t * t; j += 1 }
+          (d, i)
+        }.sortBy(_._1).take(ivfProbes).map(_._2).toSeq
+      val perQuery = qVecs.map { case (qid, qv) =>
+        val adc = (0 until M).map { m =>
+          val lut = cb(m).map { cw =>
+            var d = 0.0; var i = 0
+            while (i < subDim) { val t = qv(m * subDim + i) - cw(i); d += t * t; i += 1 }
+            d
+          }
+          element_at(array(lut.map(lit): _*),
+            shiftright(col("code"), 4 * m).bitwiseAND(lit(15L)).cast("int") + 1)
+        }.reduce(_ + _)
+        struct(lit(qid).as("q_id"),
+          array(nearestCells(qv).map(lit): _*).as("probes"),
+          adc.as("adc"))
+      }
+      val wAdc = Window.partitionBy(col("q_id"))
+        .orderBy(col("approx_d2"), col("neighbor_id"))
+      val short = indexed
+        // HOF filter BEFORE explode: a row fans out only to the queries
+        // actually probing its cell
+        .select(col("vec_id"),
+          explode(filter(array(perQuery: _*),
+            x => array_contains(x.getField("probes"), col("cell")))).as("s"))
+        .select(col("s.q_id").as("q_id"), col("vec_id").as("neighbor_id"),
+          round(col("s.adc"), 4).as("approx_d2"))
+        .filter(col("neighbor_id") =!= col("q_id"))
+        .withColumn("rn", row_number().over(wAdc))
+        .filter(col("rn") <= shortlist)
+        .select(col("q_id"), col("neighbor_id"))
+      val exactD2 = aggregate(
+        zip_with(col("qv"), col("v"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)
+      val wExact = Window.partitionBy(col("q_id"))
+        .orderBy(col("d2"), col("neighbor_id"))
+      short
+        .join(n.select(col("vec_id").as("neighbor_id"), col("v")), "neighbor_id")
+        .join(broadcast(queries), "q_id")
+        .withColumn("d2", round(exactD2, 4))
+        .withColumn("rn", row_number().over(wExact))
+        .filter(col("rn") <= 3)
+        .select(col("q_id"), col("rn"), col("neighbor_id"), col("d2"))
+        .orderBy("q_id", "rn")
+    })
+
+  def queries: Seq[GraftQuery] = Seq(pqTopK, pqCodeDedup, ivfPqTopK)
 }

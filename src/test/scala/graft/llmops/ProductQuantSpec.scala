@@ -85,6 +85,60 @@ class ProductQuantSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("ivfpq: deterministic, well-shaped, recall against exact top-10") {
+    val run = Registry.byName("llm_e3_ivfpq_topk").run(spark, sfDir)
+    run.collect().toSeq shouldBe
+      Registry.byName("llm_e3_ivfpq_topk").run(spark, sfDir).collect().toSeq
+    val rows = run.collect()
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      rs.map(_.getAs[Int]("rn")).sorted shouldBe (1 to rs.length)
+      rs.foreach(_.getAs[Long]("neighbor_id") should not be q)
+    }
+    // recall vs exact euclidean top-10 (IVF pruning makes this lossier
+    // than flat PQ; 0.4 is the honest floor at 16 cells / 4 probes)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val d2 = expr("aggregate(zip_with(qv, v, (a, b) -> (a - b) * (a - b)), " +
+      "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("d2"), col("vec_id"))
+    val exact10 = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("d2", d2)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = rows.map(r => (r.getLong(0), r.getAs[Long]("neighbor_id")))
+    val recall = got.count(exact10.contains).toDouble / got.length
+    withClue(s"ivfpq recall@3-in-exact-10 = $recall") { recall should be >= 0.4 }
+  }
+
+  test("ivfpq: the cell filter prunes the compressed scan") {
+    // scanned (query, row) pairs = rows whose cell is probed by the
+    // query; with 16 cells and 4 probes the expectation is ~25% of the
+    // full queries x corpus cross product — assert well under half
+    val (indexed, cs, _) = ProductQuant.ivfPqIndex(spark, sfDir)
+    val corpus = indexed.count()
+    val cellSizes = indexed.groupBy("cell").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .filter(col("vec_id") < 10).collect()
+      .map(r => r.getSeq[Double](1).toArray)
+    val scanned = emb.map { qv =>
+      cs.zipWithIndex.map { case (c, i) =>
+        var d = 0.0; var j = 0
+        while (j < qv.length) { val t = qv(j) - c(j); d += t * t; j += 1 }
+        (d, i)
+      }.sortBy(_._1).take(4).map(p => cellSizes.getOrElse(p._2, 0L)).sum
+    }.sum
+    val fraction = scanned.toDouble / (emb.length * corpus)
+    withClue(s"ivfpq scan fraction = $fraction") { fraction should be < 0.5 }
+  }
+
   test("pq dedup core finds planted duplicates") {
     import spark.implicits._
     // 60 spread base vectors + 3 planted near-exact copies of vec 0
