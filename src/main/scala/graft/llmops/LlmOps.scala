@@ -281,6 +281,31 @@ object LlmOps {
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Per-doc MinHash LSH band keys as a PURE PROJECTION — no groupBy:
+    * each signature entry is array_min over per-seed xxhash64 of the
+    * doc's own shingle array, band keys hash consecutive signature rows
+    * (same k=16 / 8×2 banding as the batch index). Projection-only is
+    * what makes the SAME plan bind in Structured Streaming: a per-doc
+    * streaming aggregate would need a watermark and delay every flag by
+    * it, while a projection flags in the arrival micro-batch. Shingles
+    * here are UNCAPPED (a stream doc cannot know corpus dfs; the
+    * df-capped inverted index remains the batch path's optimization).
+    * Emits one row per (original row, band): `band`, `bh` appended to
+    * the input columns. Package-visible for the streaming near-dup twin
+    * (EventStreams.nearDupFlags). */
+  private[graft] def minhashBandKeys(df: DataFrame, n: Int = 3): DataFrame = {
+    def sig(j: Int): Column =
+      array_min(transform(col("__sh"), x => xxhash64(lit(j), x)))
+    val bandCols = (0 until minhashBands).map { b =>
+      xxhash64((minhashRows * b until minhashRows * (b + 1)).map(sig): _*)
+    }
+    val keep = df.columns.map(col)
+    df.withColumn("t", toks(col("text")))
+      .filter(size(col("t")) >= n)
+      .withColumn("__sh", expr(ngramExpr(n)))
+      .select(keep :+ posexplode(array(bandCols: _*)).as(Seq("band", "bh")): _*)
+  }
+
   /** MinHash + LSH banding near-dup candidates (the 100 TB-scale path for
     * E2): signature -> band hashes -> bucket join on (band, hash) ->
     * candidate pairs with estimated Jaccard = matching-minhash fraction.

@@ -276,6 +276,40 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("doc_id")
       .select(col("doc_id"), col("ts"))
 
+  /** Streaming MinHash near-dup flagging — E2's LSH path as a
+    * stream-STATIC join (the decontamFlags pattern, but approximate):
+    * each arriving doc projects to its 8 MinHash band keys (pure
+    * projection, no stream-side aggregate — see
+    * [[graft.llmops.LlmOps.minhashBandKeys]]) and joins the broadcast
+    * static band index; any band collision flags the doc as a probable
+    * near-duplicate of the indexed corpus. Flags collapse per doc_id
+    * with watermark-bounded dedup (a doc colliding in several bands
+    * would otherwise flag once per collision). Emits (doc_id, ts),
+    * append-ready.
+    *
+    * Scale: the static index is (index_doc, band, bh) — 8 rows per
+    * indexed doc; stream-side per-row cost is 16 array_min passes over
+    * the shingle array inside codegen, and the only state is the dedup
+    * keys inside the watermark. This is the ingest-time "is this new
+    * document a near-copy of anything we already hold" gate. */
+  def nearDupFlags(docs: DataFrame, indexBands: DataFrame,
+      watermark: String = "1 hour"): DataFrame = {
+    val src =
+      if (docs.isStreaming) docs.withWatermark("ts", watermark) else docs
+    val collided = graft.llmops.LlmOps.minhashBandKeys(
+        src.select(col("ts"), col("doc_id"), col("text")))
+      .join(broadcast(indexBands
+        .select(col("band"), col("bh"), col("doc_id").as("index_doc_id"))),
+        Seq("band", "bh"), "inner")
+      .filter(col("doc_id") =!= col("index_doc_id"))
+    // watermark-bounded dedup is a streaming-only operator; the batch
+    // binding of the same plan collapses flags with a plain distinct
+    val deduped =
+      if (docs.isStreaming) collided.dropDuplicatesWithinWatermark("doc_id")
+      else collided.dropDuplicates("doc_id")
+    deduped.select(col("doc_id"), col("ts"))
+  }
+
   /** One event for the typed stateful path. */
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double, props: String)

@@ -348,6 +348,44 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("streaming MinHash near-dup flags stream docs against the static band index") {
+    implicit val sqlCtx = spark.sqlContext
+    // static index: two reference docs -> 8 band keys each
+    val ref = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (101L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val idx = graft.llmops.LlmOps.minhashBandKeys(ref)
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(m: Int) = java.sql.Timestamp.from(t0.toInstant.plusSeconds(m * 60L))
+    val stream = MemoryStream[(java.sql.Timestamp, Long, String)]
+    stream.addData(Seq(
+      // near-copy of ref 100 (one word changed): most shingles shared ->
+      // at least one of 8 bands collides with overwhelming probability
+      (ts(0), 1L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (ts(1), 2L, "completely different words about spark physical plans here")))
+    stream.addData(Seq(
+      (ts(2), 3L, "one two three four five six seven eight nine ten"), // exact copy of 101
+      (ts(3), 1L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"))) // re-arrival
+    val q = EventStreams.nearDupFlags(
+        stream.toDF().toDF("ts", "doc_id", "text"), idx)
+      .writeStream.format("memory").queryName("neardup_t")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    // docs 1 and 3 flagged once each; the unrelated doc 2 absent; the
+    // duplicate arrival of doc 1 collapsed by the watermark dedup
+    spark.table("neardup_t").select($"doc_id").as[Long].collect().sorted.toSeq shouldBe
+      Seq(1L, 3L)
+    // batch binding of the same plan agrees (stream == batch)
+    val batchDocs = Seq(
+      (ts(0), 1L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (ts(1), 2L, "completely different words about spark physical plans here"),
+      (ts(2), 3L, "one two three four five six seven eight nine ten")
+    ).toDF("ts", "doc_id", "text")
+    EventStreams.nearDupFlags(batchDocs, idx)
+      .select($"doc_id").as[Long].collect().sorted.toSeq shouldBe Seq(1L, 3L)
+  }
+
   test("streaming decontamination flags stream docs against the static eval index") {
     implicit val sqlCtx = spark.sqlContext
     // static eval split: one doc -> two distinct 5-grams
