@@ -369,7 +369,97 @@ object Multimodal {
         .orderBy(col("shard_id"), col("offset_bytes"), col("media_id"))
     })
 
+  /** Pair-curation core over arbitrary (caption, media-dims, embedding)
+    * frames — package-visible so the spec can plant duplicate captions
+    * and gate-violating rows. Gates mirror the LAION-style recipe:
+    * caption length + token floor, minimum image dimension, aspect
+    * bound; then ONE pair per distinct caption (smallest media_id wins —
+    * exact-dup captions are the single largest noise class in scraped
+    * pair corpora). */
+  private[llmops] def curatePairs(captions: DataFrame, dims: DataFrame,
+      emb: DataFrame): DataFrame = {
+    val toks = size(split(col("text"), " ", -1)).cast("long")
+    val gated = captions
+      .join(dims, col("doc_id") === col("media_id"))
+      .join(emb, col("doc_id") === col("vec_id"))
+      .withColumn("n_tokens", toks)
+      .withColumn("caption_md5", md5(col("text")))
+      .filter(col("n_chars").between(100, 500) && col("n_tokens") >= 20 &&
+        least(col("w"), col("h")) >= 64 &&
+        col("w") <= lit(3) * col("h") && col("h") <= lit(3) * col("w"))
+    val wDedup = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("caption_md5")).orderBy(col("media_id"))
+    // int8-quantized embedding preview: floor(x*127 + 0.5) is exact and
+    // tie-free in both engines (round() HALF_UP vs half-even diverges)
+    def q8(i: Int): Column =
+      floor(element_at(col("v"), i) * 127 + lit(0.5)).cast("int").as(s"e$i")
+    gated
+      .withColumn("rn", row_number().over(wDedup))
+      .filter(col("rn") === 1)
+      .select(col("media_id"), col("caption_md5"), col("w"), col("h"),
+        col("n_tokens"), q8(1), q8(2), q8(3), q8(4))
+      .orderBy("media_id")
+  }
+
+  /** CLIP-style image-text pair curation — the multi-table op that
+    * assembles a training-pair corpus: captions (documents), media
+    * dimensions (fake-decoded from the blob md5), and the paired
+    * embedding row join on the shared id, quality gates drop short/
+    * degenerate captions and tiny/extreme-aspect images, caption-exact
+    * dedup keeps one pair per caption, and the output manifest carries
+    * an int8-quantized embedding preview.
+    *
+    * Scale: three co-keyed joins (at 100 TB all shuffle on the shared
+    * id — co-partitioned end to end, or bucket-written once), gates are
+    * codegen'd row predicates BEFORE the dedup shuffle, and the dedup
+    * window partitions on caption_md5 (unbounded cardinality — never a
+    * global sort). */
+  private val mmPairCuration = GraftQuery(
+    "mm_pair_curation",
+    "CLIP-style image-text pair curation: gates + caption dedup + quantized embedding preview",
+    Some("""
+      WITH dims AS (
+        SELECT doc_id AS media_id,
+               (CAST('0x' || substr(md5(text), 1, 4) AS BIGINT) % 2048) + 16 AS w,
+               (CAST('0x' || substr(md5(text), 5, 4) AS BIGINT) % 2048) + 16 AS h
+        FROM documents),
+      emb AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      gated AS (
+        SELECT d.doc_id AS media_id, md5(d.text) AS caption_md5,
+               dims.w, dims.h,
+               len(string_split(d.text, ' ')) AS n_tokens, emb.v
+        FROM documents d
+        JOIN dims ON d.doc_id = dims.media_id
+        JOIN emb ON d.doc_id = emb.vec_id
+        WHERE d.n_chars BETWEEN 100 AND 500
+          AND len(string_split(d.text, ' ')) >= 20
+          AND least(dims.w, dims.h) >= 64
+          AND dims.w <= 3 * dims.h AND dims.h <= 3 * dims.w),
+      deduped AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY caption_md5 ORDER BY media_id) AS rn
+        FROM gated)
+      SELECT media_id, caption_md5, w, h, CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(floor(v[1] * 127 + 0.5) AS INT) AS e1,
+             CAST(floor(v[2] * 127 + 0.5) AS INT) AS e2,
+             CAST(floor(v[3] * 127 + 0.5) AS INT) AS e3,
+             CAST(floor(v[4] * 127 + 0.5) AS INT) AS e4
+      FROM deduped WHERE rn = 1
+      ORDER BY media_id"""),
+    (s, dir) => {
+      val m = media(s, dir).withColumn("content_md5", md5(col("payload")))
+      val dims = m.select(col("media_id"),
+        fakeDecodeWidth(col("content_md5")).as("w"),
+        fakeDecodeHeight(col("content_md5")).as("h"))
+      val emb = T(s, dir, "embeddings").select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      curatePairs(
+        T(s, dir, "documents").select(col("doc_id"), col("text"), col("n_chars")),
+        dims, emb)
+    })
+
   def queries: Seq[GraftQuery] =
     Seq(mmFeatures, mmFrames, mmBatchDecode, mmResize, mmBinaryIngest,
-      mmShardManifest)
+      mmShardManifest, mmPairCuration)
 }
