@@ -49,6 +49,18 @@ object T {
       spark.read.parquet(s"$dir/$name.parquet")
     }
 
+  /** Register every driver table as a temp view (named exactly as in
+    * the oracle SQL: lineitem, orders, …) and the graft SQL functions —
+    * after this one call the whole engine is reachable from SQL TEXT
+    * (`spark.sql("SELECT vec_dot(...) FROM embeddings …")`), which is
+    * how a notebook/BI user rather than a library caller consumes it.
+    * Views are lazy plan aliases over the memoized reads — registering
+    * them costs nothing and they follow the session's lifecycle. */
+  def registerViews(spark: SparkSession, dir: String): Unit = {
+    tableNames.foreach(t => T(spark, dir, t).createOrReplaceTempView(t))
+    functions.GraftFunctions.register(spark)
+  }
+
   /** Silence WindowExec's "No Partition Defined" WARN in harness runs.
     * Every global window in the registry is bounded by construction and
     * documented at its site (Weighted: 100 surviving rows; Temporal:
