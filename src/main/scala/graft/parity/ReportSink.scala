@@ -76,6 +76,48 @@ object ReportSink {
     * (reportlab's `repeatRows=1`, call-debias.py:111). */
   val rowsPerPage = 24
 
+  /** TRUE-binary PDF reports: one genuine `<source>.pdf` per flagged
+    * source under `outDir`, with the reference layout (title, repeated
+    * per-page header with the #4a4a8a band, zebra stripes, first-row-
+    * only blanking, flagged-only gating) rendered by the dependency-
+    * free [[PdfWriter]] — closing the byte-fidelity gap the HTML twin
+    * left. Distributed like the reference's unit of work: one SOURCE =
+    * one PDF assembled inside one executor task (groupByKey over
+    * source — a per-file report fits task memory by the same argument
+    * the reference uses loading whole files), written executor-side to
+    * `outDir` (a shared filesystem on a real cluster; local tmp here).
+    * Returns the body row count via accumulator — no collect. */
+  def writeFlaggedPdfReports(annotated: DataFrame, outDir: String): Long = {
+    val spark = annotated.sparkSession
+    import spark.implicits._
+    new java.io.File(outDir).mkdirs()
+    val rowsWritten = spark.sparkContext.longAccumulator("pdf_report_rows")
+    val header = Seq("Record #", "Literal", "Tag", "Issue", "Source")
+    val cells = flaggedTagRows(annotated).select(
+      col("source"), col("doc_id"), col("tag_pos"),
+      coalesce(col("record_num").cast("string"), lit("")).as("rec"),
+      coalesce(col("literal_text"), lit("")).as("litx"),
+      coalesce(col("tag_literal"), lit("")).as("tg"),
+      coalesce(col("tag_issue"), lit("")).as("iss"),
+      coalesce(col("tag_source"), lit("")).as("tsrc"))
+      .as[(String, Long, Int, String, String, String, String, String)]
+    cells.groupByKey(_._1).mapGroups { (src, it) =>
+      val sorted = it.toSeq.sortBy(t => (t._2, t._3))
+      val body = sorted.map { t =>
+        val first = t._3 == 0
+        Seq(if (first) t._4 else "", if (first) t._5 else "", t._6, t._7, t._8)
+      }
+      (src, PdfWriter.document(s"De-bias Report: $src", header, body,
+        rowsPerPage), body.size)
+    }.foreach { case (src, bytes, n) =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(outDir, s"$src.pdf"), bytes)
+      rowsWritten.add(n.toLong)
+      ()
+    }
+    rowsWritten.value
+  }
+
   private def esc(c: org.apache.spark.sql.Column) =
     regexp_replace(regexp_replace(regexp_replace(
       coalesce(c.cast("string"), lit("")),

@@ -44,6 +44,48 @@ class ReportSinkSpec extends SparkSpec {
     doc1 should not be empty
   }
 
+  test("PDF output: valid structure, correct page count, gated, text present") {
+    val out = Files.createTempDirectory("graft_report_pdf").toString
+    // 30 body rows in fileA -> 2 pages at 24/page; fileB stays tagless
+    val docs = (1 to 28).map(i => (i.toLong, s"$i, slow entry $i", "en", "fileA")) :+
+      (100L, "100, slow big pair", "en", "fileA") :+
+      (200L, "200, clean text", "en", "fileB")
+    val ann = Annotate.annotated(docs.toDF("doc_id", "text", "lang", "source"))
+
+    val n = ReportSink.writeFlaggedPdfReports(ann, out)
+    n shouldBe 30L // 28 single-tag + 2 tags for doc 100
+
+    // flagged-only gating
+    Files.exists(Paths.get(s"$out/fileB.pdf")) shouldBe false
+
+    val bytes = Files.readAllBytes(Paths.get(s"$out/fileA.pdf"))
+    val pdf = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    // structural validity: header, trailer, and an xref whose startxref
+    // offset points AT the xref table
+    pdf should startWith("%PDF-1.4")
+    pdf should endWith("%%EOF")
+    val startxref = pdf.substring(pdf.lastIndexOf("startxref"))
+      .split("\n")(1).trim.toInt
+    pdf.substring(startxref, startxref + 4) shouldBe "xref"
+    // every object offset in the xref table points at its "N 0 obj"
+    val xrefLines = pdf.substring(startxref).split("\n")
+      .drop(3) // "xref", "0 N", free entry
+      .takeWhile(_.matches("\\d{10} 00000 n \\s?"))
+    xrefLines.zipWithIndex.foreach { case (l, i) =>
+      val off = l.take(10).toInt
+      pdf.substring(off, off + s"${i + 1} 0 obj".length) shouldBe s"${i + 1} 0 obj"
+    }
+    // 30 rows at 24/page -> 2 pages, header band drawn on each
+    pdf should include("/Count 2")
+    "0\\.29 0\\.29 0\\.54 rg".r.findAllIn(pdf).size shouldBe 2
+    // title once; body text present in the (uncompressed) streams;
+    // first-row-only blanking: doc 100's record number appears exactly
+    // once even though it has two tag rows
+    pdf should include("(De-bias Report: fileA)")
+    pdf should include("(slow)")
+    "\\(100\\)".r.findAllIn(pdf).size shouldBe 1
+  }
+
   test("HTML layout: repeated per-page headers, zebra rows, gating, blanking") {
     val out = Files.createTempDirectory("graft_report_html").toString
     // 30 single-tag docs in fileA -> 30 body rows -> 2 pages at 24/page;
