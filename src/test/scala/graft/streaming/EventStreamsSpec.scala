@@ -120,6 +120,37 @@ class EventStreamsSpec extends SparkSpec {
     snap() shouldBe direct
   }
 
+  test("incremental merge: random splits + random replays all converge (property)") {
+    // the one-shot aggregate is the oracle; any partition of the events
+    // into batches, with any batch replayed any number of times, must
+    // publish the same final state
+    val direct = batchEvents.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("spend"))
+      .as[(Long, Long, Double)].collect().toSet
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      val stateDir = java.nio.file.Files
+        .createTempDirectory(s"graft_merge_prop_$seed").toString
+      val nBatches = 2 + rnd.nextInt(3)
+      val batches = (0 until nBatches).map { b =>
+        batchEvents.filter($"event_id" % nBatches === b).toDF()
+      }
+      batches.zipWithIndex.foreach { case (b, id) =>
+        EventStreams.mergeBatch(b, id.toLong, stateDir)
+        // crash-replay an arbitrary already-committed batch
+        if (rnd.nextBoolean()) {
+          val replay = rnd.nextInt(id + 1)
+          EventStreams.mergeBatch(batches(replay), replay.toLong, stateDir)
+        }
+      }
+      val state = EventStreams.latestState(spark, stateDir).get
+        .select($"user_id", $"n_events", $"spend".cast("double"))
+        .as[(Long, Long, Double)].collect().toSet
+      withClue(s"seed=$seed nBatches=$nBatches: ") { state shouldBe direct }
+    }
+  }
+
   test("streaming session_window (append + watermark) matches the batch twin") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[EventStreams.Event]
