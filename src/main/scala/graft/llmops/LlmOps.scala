@@ -299,7 +299,7 @@ object LlmOps {
     val bandCols = (0 until minhashBands).map { b =>
       xxhash64((minhashRows * b until minhashRows * (b + 1)).map(sig): _*)
     }
-    val keep = df.columns.map(col)
+    val keep = df.columns.toSeq.map(col)
     df.withColumn("t", toks(col("text")))
       .filter(size(col("t")) >= n)
       .withColumn("__sh", expr(ngramExpr(n)))
