@@ -118,17 +118,21 @@ object Olap {
     * per-group checksum is the plain SUM: commutative, so partial
     * aggregation, partition layout, and row order are all invisible,
     * and two tables differing in ANY row disagree with probability
-    * 1 - 2^-60 per group. One scan, one 4-row aggregate. */
+    * 1 - 2^-60 per group. One scan, one 4-row aggregate. The summed
+    * checksum exceeds 64 bits (20k × 60-bit hashes ≈ 75 bits), so it
+    * is RENDERED AS A STRING: wide-decimal digits compare identically
+    * everywhere, while the underlying DECIMAL(38,0)/HUGEINT physical
+    * representations do not hash identically across engines. */
   private val qTableFingerprint = GraftQuery(
     "q_table_fingerprint",
     "order-insensitive per-group md5 checksum of lineitem (validation op)",
     Some("""
       SELECT l_returnflag, COUNT(*) AS n_rows,
-        SUM(CAST(CAST(('0x' || substr(md5(
+        CAST(SUM(CAST(CAST(('0x' || substr(md5(
               concat_ws('|', l_orderkey, l_linenumber, l_linestatus,
                 CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR),
                 CAST(CAST(l_shipdate AS DATE) AS VARCHAR))),
-            1, 15)) AS BIGINT) AS DECIMAL(38,0))) AS checksum
+            1, 15)) AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR) AS checksum
       FROM lineitem
       GROUP BY l_returnflag
       ORDER BY l_returnflag"""),
@@ -141,7 +145,8 @@ object Olap {
         .cast(DecimalType(38, 0))
       T(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).as("n_rows"), sum(rowHash).as("checksum"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(rowHash).cast("string").as("checksum"))
         .orderBy("l_returnflag")
     })
 

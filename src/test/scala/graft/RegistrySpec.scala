@@ -41,3 +41,36 @@ class RegistrySpec extends AnyFunSuite with Matchers {
       Registry.all.filter(_.oracle.isDefined).map(_.name).toSet
   }
 }
+
+/** Contract-schema hygiene (needs a session: schemas come from the built
+  * plans). The driver's hash compare is sensitive to the PHYSICAL numeric
+  * representation, not just the value: a decimal wider than 18 digits
+  * exceeds int64, and DuckDB's HUGEINT/wide-DECIMAL then hashes
+  * differently from Spark's Decimal even when every digit matches (the
+  * round-7 `q_table_fingerprint` failure). Oracle-paired queries must
+  * therefore keep numeric outputs within 64 bits — render anything wider
+  * as a string on both sides. */
+class RegistrySchemaSpec extends SparkSpec {
+  test("no oracle-paired query emits a >18-digit decimal anywhere in its schema") {
+    import org.apache.spark.sql.types._
+    def wideDecimals(dt: DataType, path: String): Seq[String] = dt match {
+      case d: DecimalType if d.precision > 18 =>
+        Seq(s"$path: DECIMAL(${d.precision},${d.scale})")
+      case s: StructType =>
+        s.fields.toSeq.flatMap(f => wideDecimals(f.dataType, s"$path.${f.name}"))
+      case a: ArrayType => wideDecimals(a.elementType, s"$path[]")
+      case m: MapType =>
+        wideDecimals(m.keyType, s"$path.key") ++
+          wideDecimals(m.valueType, s"$path.value")
+      case _ => Seq.empty
+    }
+    Registry.all.filter(_.oracle.isDefined).foreach { q =>
+      val offenders = q.run(spark, sfDir).schema.fields.toSeq
+        .flatMap(f => wideDecimals(f.dataType, f.name))
+      withClue(s"${q.name} emits wide decimals the driver hasher cannot " +
+        s"normalize across engines — render as string instead: ") {
+        offenders shouldBe empty
+      }
+    }
+  }
+}

@@ -86,7 +86,9 @@ class OlapSpec extends SparkSpec {
     val lo = checksum(li.filter(col("l_returnflag") === "A" && col("l_orderkey") % 2 === 0))
     val hi = checksum(li.filter(col("l_returnflag") === "A" && col("l_orderkey") % 2 =!= 0))
     lo + hi shouldBe whole
-    // and it must equal the registered query's A-group checksum
-    BigDecimal(one.find(_.getString(0) == "A").get.getDecimal(2)) shouldBe whole
+    // and it must equal the registered query's A-group checksum (a
+    // STRING column since round 8 — wide decimals don't hash
+    // identically across engines; see the RegistrySchemaSpec guard)
+    BigDecimal(one.find(_.getString(0) == "A").get.getString(2)) shouldBe whole
   }
 }
