@@ -15,7 +15,19 @@ import org.apache.spark.sql.SparkSession
   * build cost (within-pass sharing — the production shape — is kept). */
 object Bench {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Builder-local isolate mode: `runMain graft.Bench [sfDir] [substr…]`
+    // — an arg naming an existing directory overrides SPARK_GRAFT_SF_DIR,
+    // any other arg filters queries by name substring (Verify's rule), so
+    // one query can be timed under real bench conditions (warm session,
+    // noop sink, median-of-repeats) without a full 100s pass. The
+    // driver's no-arg invocation is unchanged, and BENCH_DETAIL.json is
+    // only written for unfiltered runs so isolate runs can't clobber a
+    // recorded full bench.
+    val (dirArgs, filterArgs) = args.partition(a => new java.io.File(a).isDirectory)
+    val nameFilter: String => Boolean =
+      if (filterArgs.nonEmpty) { n => filterArgs.exists(n.contains) } else _ => true
+    val sfDir = dirArgs.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt.max(1)
     val spark = SparkSession.builder()
@@ -43,7 +55,7 @@ object Bench {
     val samples = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
     for (_ <- 1 to repeats) {
       graft.SessionMemo.clear(spark)
-      Registry.all.foreach { q =>
+      Registry.all.filter(q => nameFilter(q.name)).foreach { q =>
         val t0 = System.nanoTime()
         try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
@@ -70,8 +82,9 @@ object Bench {
     // the line arrives truncated → unparseable. So: the PRINTED line carries
     // the total plus the 15 most expensive queries (3-decimal seconds), and
     // the COMPLETE per-query map goes to BENCH_DETAIL.json next to the repo.
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${qsJson(results)},"errors":$errJson,"n_failed":${errors.size},"repeats":$repeats,"sf":"$sfDir"}""".getBytes("UTF-8"))
+    if (filterArgs.isEmpty)
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+        s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${qsJson(results)},"errors":$errJson,"n_failed":${errors.size},"repeats":$repeats,"sf":"$sfDir"}""".getBytes("UTF-8"))
     // failed-query NAMES only on the printed line (messages are in the
     // detail file) — a long stack-trace message must not evict the timings
     val errNames = errors.keys.take(8).map(k => s""""${esc(k)}"""").mkString("[", ",", "]")

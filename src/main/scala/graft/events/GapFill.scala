@@ -61,8 +61,13 @@ object GapFill {
         .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 hour")))
           .as("hour"))
       val grid = events.select(col("event_type")).distinct().crossJoin(spine)
-      broadcast(grid)
-        .join(hourly, Seq("event_type", "hour"), "left")
+      // hint the BUILD side: Spark cannot broadcast the preserved
+      // (left) side of a left-outer join, so hinting `grid` would be
+      // silently dropped; `hourly` is the aggregated, equally
+      // dimension-bounded side (event-types × hours) and is the one
+      // Spark can actually build a broadcast hash map from
+      grid
+        .join(broadcast(hourly), Seq("event_type", "hour"), "left")
         .select(col("event_type"),
           date_format(col("hour"), "yyyy-MM-dd HH:00").as("hour_bucket"),
           coalesce(col("n_events"), lit(0L)).as("n_events"),

@@ -104,23 +104,26 @@ object Graph {
       var ranks = edgesW.select(col("src").as("node"), col("outdeg"))
         .distinct().select(col("node"), lit(1.0).as("rank"))
       for (_ <- 1 to iterations) {
+        // exact truncation toward zero via q - (q % 1.0): IEEE
+        // remainder is exact, so the result is DuckDB trunc() of the
+        // same binary quotient bit-for-bit, and — unlike a long cast —
+        // it cannot saturate/wrap when a hub node's rank/outdeg
+        // quotient exceeds ~9.2e6 at extreme scale (integral doubles
+        // convert exactly to DECIMAL(20,0) in both engines). Projected
+        // BEFORE the groupBy so the quotient is evaluated once per row
+        // — inside the partial agg, codegen does not subexpression-
+        // eliminate the q repeated in (q - q % 1), which cost 2× on
+        // this query when spelled inline.
+        val q = col("rank") / col("outdeg2") * 1e12
         ranks = ranks
           .join(edgesW.toDF("e_src", "dst", "outdeg2"),
             col("node") === col("e_src"))
+          .select(col("dst"),
+            (q - (q % lit(1.0))).cast(DecimalType(20, 0)).as("contrib"))
           .groupBy(col("dst"))
-          .agg {
-            // exact truncation toward zero via q - (q % 1.0): IEEE
-            // remainder is exact, so the result is DuckDB trunc() of the
-            // same binary quotient bit-for-bit, and — unlike a long
-            // cast — it cannot saturate/wrap when a hub node's
-            // rank/outdeg quotient exceeds ~9.2e6 at extreme scale
-            // (integral doubles convert exactly to DECIMAL(20,0) in
-            // both engines)
-            val q = col("rank") / col("outdeg2") * 1e12
-            (lit(1 - damping) + lit(damping) *
-              (sum((q - (q % lit(1.0))).cast(DecimalType(20, 0)))
-                .cast("double") / 1e12)).cast("double").as("rank")
-          }
+          .agg((lit(1 - damping) + lit(damping) *
+            (sum(col("contrib")).cast("double") / 1e12))
+            .cast("double").as("rank"))
           .select(col("dst").as("node"), col("rank"))
       }
       ranks.select(col("node").as("s_suppkey"), col("rank").as("pagerank"))
