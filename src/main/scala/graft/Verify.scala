@@ -70,8 +70,13 @@ object Verify {
         .getOrCreate()
       alt.sparkContext.setLogLevel("WARN")
       T.quietBoundedWindowWarnings()
+      //  field separator prevents boundary aliasing (("ab","c")
+      // vs ("a","bc")); the NUL-prefixed marker keeps SQL NULL distinct
+      // from the literal string "null" — neither char appears in data.
       def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
-        df.collect().map(_.toSeq.map(String.valueOf).mkString(""))
+        df.collect().map(_.toSeq
+            .map(v => if (v == null) "\u0000NULL" else String.valueOf(v))
+            .mkString(""))
           .sorted.toSeq
       var drifted = 0; var checked = 0
       SparkEntry.queries.filter(kv => nameFilter(kv._1)).foreach { case (name, fn) =>

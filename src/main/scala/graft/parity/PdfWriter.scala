@@ -87,8 +87,12 @@ object PdfWriter {
       objs(pageId) =
         s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 $pageW $pageH] " +
           s"/Resources << /Font << /F1 3 0 R /F2 4 0 R >> >> /Contents ${pageId + 1} 0 R >>"
+      // per spec the EOL before `endstream` is NOT part of the stream
+      // data: /Length counts the content bytes only, and the trailing
+      // newline sits between the data and the endstream keyword
+      val data = content.stripSuffix("\n")
       objs(pageId + 1) =
-        s"<< /Length ${content.length} >>\nstream\n${content}endstream"
+        s"<< /Length ${data.length} >>\nstream\n${data}\nendstream"
     }
     // serialize with exact byte offsets (content is pure ASCII, so
     // char count == byte count)

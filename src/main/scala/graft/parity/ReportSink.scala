@@ -86,12 +86,14 @@ object ReportSink {
     * source — a per-file report fits task memory by the same argument
     * the reference uses loading whole files), written executor-side to
     * `outDir` (a shared filesystem on a real cluster; local tmp here).
-    * Returns the body row count via accumulator — no collect. */
+    * Returns the body row count summed from the mapGroups OUTPUT (an
+    * accumulator bumped inside the action would double-count under
+    * task retry/speculation even though the file writes themselves are
+    * idempotent) — no driver collect of report bytes. */
   def writeFlaggedPdfReports(annotated: DataFrame, outDir: String): Long = {
     val spark = annotated.sparkSession
     import spark.implicits._
     new java.io.File(outDir).mkdirs()
-    val rowsWritten = spark.sparkContext.longAccumulator("pdf_report_rows")
     val header = Seq("Record #", "Literal", "Tag", "Issue", "Source")
     val cells = flaggedTagRows(annotated).select(
       col("source"), col("doc_id"), col("tag_pos"),
@@ -109,13 +111,11 @@ object ReportSink {
       }
       (src, PdfWriter.document(s"De-bias Report: $src", header, body,
         rowsPerPage), body.size)
-    }.foreach { case (src, bytes, n) =>
+    }.map { case (src, bytes, n) =>
       java.nio.file.Files.write(
         java.nio.file.Paths.get(outDir, s"$src.pdf"), bytes)
-      rowsWritten.add(n.toLong)
-      ()
-    }
-    rowsWritten.value
+      n.toLong
+    }.agg(coalesce(sum(col("value")), lit(0L))).as[Long].head()
   }
 
   private def esc(c: org.apache.spark.sql.Column) =

@@ -87,11 +87,20 @@ object EventStreams {
     * twin).
     *
     * Recovery: pass `checkpointLocation` in production so a restarted
-    * query resumes from committed offsets; replayed batches are safe
-    * either way because [[mergeBatch]] is idempotent per batchId. */
+    * query resumes from committed offsets; WITH a checkpoint, replayed
+    * batches are safe because [[mergeBatch]] is idempotent per batchId.
+    * WITHOUT one, batch ids restart from 0 on every run, so resuming
+    * against a stateDir holding prior versions would make the
+    * completed-version short-circuit silently DROP the new batch-0
+    * data — that combination is rejected up front. */
   def startIncrementalMerge(events: DataFrame, stateDir: String,
       checkpointLocation: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(checkpointLocation.isDefined || completedVersions(stateDir).isEmpty,
+      s"stateDir $stateDir already holds merged state but no checkpointLocation " +
+        "was given: a fresh query renumbers batches from 0 and the idempotency " +
+        "short-circuit would drop the new data. Pass the original checkpoint " +
+        "to resume, or point at an empty stateDir.")
     val writer = events.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -303,11 +312,16 @@ object EventStreams {
         Seq("band", "bh"), "inner")
       .filter(col("doc_id") =!= col("index_doc_id"))
     // watermark-bounded dedup is a streaming-only operator; the batch
-    // binding of the same plan collapses flags with a plain distinct
-    val deduped =
-      if (docs.isStreaming) collided.dropDuplicatesWithinWatermark("doc_id")
-      else collided.dropDuplicates("doc_id")
-    deduped.select(col("doc_id"), col("ts"))
+    // binding collapses flags deterministically with min(ts) — a
+    // dropDuplicates here would keep a partition-dependent survivor
+    // when a doc collides in several bands, while the streaming path
+    // deterministically keeps first arrival
+    if (docs.isStreaming)
+      collided.dropDuplicatesWithinWatermark("doc_id")
+        .select(col("doc_id"), col("ts"))
+    else
+      collided.groupBy(col("doc_id")).agg(min(col("ts")).as("ts"))
+        .select(col("doc_id"), col("ts"))
   }
 
   /** One event for the typed stateful path. */

@@ -75,6 +75,12 @@ class ReportSinkSpec extends SparkSpec {
       val off = l.take(10).toInt
       pdf.substring(off, off + s"${i + 1} 0 obj".length) shouldBe s"${i + 1} 0 obj"
     }
+    // every /Length declares exactly the bytes between "stream\n" and
+    // "\nendstream" — the EOL before endstream is outside the data
+    val streamRe = "(?s)<< /Length (\\d+) >>\\nstream\\n(.*?)\\nendstream".r
+    val streams = streamRe.findAllMatchIn(pdf).toSeq
+    streams should not be empty
+    streams.foreach(m => m.group(2).length shouldBe m.group(1).toInt)
     // 30 rows at 24/page -> 2 pages, header band drawn on each
     pdf should include("/Count 2")
     "0\\.29 0\\.29 0\\.54 rg".r.findAllIn(pdf).size shouldBe 2

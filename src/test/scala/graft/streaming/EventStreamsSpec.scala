@@ -90,6 +90,18 @@ class EventStreamsSpec extends SparkSpec {
     new java.io.File(stateDir).listFiles().count(_.getName.startsWith("v")) should be >= 2
   }
 
+  test("incremental merge refuses to resume over existing state without a checkpoint") {
+    implicit val sqlCtx = spark.sqlContext
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_merge_guard").toString
+    EventStreams.mergeBatch(batchEvents.limit(5).toDF(), 0L, stateDir)
+    val stream = MemoryStream[EventStreams.Event]
+    // a fresh query would renumber batches from 0; the v0 short-circuit
+    // would then silently drop the new data — rejected up front
+    an[IllegalArgumentException] should be thrownBy
+      EventStreams.startIncrementalMerge(stream.toDF(), stateDir)
+  }
+
   test("incremental merge replay is idempotent and rebuilds over torn writes") {
     val stateDir = java.nio.file.Files
       .createTempDirectory("graft_merge_replay").toString
