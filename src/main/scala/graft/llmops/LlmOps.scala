@@ -273,11 +273,30 @@ object LlmOps {
   private val minhashBands = 8
   private val minhashRows = minhashK / minhashBands
 
-  /** MinHash signature columns h0..h15: min over shingles of a seeded
-    * 64-bit hash. Seeding via a literal prefix column to xxhash64 gives k
-    * independent hash families without custom expressions. */
+  /** The j-th MinHash hash family, ENGINE-NEUTRAL so the whole LSH
+    * pipeline is oracle-pairable: 32-bit integers carved out of
+    * md5("<j/4>:" || shingle) — four 8-hex-char chunks per digest, so 16
+    * families cost 4 md5 calls per shingle row (not 16). 32 bits is the
+    * classic MinHash register width: the estimator needs a near-uniform
+    * permutation, not collision-free 64-bit hashing. The DuckDB mirror is
+    * CAST(('0x' || substr(md5(...), off, 8)) AS BIGINT) — same digest,
+    * same chunk, same value. */
+  private def mhHash(j: Int): Column = {
+    val group = j / 4
+    val off = 1 + 8 * (j % 4)
+    conv(substring(md5(concat_ws(":", lit(group.toString), col("s"))), off, 8),
+      16, 10).cast("long")
+  }
+  private def mhHashSql(j: Int): String = {
+    val group = j / 4
+    val off = 1 + 8 * (j % 4)
+    s"CAST(('0x' || substr(md5('$group:' || s), $off, 8)) AS BIGINT)"
+  }
+
+  /** MinHash signature columns h0..h15: min over the doc's shingles of
+    * each [[mhHash]] family. */
   private def minhashSignatures(sh: DataFrame): DataFrame = {
-    val aggs = (0 until minhashK).map(j => min(xxhash64(lit(j), col("s"))).as(s"h$j"))
+    val aggs = (0 until minhashK).map(j => min(mhHash(j)).as(s"h$j"))
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -306,16 +325,65 @@ object LlmOps {
       .select(keep :+ posexplode(array(bandCols: _*)).as(Seq("band", "bh")): _*)
   }
 
+  /** The full MinHash-LSH pipeline as ANSI SQL over the same md5-derived
+    * hash families — generated, not hand-written, so the seed/band
+    * constants can never drift from the Spark plan. The banded frame is
+    * an 8-way UNION ALL (SQL's spelling of the posexplode); the bucket
+    * join keys on the RAW per-band signature rows, which is injective
+    * where a compacted band hash would not be. */
+  private def minhashOracleSql: String = {
+    val sigCols = (0 until minhashK)
+      .map(j => s"min(${mhHashSql(j)}) AS h$j").mkString(",\n               ")
+    val bandSelects = (0 until minhashBands).map { b =>
+      val rows = (0 until minhashRows)
+        .map(r => s"h${minhashRows * b + r} AS r$r").mkString(", ")
+      s"SELECT doc_id, $b AS band, $rows FROM sig"
+    }.mkString("\n        UNION ALL ")
+    val rowEq = (0 until minhashRows).map(r => s"a.r$r = b.r$r").mkString(" AND ")
+    val matches = (0 until minhashK)
+      .map(j => s"(CASE WHEN sa.h$j = sb.h$j THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""
+      WITH toksrc AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE len(string_split(text, ' ')) >= 3),
+      idx AS (
+        SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toksrc),
+      sh0 AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM idx),
+      rare AS (
+        SELECT s FROM sh0 GROUP BY s HAVING count(*) <= $jaccardMaxDf),
+      sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN rare USING (s)),
+      sig AS (
+        SELECT doc_id, $sigCols
+        FROM sh GROUP BY doc_id),
+      banded AS (
+        $bandSelects),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND $rowEq AND a.doc_id < b.doc_id)
+      SELECT c.da, c.db,
+             ($matches) / $minhashK.0 AS est_jaccard
+      FROM cand c
+      JOIN sig sa ON c.da = sa.doc_id
+      JOIN sig sb ON c.db = sb.doc_id
+      WHERE ($matches) / $minhashK.0 >= 0.5
+      ORDER BY da, db"""
+  }
+
   /** MinHash + LSH banding near-dup candidates (the 100 TB-scale path for
-    * E2): signature -> band hashes -> bucket join on (band, hash) ->
-    * candidate pairs with estimated Jaccard = matching-minhash fraction.
-    * Never materializes all pairs; the shuffle key is the band bucket.
-    * No SQL oracle (xxhash64 is Spark-specific); the exact-Jaccard twin
-    * above is the semantic cross-check, covered in LlmOpsSpec. */
+    * E2): signature -> per-band buckets -> bucket join -> candidate pairs
+    * with estimated Jaccard = matching-minhash fraction. Never
+    * materializes all pairs; the shuffle key is the band bucket. ORACLE-
+    * PAIRED since round 8: the hash families are engine-neutral md5
+    * chunks ([[mhHash]]), the banding is seeded and partition-invariant,
+    * so the candidate set AND the estimates are deterministic and DuckDB
+    * reproduces them exactly ([[minhashOracleSql]]). LlmOpsSpec keeps the
+    * independent recall check against the exact-Jaccard twin. */
   private val e2MinHash = GraftQuery(
     "llm_e2_minhash_lsh_candidates",
-    "MinHash(16) + 8-band LSH bucket join, estimated Jaccard (E2, approx)",
-    None,
+    "MinHash(16) + 8-band LSH bucket join, estimated Jaccard (E2)",
+    Some(minhashOracleSql),
     (s, dir) => memoized(s, dir, "minhash_candidates") {
       // df-capped shingles (shared, memoized index — same jaccardMaxDf cap
       // as the exact-Jaccard twin, so the spec's recall check compares like
@@ -324,14 +392,21 @@ object LlmOps {
       // persist it or each branch re-runs the signature agg (a measured
       // 1.2s -> 16.2s regression when this was left lazy).
       val sig = minhashSignatures(cappedShingleIndex(s, dir)).persist()
-      val bandCols = (0 until minhashBands).map { b =>
-        xxhash64((minhashRows * b until minhashRows * (b + 1)).map(j => col(s"h$j")): _*)
+      // bucket key = (band, raw signature rows): injective on the band's
+      // registers, so Spark and the oracle agree pair-for-pair (a band
+      // HASH would admit engine-local spurious collisions)
+      val bandStructs = (0 until minhashBands).map { b =>
+        struct(lit(b).as("band") +: (0 until minhashRows).map(r =>
+          col(s"h${minhashRows * b + r}").as(s"r$r")): _*)
       }
-      val banded = sig.select(col("doc_id"),
-        posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
+      val banded = sig
+        .select(col("doc_id"), explode(array(bandStructs: _*)).as("e"))
+        .select(col("doc_id"), col("e.*"))
+      val rowEq = (0 until minhashRows)
+        .map(r => col(s"a.r$r") === col(s"b.r$r")).reduce(_ && _)
       val cand = banded.as("a")
         .join(banded.as("b"),
-          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.band") === col("b.band") && rowEq &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
         .distinct()
@@ -526,6 +601,54 @@ object LlmOps {
         .orderBy("doc_id")
     })
 
+
+  /** LEAKAGE-SAFE corpus split: the train/val/test coin is flipped on
+    * the CLUSTER CANONICAL's content hash, not the doc's own — so every
+    * member of a near-dup cluster (exact dups AND Jaccard >= 0.5
+    * near-dups) lands in the same split by construction. A plain
+    * content-hash split ([[e4Split]]) only co-locates exact duplicates;
+    * a near-copy of a training doc falling into test is precisely the
+    * contamination eval suites get burned by. One extra broadcast-sized
+    * join against the memo-shared label frame on top of the split scan;
+    * `n_clusters` counts unique clusters per split as the audit that no
+    * cluster straddles (sum over splits == total clusters). */
+  private val e2ClusterSafeSplit = GraftQuery(
+    "llm_e2_cluster_safe_split",
+    "train/val/test split keyed on dedup-cluster canonical hash — near-dups never straddle splits (E2)",
+    Some(s"""$clusterLabelsCte,
+      b AS (
+        SELECT l.doc_id, l.cluster_id,
+               CAST(('0x' || substr(md5(c.text), 1, 8)) AS BIGINT) % 100 AS bucket
+        FROM labels l JOIN documents c ON l.cluster_id = c.doc_id),
+      sp AS (
+        SELECT b.doc_id, b.cluster_id,
+               CASE WHEN bucket < 90 THEN 'train'
+                    WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+        FROM b)
+      SELECT sp.split,
+             count(*) AS n_docs,
+             count(DISTINCT sp.cluster_id) AS n_clusters,
+             CAST(SUM(d.n_chars) AS BIGINT) AS total_chars
+      FROM sp JOIN documents d USING (doc_id)
+      GROUP BY sp.split
+      ORDER BY sp.split"""),
+    (s, dir) => {
+      val canonBucket = docs(s, dir)
+        .select(col("doc_id").as("cluster_id"),
+          (conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long") % 100)
+            .as("bucket"))
+      dedupClusters(s, dir)
+        .join(canonBucket, Seq("cluster_id"))
+        .withColumn("split",
+          when(col("bucket") < 90, "train")
+            .when(col("bucket") < 95, "val").otherwise("test"))
+        .join(docs(s, dir).select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster_id")).as("n_clusters"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy("split")
+    })
 
   // domain-mixing weights: target sampling rate per language domain.
   // Chosen so thresholds weight * 2^32 are exact integers (the coin
@@ -1792,7 +1915,7 @@ object LlmOps {
 
   def queries: Seq[GraftQuery] = Seq(
     e1, e1Stats, e1Incremental, e2Jaccard, e2MinHash, e2SimHash, e2EmbedCosine, e2Clusters,
-    e2DedupApply, e2Decontam, e2RepeatedSpans, e2SpanCut, e3TopK, e3Ann, e3Ivf, e3EvalNN, e3KnnClassify, e3Centroids,
+    e2DedupApply, e2ClusterSafeSplit, e2Decontam, e2RepeatedSpans, e2SpanCut, e3TopK, e3Ann, e3Ivf, e3EvalNN, e3KnnClassify, e3Centroids,
     e4Terms, e4Quality,
     e4LangId, e4Fingerprint, e4Rolling, e4Repetition, e4Chunk, e4Mix, e4Scrub,
     e4Surprisal, e4Split, e4Pack, e4PackEff, e4Cascade, e4Novelty)

@@ -3,11 +3,13 @@ package graft.llmops
 import graft.{Registry, SparkSpec}
 import org.apache.spark.sql.functions._
 
-/** Semantic cross-checks for the approximate llmops queries — the three
-  * with no DuckDB oracle (MinHash LSH, SimHash, hyperplane-LSH ANN) are
-  * validated here against their exact twins on sf0.001. All approximate
-  * paths are deterministic (fixed hash functions / fixed seed), so these
-  * are stable assertions, not flaky statistical ones. */
+/** Semantic cross-checks for the approximate llmops queries — the ones
+  * with no DuckDB oracle (SimHash, hyperplane-LSH ANN) are validated
+  * here against their exact twins on sf0.001, and MinHash LSH (oracle-
+  * paired since round 8 via md5-derived hash families) keeps its
+  * independent recall check. All approximate paths are deterministic
+  * (fixed hash functions / fixed seed), so these are stable assertions,
+  * not flaky statistical ones. */
 class LlmOpsSpec extends SparkSpec {
   import spark.implicits._
 
