@@ -305,18 +305,63 @@ object ProductQuant {
     array_min(array(cands: _*)).getField("cell")
   }
 
-  /** The combined IVF-PQ index: (vec_id, cell, packed PQ code) — one
-    * INT + one BIGINT per vector. Memoized; the PQ codes are THE SAME
-    * frame the flat ADC scan and the dedup audit use (direct-coding
-    * IVF-PQ — residual coding would need per-cell codebooks and forfeit
-    * that sharing; at 16 cells the recall difference is marginal). */
+  /** RESIDUAL PQ codebooks for the IVF-PQ composition — the standard
+    * accuracy win at the same bit budget: after coarse assignment, the
+    * vector's residual (v − centroid(cell)) is what the PQ codes must
+    * represent, and residuals are concentrated near the origin where a
+    * 16-codeword subquantizer spends its codewords far better than on
+    * the raw spread-out vectors. ONE codebook set shared across cells,
+    * trained on the same bounded vec_id-sorted sample (assigned to
+    * cells and residualized driver-side — the sample is local). */
+  private def residualCodebooks(s: SparkSession, dir: String,
+      cs: Array[Array[Double]]): Array[Array[Array[Double]]] =
+    graft.SessionMemo.value(s, dir, "ivfpq_res_codebooks") {
+      val n = embeddings(s, dir)
+      val total = n.count()
+      val fraction = math.min(1.0, 16000.0 / total)
+      val sample = n.sample(withReplacement = false, fraction, seed = 11L)
+        .select(col("vec_id"), col("v")).collect()
+        .sortBy(_.getLong(0))
+        .map(_.getSeq[Double](1).toArray)
+      val residuals = sample.map { v =>
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < cs.length) {
+          var d = 0.0; var i = 0
+          while (i < v.length) { val t = v(i) - cs(c)(i); d += t * t; i += 1 }
+          if (d < bd) { bd = d; best = c }
+          c += 1
+        }
+        Array.tabulate(v.length)(i => v(i) - cs(best)(i))
+      }
+      (0 until M).map { m =>
+        lloyd(residuals.map(v => java.util.Arrays.copyOfRange(v, m * subDim, (m + 1) * subDim)))
+      }.toArray
+    }
+
+  /** The combined IVF-PQ index: (vec_id, cell, packed RESIDUAL PQ code)
+    * — one INT + one BIGINT per vector. The residual is computed in the
+    * same projection as the cell id (element_at over the centroid
+    * literals selects the assigned centroid, zip_with subtracts), so
+    * the encode is still one codegen'd map-side pass with no join and
+    * no shuffle. Memoized per (session, dir). Direct-coding note: the
+    * flat [[pqTopK]] scan and the dedup audit keep their own shared
+    * raw-vector code frame ([[codeIndex]]); the residual index is a
+    * separate frame because its codes live in residual space. */
   private[llmops] def ivfPqIndex(s: SparkSession, dir: String)
       : (DataFrame, Array[Array[Double]], Array[Array[Array[Double]]]) = {
     val cs = ivfCentroids(s, dir)
-    val (codes, cb) = codeIndex(s, dir)
+    val cb = residualCodebooks(s, dir, cs)
     val indexed = graft.SessionMemo.materialized(s, dir, "ivfpq_index") {
-      embeddings(s, dir).select(col("vec_id"), cellOf(cs, col("v")).as("cell"))
-        .join(codes, "vec_id")
+      val centroidLits = array(cs.map(c => array(c.map(lit): _*)): _*)
+      val withCell = embeddings(s, dir)
+        .withColumn("cell", cellOf(cs, col("v")))
+        .withColumn("r",
+          zip_with(col("v"), element_at(centroidLits, col("cell") + 1),
+            (a, b) => a - b))
+      val packed = (0 until M).map { m =>
+        shiftleft(codeOf(cb(m), slice(col("r"), m * subDim + 1, subDim)).cast("long"), 4 * m)
+      }.reduce(_ + _)
+      withCell.select(col("vec_id"), col("cell"), packed.as("code"))
     }
     (indexed, cs, cb)
   }
@@ -325,12 +370,13 @@ object ProductQuant {
     * filter prunes the corpus to each query's `ivfProbes` nearest cells
     * (~probes/cells of the data), and the PQ ADC scan then reads ONLY
     * those cells' compressed codes; exact re-rank on the shortlist as
-    * in [[pqTopK]]. Probe-cell selection is pure driver arithmetic over
-    * the memoized centroids and query vectors (no job); the per-query
-    * probe list rides into the plan as an array literal inside a
-    * filter() higher-order function, so non-probed rows generate ZERO
-    * exploded candidates — the fan-out is (probed fraction) × queries,
-    * not queries × corpus.
+    * in [[pqTopK]], with RESIDUAL codes ([[residualCodebooks]]) and
+    * per-(query, probe-cell) ADC LUTs. Probe-cell selection and the
+    * LUTs are pure driver arithmetic over the memoized centroids and
+    * query vectors (no job); each (query, cell) struct rides into the
+    * plan inside a filter() higher-order function keyed on its cell id,
+    * so non-probed rows generate ZERO exploded candidates — the fan-out
+    * is (probed fraction) × queries, not queries × corpus.
     *
     * At 100 TB: a billion-vector index is 4 GB of codes + 12 B of cell
     * ids per vector; a query touches probes/cells ≈ 25% of it here, and
@@ -357,28 +403,34 @@ object ProductQuant {
           while (j < qv.length) { val t = qv(j) - c(j); d += t * t; j += 1 }
           (d, i)
         }.sortBy(_._1).take(ivfProbes).map(_._2).toSeq
-      val perQuery = qVecs.map { case (qid, qv) =>
-        val adc = (0 until M).map { m =>
-          val lut = cb(m).map { cw =>
-            var d = 0.0; var i = 0
-            while (i < subDim) { val t = qv(m * subDim + i) - cw(i); d += t * t; i += 1 }
-            d
-          }
-          element_at(array(lut.map(lit): _*),
-            shiftright(col("code"), 4 * m).bitwiseAND(lit(15L)).cast("int") + 1)
-        }.reduce(_ + _)
-        struct(lit(qid).as("q_id"),
-          array(nearestCells(qv).map(lit): _*).as("probes"),
-          adc.as("adc"))
+      // residual coding makes the ADC LUT per-(query, probe cell): the
+      // query's residual against EACH probed centroid gets its own
+      // 8×16 table (FAISS's IVFPQ search shape). 10 queries × 4 probes
+      // of driver arithmetic; each (query, cell) struct carries its
+      // cell id, so the HOF filter below doubles as the probe match.
+      val perQuery = qVecs.flatMap { case (qid, qv) =>
+        nearestCells(qv).map { cell =>
+          val rq = Array.tabulate(qv.length)(i => qv(i) - cs(cell)(i))
+          val adc = (0 until M).map { m =>
+            val lut = cb(m).map { cw =>
+              var d = 0.0; var i = 0
+              while (i < subDim) { val t = rq(m * subDim + i) - cw(i); d += t * t; i += 1 }
+              d
+            }
+            element_at(array(lut.map(lit): _*),
+              shiftright(col("code"), 4 * m).bitwiseAND(lit(15L)).cast("int") + 1)
+          }.reduce(_ + _)
+          struct(lit(qid).as("q_id"), lit(cell).as("pcell"), adc.as("adc"))
+        }
       }
       val wAdc = Window.partitionBy(col("q_id"))
         .orderBy(col("approx_d2"), col("neighbor_id"))
       val short = indexed
-        // HOF filter BEFORE explode: a row fans out only to the queries
-        // actually probing its cell
+        // HOF filter BEFORE explode: a row fans out only to the
+        // (query, probe) structs whose cell matches the row's cell
         .select(col("vec_id"),
           explode(filter(array(perQuery: _*),
-            x => array_contains(x.getField("probes"), col("cell")))).as("s"))
+            x => x.getField("pcell") === col("cell"))).as("s"))
         .select(col("s.q_id").as("q_id"), col("vec_id").as("neighbor_id"),
           round(col("s.adc"), 4).as("approx_d2"))
         .filter(col("neighbor_id") =!= col("q_id"))
