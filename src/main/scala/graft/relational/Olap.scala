@@ -8,12 +8,13 @@ import org.apache.spark.sql.types.DecimalType
 /** OLAP shapes beyond the ROLLUP/CUBE/GROUPING SETS trio already in
   * [[Relational]]/[[Advanced]] (extension family E6, continued): the
   * native pivot operator with pinned values, deterministic rate-based
-  * stratified sampling, and an order-insensitive table checksum — the
-  * reshaping, sampling, and validation ops a warehouse pipeline leans
-  * on.
+  * stratified sampling, and the VALIDATION suite — order-insensitive
+  * table checksum, its merkle-style per-bucket drilldown, and a
+  * Deequ-style declarative constraint audit — the reshaping, sampling,
+  * and publish-gate ops a warehouse pipeline leans on.
   *
-  * All three keep the repo's exactness discipline: decimal-cast money
-  * sums, hash-derived (never RNG) sampling coins, and canonical string
+  * All keep the repo's exactness discipline: decimal-cast money sums,
+  * hash-derived (never RNG) sampling coins, and canonical string
   * renderings inside checksums, so every query is oracle-paired.
   */
 object Olap {
@@ -123,33 +124,158 @@ object Olap {
     * is RENDERED AS A STRING: wide-decimal digits compare identically
     * everywhere, while the underlying DECIMAL(38,0)/HUGEINT physical
     * representations do not hash identically across engines. */
-  private val qTableFingerprint = GraftQuery(
-    "q_table_fingerprint",
-    "order-insensitive per-group md5 checksum of lineitem (validation op)",
-    Some("""
-      SELECT l_returnflag, COUNT(*) AS n_rows,
-        CAST(SUM(CAST(CAST(('0x' || substr(md5(
+  private def liRowHash = {
+    val canonical = concat_ws("|",
+      col("l_orderkey"), col("l_linenumber"), col("l_linestatus"),
+      money("l_extendedprice").cast("string"),
+      col("l_shipdate").cast("date").cast("string"))
+    conv(substring(md5(canonical), 1, 15), 16, 10).cast(DecimalType(38, 0))
+  }
+  private val liRowHashSql = """CAST(CAST(('0x' || substr(md5(
               concat_ws('|', l_orderkey, l_linenumber, l_linestatus,
                 CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR),
                 CAST(CAST(l_shipdate AS DATE) AS VARCHAR))),
-            1, 15)) AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR) AS checksum
+            1, 15)) AS BIGINT) AS DECIMAL(38,0))"""
+
+  private val qTableFingerprint = GraftQuery(
+    "q_table_fingerprint",
+    "order-insensitive per-group md5 checksum of lineitem (validation op)",
+    Some(s"""
+      SELECT l_returnflag, COUNT(*) AS n_rows,
+        CAST(SUM($liRowHashSql) AS VARCHAR) AS checksum
       FROM lineitem
       GROUP BY l_returnflag
       ORDER BY l_returnflag"""),
-    (s, dir) => {
-      val canonical = concat_ws("|",
-        col("l_orderkey"), col("l_linenumber"), col("l_linestatus"),
-        money("l_extendedprice").cast("string"),
-        col("l_shipdate").cast("date").cast("string"))
-      val rowHash = conv(substring(md5(canonical), 1, 15), 16, 10)
-        .cast(DecimalType(38, 0))
+    (s, dir) =>
       T(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_rows"),
-          sum(rowHash).cast("string").as("checksum"))
-        .orderBy("l_returnflag")
+          sum(liRowHash).cast("string").as("checksum"))
+        .orderBy("l_returnflag"))
+
+  /** Fingerprint DRILLDOWN — the merkle-style second step of the copy
+    * validation: when the table-level checksums disagree, both sides
+    * re-aggregate the SAME row hashes into 256 key-range buckets
+    * (l_orderkey % 256) and diff the bucket lists to locate which
+    * shard(s) actually diverged — turning "100 TB differs somewhere"
+    * into "re-copy these buckets" without ever comparing rows. Same
+    * one-scan commutative-sum shape as the table fingerprint; the
+    * bucket count is a constant, so the audit output stays tiny no
+    * matter the data scale, and the bucket key is derived from the
+    * natural key so both engines bucket identically. */
+  private val qFingerprintDrilldown = GraftQuery(
+    "q_fingerprint_drilldown",
+    "per-bucket md5 checksums (merkle drilldown of q_table_fingerprint) (validation op)",
+    Some(s"""
+      SELECT l_orderkey % 256 AS bucket, COUNT(*) AS n_rows,
+        CAST(SUM($liRowHashSql) AS VARCHAR) AS checksum
+      FROM lineitem
+      GROUP BY l_orderkey % 256
+      ORDER BY bucket"""),
+    (s, dir) =>
+      T(s, dir, "lineitem")
+        .groupBy((col("l_orderkey") % 256).as("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(liRowHash).cast("string").as("checksum"))
+        .orderBy("bucket"))
+
+  /** Declarative data-quality CONSTRAINT AUDIT (the Deequ-style
+    * verification pass a pipeline runs before publishing a dataset):
+    * completeness, range, domain-membership, and uniqueness constraints
+    * are all computed in ONE aggregate scan per table (conditional
+    * counts share the pass — adding a constraint costs an expression,
+    * not a scan), referential integrity as orphan-counting left-anti
+    * joins, and the result is one (constraint, checked, violations,
+    * pass) row per rule. At 100 TB the scan cost is the table read the
+    * publish already pays; the audit output is constraint-count-sized.
+    * Violation counts are honest — a failing rule reports its count
+    * rather than aborting the audit. */
+  private val qConstraintAudit = GraftQuery(
+    "q_constraint_audit",
+    "single-pass data-quality constraint verification with per-rule violation counts (validation op)",
+    Some("""
+      WITH li AS (
+        SELECT COUNT(*) AS n,
+          COUNT(*) FILTER (WHERE l_shipdate IS NULL) AS v_null_ship,
+          COUNT(*) FILTER (WHERE l_quantity NOT BETWEEN 1 AND 50) AS v_qty,
+          COUNT(*) FILTER (WHERE l_returnflag NOT IN ('A','N','R')) AS v_flag,
+          COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS v_uniq,
+          COUNT(*) FILTER (WHERE l_extendedprice < 0) AS v_price
+        FROM lineitem),
+      ord AS (
+        SELECT COUNT(*) AS n,
+          COUNT(*) FILTER (WHERE o_totalprice <= 0) AS v_price,
+          COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('F','O','P')) AS v_status
+        FROM orders),
+      fk_li AS (
+        SELECT (SELECT COUNT(*) FROM lineitem) AS n, COUNT(*) AS v
+        FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderkey IS NULL),
+      fk_ord AS (
+        SELECT (SELECT COUNT(*) FROM orders) AS n, COUNT(*) AS v
+        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_custkey IS NULL)
+      SELECT * FROM (
+        SELECT 'lineitem.l_shipdate IS NOT NULL' AS constraint_name,
+               n AS n_checked, v_null_ship AS n_violations, v_null_ship = 0 AS pass FROM li
+        UNION ALL SELECT 'lineitem.l_quantity BETWEEN 1 AND 50', n, v_qty, v_qty = 0 FROM li
+        UNION ALL SELECT 'lineitem.l_returnflag IN (A,N,R)', n, v_flag, v_flag = 0 FROM li
+        UNION ALL SELECT 'lineitem.(l_orderkey,l_linenumber) UNIQUE', n, v_uniq, v_uniq = 0 FROM li
+        UNION ALL SELECT 'lineitem.l_extendedprice >= 0', n, v_price, v_price = 0 FROM li
+        UNION ALL SELECT 'orders.o_totalprice > 0', n, v_price, v_price = 0 FROM ord
+        UNION ALL SELECT 'orders.o_orderstatus IN (F,O,P)', n, v_status, v_status = 0 FROM ord
+        UNION ALL SELECT 'lineitem.l_orderkey REFERENCES orders', n, v, v = 0 FROM fk_li
+        UNION ALL SELECT 'orders.o_custkey REFERENCES customer', n, v, v = 0 FROM fk_ord)
+      ORDER BY constraint_name"""),
+    (s, dir) => {
+      val li = T(s, dir, "lineitem")
+      val ord = T(s, dir, "orders")
+      def rows(src: org.apache.spark.sql.DataFrame,
+          specs: Seq[(String, org.apache.spark.sql.Column)]) = {
+        val agg = src.agg(count(lit(1)).as("n"),
+          specs.map { case (nm, c) => c.as(nm) }: _*)
+        // constraint names contain dots — backtick the refs so Spark
+        // does not parse them as struct-field paths
+        agg.select(explode(array(specs.map { case (nm, _) =>
+          struct(lit(nm).as("constraint_name"), col("n").as("n_checked"),
+            col(s"`$nm`").cast("long").as("n_violations"),
+            (col(s"`$nm`") === 0).as("pass"))
+        }: _*)).as("r")).select(col("r.*"))
+      }
+      val liRows = rows(li, Seq(
+        "lineitem.l_shipdate IS NOT NULL" ->
+          count(when(col("l_shipdate").isNull, 1)),
+        "lineitem.l_quantity BETWEEN 1 AND 50" ->
+          count(when(!col("l_quantity").between(1, 50), 1)),
+        "lineitem.l_returnflag IN (A,N,R)" ->
+          count(when(!col("l_returnflag").isin("A", "N", "R"), 1)),
+        "lineitem.(l_orderkey,l_linenumber) UNIQUE" ->
+          (count(lit(1)) - countDistinct(col("l_orderkey"), col("l_linenumber"))),
+        "lineitem.l_extendedprice >= 0" ->
+          count(when(col("l_extendedprice") < 0, 1))))
+      val ordRows = rows(ord, Seq(
+        "orders.o_totalprice > 0" ->
+          count(when(col("o_totalprice") <= 0, 1)),
+        "orders.o_orderstatus IN (F,O,P)" ->
+          count(when(!col("o_orderstatus").isin("F", "O", "P"), 1))))
+      def fkRow(nm: String, child: org.apache.spark.sql.DataFrame, key: String,
+          parent: org.apache.spark.sql.DataFrame, pkey: String) = {
+        val orphans = child.join(parent.select(col(pkey)),
+            col(key) === col(pkey), "left_anti")
+          .agg(count(lit(1)).cast("long").as("n_violations"))
+        child.agg(count(lit(1)).as("n_checked")).crossJoin(broadcast(orphans))
+          .select(lit(nm).as("constraint_name"), col("n_checked"),
+            col("n_violations"), (col("n_violations") === 0).as("pass"))
+      }
+      liRows.unionByName(ordRows)
+        .unionByName(fkRow("lineitem.l_orderkey REFERENCES orders",
+          li, "l_orderkey", ord, "o_orderkey"))
+        .unionByName(fkRow("orders.o_custkey REFERENCES customer",
+          ord, "o_custkey", T(s, dir, "customer"), "c_custkey"))
+        .orderBy("constraint_name")
     })
 
   def queries: Seq[GraftQuery] =
-    Seq(qPivotNative, qStratifiedSample, qTableFingerprint)
+    Seq(qPivotNative, qStratifiedSample, qTableFingerprint,
+      qFingerprintDrilldown, qConstraintAudit)
 }

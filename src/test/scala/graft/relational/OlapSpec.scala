@@ -91,4 +91,34 @@ class OlapSpec extends SparkSpec {
     // identically across engines; see the RegistrySchemaSpec guard)
     BigDecimal(one.find(_.getString(0) == "A").get.getString(2)) shouldBe whole
   }
+
+  test("fingerprint drilldown buckets reaggregate to the table totals") {
+    // the merkle property: buckets and returnflag groups are two
+    // partitions of the SAME row-hash multiset, so their row counts and
+    // checksum sums must agree exactly — that is what lets a validator
+    // descend from "table differs" to "these buckets differ"
+    val buckets = run("q_fingerprint_drilldown").collect()
+    val groups = run("q_table_fingerprint").collect()
+    buckets.map(_.getAs[Long]("n_rows")).sum shouldBe
+      groups.map(_.getAs[Long]("n_rows")).sum
+    buckets.map(r => BigInt(r.getString(2))).sum shouldBe
+      groups.map(r => BigInt(r.getString(2))).sum
+  }
+
+  test("constraint audit: one row per rule; structural rules hold on testdata") {
+    val rows = run("q_constraint_audit").collect()
+    rows.length shouldBe 9
+    rows.map(_.getString(0)).distinct.length shouldBe 9
+    val pass = rows.map(r => r.getString(0) -> r.getAs[Boolean]("pass")).toMap
+    // the synthetic lineitem REUSES line numbers across order lines, so
+    // the uniqueness rule honestly fails with a real violation count —
+    // exactly what an audit must surface rather than abort on
+    pass("lineitem.(l_orderkey,l_linenumber) UNIQUE") shouldBe false
+    pass("lineitem.l_orderkey REFERENCES orders") shouldBe true
+    pass("orders.o_custkey REFERENCES customer") shouldBe true
+    rows.foreach(r => r.getAs[Long]("n_checked") should be > 0L)
+    // pass <=> zero violations, on every rule
+    rows.foreach(r =>
+      r.getAs[Boolean]("pass") shouldBe (r.getAs[Long]("n_violations") == 0L))
+  }
 }
