@@ -1195,6 +1195,42 @@ object LlmOps {
     Seq.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** The LSH pipeline as generated ANSI SQL. The hyperplanes are plan
+    * literals on the Spark side, so the oracle embeds the SAME doubles
+    * as SQL literals (Double.toString round-trips exactly; DuckDB
+    * parses to the identical binary64). The dot products fold
+    * sequentially in both engines (list_reduce == the codegen'd
+    * [[graft.functions.DotProduct]]/[[graft.functions.LshBuckets]]
+    * loop), so every sign bit — and therefore every bucket id and the
+    * candidate pair set — is bit-deterministic and engine-neutral.
+    * ~20 KB of SQL per table of planes; generated, never hand-edited. */
+  private def sqlDot(vExpr: String, w: Array[Double]): String = {
+    val arr = w.map(java.lang.Double.toString).mkString("[", ", ", "]")
+    s"list_reduce(list_transform(list_zip($vExpr, $arr), p -> p[1] * p[2]), (a, b) -> a + b)"
+  }
+  private def sqlBuckets(tables: Int, bits: Int): String = {
+    val planes = (0 until tables).flatMap(t => hyperplanes(64, t, bits))
+    (0 until tables).map { t =>
+      val bucket = (0 until bits).map { b =>
+        s"(CASE WHEN ${sqlDot("v", planes(t * bits + b))} > 0 THEN ${1 << b} ELSE 0 END)"
+      }.mkString("\n               + ")
+      s"SELECT vec_id, $t AS tbl, $bucket AS bucket FROM n"
+    }.mkString("\n        UNION ALL ")
+  }
+  /** Sequential-fold dot of two vector COLUMNS in SQL (the literal-free
+    * twin of [[sqlDot]]) — same fold order as the codegen'd DotProduct. */
+  private def sqlDotCols(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), p -> p[1] * p[2]), (a, b) -> a + b)"
+
+  private val sqlNormedCte = """
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      n AS (
+        SELECT vec_id, v,
+               sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+        FROM e)"""
+
   /** (vec_id, v, nrm, tbl, bucket) — one row per vector per LSH table.
     * All tables' buckets come out of ONE codegen'd pass over the vector
     * ([[graft.functions.LshBuckets]]) and fan out via posexplode. */
@@ -1212,12 +1248,34 @@ object LlmOps {
     * vectors unioned over tables; exact cosine + top-3 within candidates.
     * The shuffle key is (table, bucket) regardless of corpus size —
     * candidate count per query is L x bucket-occupancy, never the corpus.
-    * No SQL oracle (approximate by design — bucket boundaries are
-    * hash-specific); recall vs the exact top-k is asserted in LlmOpsSpec. */
+    * ORACLE-PAIRED since round 8: the hyperplanes ride into the SQL as
+    * the same literals the plan carries ([[sqlBuckets]]), so the bucket
+    * ids, candidate set, and rounded cosines are engine-neutral; recall
+    * vs the exact top-k stays independently asserted in LlmOpsSpec. */
   private val e3Ann = GraftQuery(
     "llm_e3_ann_lsh_topk",
-    "multi-table random-hyperplane LSH ANN top-3 (E3, approx)",
-    None,
+    "multi-table random-hyperplane LSH ANN top-3 (E3)",
+    Some(s"""$sqlNormedCte,
+      bk AS (
+        ${sqlBuckets(annTables, annBits)}),
+      q AS (SELECT vec_id AS q_id, tbl AS qtbl, bucket AS qb FROM bk WHERE vec_id < 10),
+      cand AS (
+        SELECT DISTINCT q.q_id, c.vec_id AS neighbor_id
+        FROM bk c JOIN q ON c.tbl = q.qtbl AND c.bucket = q.qb AND c.vec_id <> q.q_id),
+      scored AS (
+        SELECT cd.q_id, cd.neighbor_id,
+               round(${sqlDotCols("nq.v", "nc.v")} / (nq.nrm * nc.nrm), 4) AS cosine
+        FROM cand cd
+        JOIN n nq ON cd.q_id = nq.vec_id
+        JOIN n nc ON cd.neighbor_id = nc.vec_id),
+      ranked AS (
+        SELECT q_id, neighbor_id, cosine,
+               CAST(row_number() OVER (PARTITION BY q_id
+                                       ORDER BY cosine DESC, neighbor_id) AS INT) AS rn
+        FROM scored)
+      SELECT q_id, rn, neighbor_id, cosine
+      FROM ranked WHERE rn <= 3
+      ORDER BY q_id, rn"""),
     (s, dir) => {
       val bucketed = lshBucketed(s, dir, annTables, annBits)
       val q = bucketed.filter(col("vec_id") < 10)
@@ -1249,12 +1307,28 @@ object LlmOps {
     * embeddings sit above a cosine threshold. Candidates from the same
     * multi-table hyperplane LSH as the ANN search (shuffle key =
     * (table, bucket), never all-pairs); exact cosine verifies each
-    * candidate. No SQL oracle (bucket boundaries are hash-specific);
-    * LlmOpsSpec cross-checks against brute-force cosine at sf0.001. */
+    * candidate. ORACLE-PAIRED since round 8 via literal-embedded
+    * hyperplanes ([[sqlBuckets]]); LlmOpsSpec keeps the independent
+    * brute-force cross-check at sf0.001. */
   private val e2EmbedCosine = GraftQuery(
     "llm_e2_embed_cosine_pairs",
-    "multi-table LSH candidates + exact cosine >= 0.4 near-dup pairs (E2, approx)",
-    None,
+    "multi-table LSH candidates + exact cosine >= 0.4 near-dup pairs (E2)",
+    Some(s"""$sqlNormedCte,
+      bk AS (
+        ${sqlBuckets(pairTables, pairBits)}),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS da, b.vec_id AS db
+        FROM bk a JOIN bk b
+          ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+      scored AS (
+        SELECT c.da, c.db,
+               round(${sqlDotCols("na.v", "nb.v")} / (na.nrm * nb.nrm), 4) AS cosine
+        FROM cand c
+        JOIN n na ON c.da = na.vec_id
+        JOIN n nb ON c.db = nb.vec_id)
+      SELECT da, db, cosine FROM scored
+      WHERE cosine >= 0.4
+      ORDER BY da, db"""),
     (s, dir) => {
       // candidate ids stay NARROW through the bucket join + dedup (no
       // 64-dim arrays in the shuffle); vectors re-attach only for the
