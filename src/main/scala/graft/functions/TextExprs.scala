@@ -2,19 +2,39 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
+
+/** Engine-neutral 64-bit token hash: the first 8 md5 digest bytes as a
+  * big-endian two's-complement long — exactly what
+  * `CAST('0x'||substr(md5(tok),1,8)...)` chunk assembly reproduces in
+  * ANSI SQL, which is what lets the SimHash pipeline be oracle-paired.
+  * MessageDigest instances are thread-local (they are stateful and NOT
+  * thread-safe; one per executor thread, reset per call). */
+object TextHash {
+  private val tl = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  def md5Long64(s: UTF8String): Long = {
+    val d = tl.get()
+    d.reset()
+    val bytes = d.digest(s.getBytes)
+    java.nio.ByteBuffer.wrap(bytes, 0, 8).getLong
+  }
+}
 
 /** SimHash64 over a token array in one codegen'd pass.
   *
   * Replaces the explode -> groupBy(doc, tok) -> 64-column conditional
   * aggregation formulation (a wide two-shuffle aggregate: ~64 x tokens
   * agg updates per doc). Per token occurrence each bit accumulates ±1 by
-  * the bit of xxhash64(token, seed 42 — Spark's xxhash64() default, so
-  * signatures match the composable formulation exactly); the signature
+  * the bit of the token's [[TextHash.md5Long64]] hash — md5-derived
+  * since round 8 so DuckDB computes the identical signature and the
+  * pair query is oracle-paired (xxhash64 was Spark-only); the signature
   * sets bit i iff the accumulated sum is positive. Summing ±1 per
   * OCCURRENCE equals the ±tf-per-distinct-token form. Null tokens are
   * skipped (whitespace split never produces them).
@@ -31,7 +51,7 @@ final case class SimHash64(child: Expression) extends UnaryExpression {
     while (j < n) {
       if (!arr.isNullAt(j)) {
         val s = arr.getUTF8String(j)
-        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        val h = TextHash.md5Long64(s)
         var i = 0
         while (i < 64) {
           counts(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1)
@@ -65,8 +85,7 @@ final case class SimHash64(child: Expression) extends UnaryExpression {
       |for (int $j = 0; $j < $n; $j++) {
       |  if (!$a.isNullAt($j)) {
       |    org.apache.spark.unsafe.types.UTF8String $s = $a.getUTF8String($j);
-      |    long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-      |      $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
+      |    long $h = graft.functions.TextHash.md5Long64($s);
       |    for (int $i = 0; $i < 64; $i++) {
       |      $counts[$i] += ((($h >>> $i) & 1L) == 1L) ? 1 : -1;
       |    }

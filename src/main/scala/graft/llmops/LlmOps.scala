@@ -429,16 +429,63 @@ object LlmOps {
       out
     })
 
+  /** The SimHash pipeline as ANSI SQL — 64 per-bit vote sums over the
+    * md5-derived token hash ([[graft.functions.TextHash.md5Long64]]'s
+    * exact SQL twin: signed 32-bit chunk assembly), signature packed
+    * with the sign bit spelled as the BIGINT minimum, chunk pigeonhole
+    * + bit_count(xor) verify. Generated so the bit width/chunking can
+    * never drift from the Spark expression. */
+  private def simhashOracleSql: String = {
+    val bitSums = (0 until 64)
+      .map(i => s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")
+      .mkString(",\n               ")
+    val sigBits = (0 until 64).map { i =>
+      val bit = if (i == 63) "(-9223372036854775807 - 1)" else s"${1L << i}"
+      s"(CASE WHEN b$i > 0 THEN $bit ELSE 0 END)"
+    }.mkString("\n             + ")
+    s"""
+      WITH tk AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      th AS (
+        SELECT doc_id,
+          ((c1 - CASE WHEN c1 >= 2147483648 THEN 4294967296 ELSE 0 END)
+             * 4294967296 + c2) AS h
+        FROM (
+          SELECT doc_id,
+            CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS c1,
+            CAST(('0x' || substr(md5(tok), 9, 8)) AS BIGINT) AS c2
+          FROM tk)),
+      bits AS (
+        SELECT doc_id, $bitSums
+        FROM th GROUP BY doc_id),
+      sig AS (
+        SELECT doc_id,
+          ($sigBits) AS simhash
+        FROM bits),
+      ch AS (
+        SELECT doc_id, simhash, c.chunk, (simhash >> (16 * c.chunk)) & 65535 AS cv
+        FROM sig, (VALUES (0), (1), (2), (3)) c(chunk)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+          CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        FROM ch a JOIN ch b
+          ON a.chunk = b.chunk AND a.cv = b.cv AND a.doc_id < b.doc_id)
+      SELECT da, db, hamming FROM cand
+      WHERE hamming <= 6
+      ORDER BY da, db"""
+  }
+
   /** SimHash near-dup: 64-bit signature = sign of per-bit tf-weighted
     * sums of token hashes; near-dup candidates via 16-bit chunk
     * pigeonholing (hamming <= 6 implies at least one of four 16-bit chunks
     * equal... not strictly — <=3 guarantees it; 6 is the usual recall
-    * trade-off), verified with bit_count on the XOR. No SQL oracle
-    * (xxhash64); invariants covered in LlmOpsSpec. */
+    * trade-off), verified with bit_count on the XOR. ORACLE-PAIRED since
+    * round 8: the token hash is md5-derived on both engines
+    * ([[simhashOracleSql]]); invariants stay covered in LlmOpsSpec. */
   private val e2SimHash = GraftQuery(
     "llm_e2_simhash_pairs",
-    "SimHash64 signatures + chunk-bucketed hamming<=6 pairs (E2, approx)",
-    None,
+    "SimHash64 signatures + chunk-bucketed hamming<=6 pairs (E2)",
+    Some(simhashOracleSql),
     (s, dir) => {
       // one codegen'd pass per doc (SimHash64 expression) — no explode, no
       // 64-column aggregate, no shuffle until the chunk-bucket join
