@@ -70,6 +70,61 @@ object EventStreams {
         date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("window_start"),
         col("n_events"), col("sum_value"))
 
+  /** Row-level data-quality rules for the event stream — the streaming
+    * twin of the batch `q_constraint_audit` (which verifies a published
+    * TABLE; this gates rows at INGEST). Each rule is a named Column
+    * predicate; a row's `violations` array lists every rule it fails
+    * (coalesce-to-false so a NULL predicate — e.g. a range rule over a
+    * NULL value — counts as a violation rather than silently passing). */
+  private[streaming] val eventRules: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+    "value_non_negative" -> (col("value").isNotNull && col("value") >= 0),
+    "known_event_type" ->
+      col("event_type").isin("click", "error", "purchase", "signup", "view"),
+    "user_present" -> col("user_id").isNotNull,
+    "ts_present" -> col("ts").isNotNull)
+
+  /** Append a `violations: array<string>` column naming every failed
+    * rule. Pure projection — binds identically in batch and streaming. */
+  def withViolations(df: DataFrame): DataFrame =
+    df.withColumn("violations", array_compact(array(eventRules.map {
+      case (name, cond) => when(!coalesce(cond, lit(false)), lit(name))
+    }: _*)))
+
+  /** Streaming QUALITY GATE with a dead-letter queue: every micro-batch
+    * splits into clean rows (written to `goodDir`) and violating rows
+    * (written to `quarantineDir`, one row per (row, failed rule) so the
+    * quarantine is directly aggregable by rule). Both sinks write one
+    * immutable `b<batchId>` directory per micro-batch with overwrite
+    * semantics, so a replayed batch (foreachBatch is at-least-once)
+    * rewrites its own directory instead of appending duplicates — the
+    * same replay-idempotency discipline as [[mergeBatch]]. At scale the
+    * gate is a single projection + two partition-local writes; no
+    * shuffle, no state. */
+  def startQualityGate(events: DataFrame, goodDir: String,
+      quarantineDir: String, checkpointLocation: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        gateBatch(batch.toDF(), batchId, goodDir, quarantineDir)
+      }
+    checkpointLocation.foreach(writer.option("checkpointLocation", _))
+    writer.start()
+  }
+
+  /** One micro-batch of the quality gate — package-visible so the spec
+    * can drive replays directly. */
+  private[streaming] def gateBatch(batch: DataFrame, batchId: Long,
+      goodDir: String, quarantineDir: String): Unit = {
+    val tagged = withViolations(batch)
+    tagged.filter(size(col("violations")) === 0).drop("violations")
+      .write.mode("overwrite").parquet(f"$goodDir/b$batchId%09d")
+    tagged.filter(size(col("violations")) > 0)
+      .withColumn("rule", explode(col("violations"))).drop("violations")
+      .write.mode("overwrite").parquet(f"$quarantineDir/b$batchId%09d")
+    ()
+  }
+
   /** foreachBatch incremental MERGE — the production streaming-upsert
     * sink (the streaming twin of the batch `q_merge_upsert`): each
     * micro-batch re-aggregates ONLY its own rows, full-outer-merges them

@@ -90,6 +90,56 @@ class EventStreamsSpec extends SparkSpec {
     new java.io.File(stateDir).listFiles().count(_.getName.startsWith("v")) should be >= 2
   }
 
+  test("quality gate routes violating rows to the quarantine with rule names") {
+    implicit val sqlCtx = spark.sqlContext
+    val goodDir = java.nio.file.Files.createTempDirectory("graft_gate_good").toString
+    val quarDir = java.nio.file.Files.createTempDirectory("graft_gate_quar").toString
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    // Options so NULLs survive the encoder — planted violations per rule
+    val stream = MemoryStream[(Long, Option[java.sql.Timestamp], Option[Long],
+      String, Option[Double], String)]
+    stream.addData(Seq(
+      (1L, Some(t0), Some(10L), "click", Some(1.0), "{}"),      // clean
+      (2L, Some(t0), Some(11L), "click", Some(-3.0), "{}"),     // negative value
+      (3L, Some(t0), Some(12L), "hover", Some(1.0), "{}")))     // unknown type
+    val q = EventStreams.startQualityGate(
+      stream.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+      goodDir, quarDir)
+    q.processAllAvailable()
+    // second batch queued AFTER batch 0 processes, so the replay below
+    // rewrites only batch 0's directory
+    stream.addData(Seq(
+      (4L, Some(t0), None, "view", Some(2.0), "{}"),            // null user
+      (5L, Some(t0), Some(13L), "weird", None, "{}"),           // 2 rules fail
+      (6L, Some(t0), Some(14L), "purchase", Some(9.0), "{}")))  // clean
+    q.processAllAvailable(); q.stop()
+
+    val good = spark.read.parquet(s"$goodDir/*").select($"event_id")
+      .as[Long].collect().sorted.toSeq
+    good shouldBe Seq(1L, 6L)
+    val quar = spark.read.parquet(s"$quarDir/*")
+      .select($"event_id", $"rule").as[(Long, String)].collect().toSet
+    quar shouldBe Set(
+      2L -> "value_non_negative",
+      3L -> "known_event_type",
+      4L -> "user_present",
+      5L -> "known_event_type", 5L -> "value_non_negative")
+
+    // replaying a batch rewrites its own directory — no duplicate rows
+    val replay = Seq((2L, Some(t0), Some(11L), "click", Some(-3.0), "{}"),
+      (3L, Some(t0), Some(12L), "hover", Some(1.0), "{}"),
+      (1L, Some(t0), Some(10L), "click", Some(1.0), "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    EventStreams.gateBatch(replay, 0L, goodDir, quarDir)
+    spark.read.parquet(s"$goodDir/*").count() shouldBe 2L
+    spark.read.parquet(s"$quarDir/*").count() shouldBe 5L
+
+    // the same projection binds in batch mode (stream == batch)
+    val batchTagged = EventStreams.withViolations(replay)
+    batchTagged.filter(org.apache.spark.sql.functions.size($"violations") === 0).count() shouldBe 1L
+    batchTagged.filter(org.apache.spark.sql.functions.size($"violations") > 0).count() shouldBe 2L
+  }
+
   test("incremental merge refuses to resume over existing state without a checkpoint") {
     implicit val sqlCtx = spark.sqlContext
     val stateDir = java.nio.file.Files
