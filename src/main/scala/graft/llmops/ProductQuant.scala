@@ -37,27 +37,46 @@ object ProductQuant {
   private def dot(a: Column, b: Column): Column =
     graft.functions.VectorFunctions.dot(a, b)
 
-  /** Train M k-means codebooks on a bounded corpus sample — driver-side
-    * constants (M×K×subDim = 1024 doubles). The sample is BOUNDED BY
-    * CONSTRUCTION (~16k points regardless of corpus size — codebook
-    * quality needs thousands of points, not the full 100 TB; the sampled
-    * fraction shrinks as data grows), so it is collected once and fit
-    * with a local Lloyd's loop: one Spark job total, versus 8 MLlib fits
-    * × 8 iterations of distributed jobs for the same 8 MB of data (the
+  /** The bounded training sample shared by every quantizer fit in this
+    * file (raw PQ codebooks, IVF centroids, residual PQ codebooks) —
+    * ~16k vec_id-sorted points regardless of corpus size (quantizer
+    * quality needs thousands of points, not the full 100 TB; the
+    * sampled fraction shrinks as data grows). Memoized per (session,
+    * dir) so the three fits pay ONE sample scan + collect, not three. */
+  private def trainingSample(s: SparkSession, dir: String): Array[Array[Double]] =
+    graft.SessionMemo.value(s, dir, "pq_training_sample") {
+      val n = embeddings(s, dir)
+      val total = n.count()
+      val fraction = math.min(1.0, 16000.0 / total)
+      n.sample(withReplacement = false, fraction, seed = 11L)
+        .select(col("vec_id"), col("v")).collect()
+        .sortBy(_.getLong(0))
+        .map(_.getSeq[Double](1).toArray)
+    }
+
+  /** Train M k-means codebooks on the shared bounded sample —
+    * driver-side constants (M×K×subDim = 1024 doubles), fit with a
+    * local Lloyd's loop: one Spark job total, versus 8 MLlib fits × 8
+    * iterations of distributed jobs for the same 8 MB of data (the
     * MLlib formulation measured 8s of pure scheduling overhead at
-    * sf0.1). Rows are sorted by vec_id before the fit so FP summation
+    * sf0.1). Rows are vec_id-sorted before the fit so FP summation
     * order — and therefore the codebooks — are run-deterministic. */
-  private[llmops] def trainCodebooks(n: DataFrame): Array[Array[Array[Double]]] = {
-    val total = n.count()
-    val fraction = math.min(1.0, 16000.0 / total)
-    val sample = n.sample(withReplacement = false, fraction, seed = 11L)
-      .select(col("vec_id"), col("v")).collect()
-      .sortBy(_.getLong(0))
-      .map(_.getSeq[Double](1).toArray)
+  private[llmops] def trainCodebooks(s: SparkSession, dir: String): Array[Array[Array[Double]]] =
+    fitCodebooks(trainingSample(s, dir))
+
+  /** Fit codebooks from an arbitrary (already-local) point set —
+    * package-visible so specs can train on planted corpora. */
+  private[llmops] def fitCodebooks(sample: Array[Array[Double]]): Array[Array[Array[Double]]] =
     (0 until M).map { m =>
       lloyd(sample.map(v => java.util.Arrays.copyOfRange(v, m * subDim, (m + 1) * subDim)))
     }.toArray
-  }
+
+  /** Collect + vec_id-sort an arbitrary frame into a local point set
+    * (spec fixtures are tiny by construction). */
+  private[llmops] def localPoints(n: DataFrame): Array[Array[Double]] =
+    n.select(col("vec_id"), col("v")).collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
 
   /** Seeded Lloyd's iterations: deterministic evenly-spaced init over the
     * vec_id-sorted sample, 8 refinement passes, empty cells keep their
@@ -114,7 +133,7 @@ object ProductQuant {
     * and both are released together by [[graft.SessionMemo.clear]]. */
   private[llmops] def codeIndex(s: SparkSession, dir: String): (DataFrame, Array[Array[Array[Double]]]) = {
     val cb = graft.SessionMemo.value(s, dir, "pq_codebooks") {
-      trainCodebooks(embeddings(s, dir))
+      trainCodebooks(s, dir)
     }
     val codes = graft.SessionMemo.materialized(s, dir, "pq_codes") {
       encodeWith(embeddings(s, dir), cb)
@@ -283,14 +302,7 @@ object ProductQuant {
     * memoized per (session, dir) beside them. */
   private def ivfCentroids(s: SparkSession, dir: String): Array[Array[Double]] =
     graft.SessionMemo.value(s, dir, "ivfpq_centroids") {
-      val n = embeddings(s, dir)
-      val total = n.count()
-      val fraction = math.min(1.0, 16000.0 / total)
-      val sample = n.sample(withReplacement = false, fraction, seed = 11L)
-        .select(col("vec_id"), col("v")).collect()
-        .sortBy(_.getLong(0))
-        .map(_.getSeq[Double](1).toArray)
-      lloyd(sample, k = ivfCells, dim = M * subDim)
+      lloyd(trainingSample(s, dir), k = ivfCells, dim = M * subDim)
     }
 
   /** nearest-cell id as a codegen'd projection over centroid literals —
@@ -316,13 +328,7 @@ object ProductQuant {
   private def residualCodebooks(s: SparkSession, dir: String,
       cs: Array[Array[Double]]): Array[Array[Array[Double]]] =
     graft.SessionMemo.value(s, dir, "ivfpq_res_codebooks") {
-      val n = embeddings(s, dir)
-      val total = n.count()
-      val fraction = math.min(1.0, 16000.0 / total)
-      val sample = n.sample(withReplacement = false, fraction, seed = 11L)
-        .select(col("vec_id"), col("v")).collect()
-        .sortBy(_.getLong(0))
-        .map(_.getSeq[Double](1).toArray)
+      val sample = trainingSample(s, dir)
       val residuals = sample.map { v =>
         var best = 0; var bd = Double.MaxValue; var c = 0
         while (c < cs.length) {

@@ -154,7 +154,7 @@ class ProductQuantSpec extends SparkSpec {
     }
     val n = (base ++ planted).toDF("vec_id", "v")
       .select(col("vec_id"), expr("transform(v, x -> CAST(x AS DOUBLE))").as("v"))
-    val cb = ProductQuant.trainCodebooks(n)
+    val cb = ProductQuant.fitCodebooks(ProductQuant.localPoints(n))
     val codes = ProductQuant.encodeWith(n, cb)
     val pairs = ProductQuant.semanticDupPairs(n, codes, 0.9).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
