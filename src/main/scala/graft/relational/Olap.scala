@@ -275,7 +275,57 @@ object Olap {
         .orderBy("constraint_name")
     })
 
+  /** Join-key SKEW DIAGNOSIS — the pre-flight a pipeline runs before a
+    * big join to decide whether a key needs salting (the decision
+    * behind `e5_skew_salted_join`): per candidate key, the group-count
+    * distribution collapsed to key cardinality, heaviest key, mean,
+    * and the max/mean skew ratio. Each key costs one partial+final
+    * count aggregate and a constant-width re-aggregate — the output is
+    * key-column-count-sized, so diagnosing a 100 TB fact costs the
+    * same shuffles the join itself would, once, ahead of time. Mean
+    * and ratio are single deterministic double divisions (identical
+    * in both engines); counts stay integral. */
+  private val qSkewDiagnosis = GraftQuery(
+    "q_skew_diagnosis",
+    "join-key skew pre-flight: cardinality, heaviest key, max/mean ratio per key (validation op)",
+    Some("""
+      WITH k1 AS (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_suppkey),
+      k2 AS (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_orderkey),
+      k3 AS (SELECT COUNT(*) AS c FROM orders GROUP BY o_custkey)
+      SELECT * FROM (
+        SELECT 'lineitem.l_orderkey' AS key_col, COUNT(*) AS n_keys,
+               MAX(c) AS max_rows,
+               CAST(SUM(c) AS DOUBLE) / COUNT(*) AS mean_rows,
+               CAST(MAX(c) AS DOUBLE) / (CAST(SUM(c) AS DOUBLE) / COUNT(*)) AS skew_ratio
+        FROM k2
+        UNION ALL
+        SELECT 'lineitem.l_suppkey', COUNT(*), MAX(c),
+               CAST(SUM(c) AS DOUBLE) / COUNT(*),
+               CAST(MAX(c) AS DOUBLE) / (CAST(SUM(c) AS DOUBLE) / COUNT(*))
+        FROM k1
+        UNION ALL
+        SELECT 'orders.o_custkey', COUNT(*), MAX(c),
+               CAST(SUM(c) AS DOUBLE) / COUNT(*),
+               CAST(MAX(c) AS DOUBLE) / (CAST(SUM(c) AS DOUBLE) / COUNT(*))
+        FROM k3)
+      ORDER BY key_col"""),
+    (s, dir) => {
+      def diag(src: org.apache.spark.sql.DataFrame, key: String, label: String) =
+        src.groupBy(col(key)).agg(count(lit(1)).as("c"))
+          .agg(count(lit(1)).as("n_keys"), max(col("c")).as("max_rows"),
+            (sum(col("c")).cast("double") / count(lit(1))).as("mean_rows"),
+            (max(col("c")).cast("double") /
+              (sum(col("c")).cast("double") / count(lit(1)))).as("skew_ratio"))
+          .select(lit(label).as("key_col"), col("n_keys"), col("max_rows"),
+            col("mean_rows"), col("skew_ratio"))
+      val li = T(s, dir, "lineitem")
+      diag(li, "l_orderkey", "lineitem.l_orderkey")
+        .unionByName(diag(li, "l_suppkey", "lineitem.l_suppkey"))
+        .unionByName(diag(T(s, dir, "orders"), "o_custkey", "orders.o_custkey"))
+        .orderBy("key_col")
+    })
+
   def queries: Seq[GraftQuery] =
     Seq(qPivotNative, qStratifiedSample, qTableFingerprint,
-      qFingerprintDrilldown, qConstraintAudit)
+      qFingerprintDrilldown, qConstraintAudit, qSkewDiagnosis)
 }
