@@ -92,6 +92,28 @@ class OlapSpec extends SparkSpec {
     BigDecimal(one.find(_.getString(0) == "A").get.getString(2)) shouldBe whole
   }
 
+  test("fingerprint additivity holds for random 3-way splits (property)") {
+    // ANY disjoint partition of the rows must re-sum to the whole — the
+    // general merkle/shard-checksum property behind both the per-group
+    // and per-bucket queries; random hash splits probe partitions no
+    // natural key would produce
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val canonical = concat_ws("|",
+      col("l_orderkey"), col("l_linenumber"), col("l_linestatus"),
+      col("l_extendedprice").cast("decimal(18,2)").cast("string"),
+      col("l_shipdate").cast("date").cast("string"))
+    val rowHash = conv(substring(md5(canonical), 1, 15), 16, 10)
+      .cast("decimal(38,0)")
+    def checksum(df: org.apache.spark.sql.DataFrame): BigDecimal =
+      BigDecimal(df.agg(sum(rowHash)).head().getDecimal(0))
+    val whole = checksum(li)
+    (1 to 4).foreach { seed =>
+      val part = pmod(hash(col("l_orderkey"), lit(seed)), lit(3))
+      val parts = (0 until 3).map(p => checksum(li.filter(part === p)))
+      withClue(s"seed $seed parts $parts: ") { parts.sum shouldBe whole }
+    }
+  }
+
   test("fingerprint drilldown buckets reaggregate to the table totals") {
     // the merkle property: buckets and returnflag groups are two
     // partitions of the SAME row-hash multiset, so their row counts and

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.{col, size => asize}
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property test: [[EventStreams.withViolations]] agrees with a plain
+  * Scala reference implementation of the rule set on random fixtures
+  * dense in the hard cases (nulls in every nullable slot, unknown
+  * event types, boundary value 0.0). Seeded hand-rolled forAll — same
+  * pattern as AsOfJoinPropSpec. */
+object QualityGatePropSpec {
+  /** Top-level so Spark can derive an Encoder (inner classes need the
+    * defining scope at deserialization time). */
+  final case class Ev(event_id: Long, ts: Option[java.sql.Timestamp],
+      user_id: Option[Long], event_type: String, value: Option[Double],
+      props: String)
+}
+
+class QualityGatePropSpec extends SparkSpec {
+  import spark.implicits._
+  import QualityGatePropSpec.Ev
+
+  private val known = Set("click", "error", "purchase", "signup", "view")
+  private val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+
+  /** The rule set, restated independently in plain Scala. */
+  private def expected(e: Ev): Set[String] = {
+    val v = scala.collection.mutable.Set[String]()
+    if (!e.value.exists(_ >= 0)) v += "value_non_negative"
+    if (!known(e.event_type)) v += "known_event_type"
+    if (e.user_id.isEmpty) v += "user_present"
+    if (e.ts.isEmpty) v += "ts_present"
+    v.toSet
+  }
+
+  private val evGen = for {
+    ts <- Gen.option(Gen.const(t0))
+    uid <- Gen.option(Gen.choose(1L, 5L))
+    et <- Gen.oneOf("click", "view", "purchase", "hover", "weird", "")
+    value <- Gen.option(Gen.oneOf(-3.0, -0.001, 0.0, 0.5, 9.0))
+  } yield (ts, uid, et, value)
+
+  test("withViolations matches the rule-by-rule Scala reference on random fixtures") {
+    (1 to 8).foreach { round =>
+      val rows = Gen.listOfN(40, evGen)(Gen.Parameters.default, Seed(round * 77L)).get
+        .zipWithIndex.map { case ((ts, uid, et, value), i) =>
+          Ev(i.toLong, ts, uid, et, value, "{}")
+        }
+      val got = EventStreams.withViolations(rows.toDF())
+        .select(col("event_id"), col("violations"))
+        .as[(Long, Seq[String])].collect()
+        .map { case (id, v) => id -> v.toSet }.toMap
+      rows.foreach { e =>
+        withClue(s"round $round event ${e.event_id} ($e): ") {
+          got(e.event_id) shouldBe expected(e)
+        }
+      }
+      // and the good/quarantine split is a partition of the batch
+      val tagged = EventStreams.withViolations(rows.toDF())
+      val nGood = tagged.filter(asize(col("violations")) === 0).count()
+      val nBad = tagged.filter(asize(col("violations")) > 0).count()
+      nGood + nBad shouldBe rows.size.toLong
+    }
+  }
+}
