@@ -16,14 +16,18 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     // Builder-local isolate mode: `runMain graft.Bench [sfDir] [substr…]`
-    // — an arg naming an existing directory overrides SPARK_GRAFT_SF_DIR,
-    // any other arg filters queries by name substring (Verify's rule), so
-    // one query can be timed under real bench conditions (warm session,
-    // noop sink, median-of-repeats) without a full 100s pass. The
-    // driver's no-arg invocation is unchanged, and BENCH_DETAIL.json is
-    // only written for unfiltered runs so isolate runs can't clobber a
-    // recorded full bench.
-    val (dirArgs, filterArgs) = args.partition(a => new java.io.File(a).isDirectory)
+    // — an ABSOLUTE path naming an existing directory overrides
+    // SPARK_GRAFT_SF_DIR (absolute-only, so a relative filter substring
+    // that happens to collide with a cwd entry like "target" is never
+    // silently reinterpreted as a data dir), any other arg filters
+    // queries by name substring (Verify's rule), so one query can be
+    // timed under real bench conditions (warm session, noop sink,
+    // median-of-repeats) without a full 100s pass. The driver's no-arg
+    // invocation is unchanged, and BENCH_DETAIL.json is only written by
+    // the ARGLESS invocation — neither a filtered run nor an off-scale
+    // dir-only run can clobber the recorded full bench.
+    val (dirArgs, filterArgs) = args.partition(a =>
+      a.startsWith("/") && new java.io.File(a).isDirectory)
     val nameFilter: String => Boolean =
       if (filterArgs.nonEmpty) { n => filterArgs.exists(n.contains) } else _ => true
     val sfDir = dirArgs.headOption.getOrElse(
@@ -82,7 +86,7 @@ object Bench {
     // the line arrives truncated → unparseable. So: the PRINTED line carries
     // the total plus the 15 most expensive queries (3-decimal seconds), and
     // the COMPLETE per-query map goes to BENCH_DETAIL.json next to the repo.
-    if (filterArgs.isEmpty)
+    if (args.isEmpty)
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
         s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${qsJson(results)},"errors":$errJson,"n_failed":${errors.size},"repeats":$repeats,"sf":"$sfDir"}""".getBytes("UTF-8"))
     // failed-query NAMES only on the printed line (messages are in the

@@ -281,12 +281,13 @@ object LlmOps {
     * permutation, not collision-free 64-bit hashing. The DuckDB mirror is
     * CAST(('0x' || substr(md5(...), off, 8)) AS BIGINT) — same digest,
     * same chunk, same value. */
-  private def mhHash(j: Int): Column = {
+  private def mhHashOf(j: Int, shingle: Column): Column = {
     val group = j / 4
     val off = 1 + 8 * (j % 4)
-    conv(substring(md5(concat_ws(":", lit(group.toString), col("s"))), off, 8),
+    conv(substring(md5(concat_ws(":", lit(group.toString), shingle)), off, 8),
       16, 10).cast("long")
   }
+  private def mhHash(j: Int): Column = mhHashOf(j, col("s"))
   private def mhHashSql(j: Int): String = {
     val group = j / 4
     val off = 1 + 8 * (j % 4)
@@ -301,27 +302,36 @@ object LlmOps {
   }
 
   /** Per-doc MinHash LSH band keys as a PURE PROJECTION — no groupBy:
-    * each signature entry is array_min over per-seed xxhash64 of the
-    * doc's own shingle array, band keys hash consecutive signature rows
-    * (same k=16 / 8×2 banding as the batch index). Projection-only is
-    * what makes the SAME plan bind in Structured Streaming: a per-doc
-    * streaming aggregate would need a watermark and delay every flag by
-    * it, while a projection flags in the arrival micro-batch. Shingles
-    * here are UNCAPPED (a stream doc cannot know corpus dfs; the
-    * df-capped inverted index remains the batch path's optimization).
-    * Emits one row per (original row, band): `band`, `bh` appended to
-    * the input columns. Package-visible for the streaming near-dup twin
+    * each signature entry is array_min over the SAME md5-derived
+    * [[mhHashOf]] families the batch pipeline uses (aligned in round 8
+    * — the twin previously hashed with xxhash64 and would have
+    * disagreed with a batch-built band index), and the band key is the
+    * raw signature-register pair rendered as a string (injective, like
+    * the batch bucket join). Projection-only is what makes the SAME
+    * plan bind in Structured Streaming: a per-doc streaming aggregate
+    * would need a watermark and delay every flag by it, while a
+    * projection flags in the arrival micro-batch. The 16 per-shingle
+    * chunk values are computed in ONE inner array (4 md5 digests per
+    * shingle via codegen subexpression sharing), then each signature
+    * register is an array_min over one element_at pass. Shingles here
+    * are UNCAPPED (a stream doc cannot know corpus dfs; the df-capped
+    * inverted index remains the batch path's optimization). Emits one
+    * row per (original row, band): `band`, `bh` appended to the input
+    * columns. Package-visible for the streaming near-dup twin
     * (EventStreams.nearDupFlags). */
   private[graft] def minhashBandKeys(df: DataFrame, n: Int = 3): DataFrame = {
     def sig(j: Int): Column =
-      array_min(transform(col("__sh"), x => xxhash64(lit(j), x)))
+      array_min(transform(col("__hh"), a => element_at(a, j + 1)))
     val bandCols = (0 until minhashBands).map { b =>
-      xxhash64((minhashRows * b until minhashRows * (b + 1)).map(sig): _*)
+      concat_ws(",",
+        (minhashRows * b until minhashRows * (b + 1)).map(sig): _*)
     }
     val keep = df.columns.toSeq.map(col)
     df.withColumn("t", toks(col("text")))
       .filter(size(col("t")) >= n)
       .withColumn("__sh", expr(ngramExpr(n)))
+      .withColumn("__hh", transform(col("__sh"),
+        x => array((0 until minhashK).map(j => mhHashOf(j, x)): _*)))
       .select(keep :+ posexplode(array(bandCols: _*)).as(Seq("band", "bh")): _*)
   }
 
@@ -981,6 +991,19 @@ object LlmOps {
 
   private def qvDot = graft.functions.VectorFunctions.dot(col("qv"), col("v"))
 
+  /** Tie-free 4-decimal quantization: floor(x·10⁴ + 0.5) / 10⁴, spelled
+    * with the SAME double operations in both engines, so the quantized
+    * value is bit-identical by construction. `round(x, 4)` is not:
+    * Spark rounds HALF_UP over the exact BigDecimal expansion of the
+    * double while DuckDB rounds after a lossy float multiply, and a
+    * value landing within an ulp of a .00005 boundary can flip in one
+    * engine only (the repo's decimal-discipline rule; see README
+    * "Correctness model"). */
+  private def q4(c: Column): Column =
+    floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
+  private def q4Sql(e: String): String =
+    s"floor(($e) * 10000.0 + 0.5) / 10000.0"
+
   /** Exact brute-force cosine top-5 for a fixed query set (vec_id < 10):
     * the query side is broadcast (it is small BY CONSTRUCTION — a search
     * has few queries), the corpus is scanned once; per-query ranking is a
@@ -1000,8 +1023,9 @@ object LlmOps {
       q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
       scored AS (
         SELECT q.q_id, c.vec_id AS neighbor_id,
-               round(list_reduce(list_transform(list_zip(q.qv, c.v), p -> p[1] * p[2]),
-                                 (a, b) -> a + b) / (q.qn * c.nrm), 4) AS cosine
+               floor(list_reduce(list_transform(list_zip(q.qv, c.v), p -> p[1] * p[2]),
+                                 (a, b) -> a + b) / (q.qn * c.nrm)
+                     * 10000.0 + 0.5) / 10000.0 AS cosine
         FROM q CROSS JOIN n c
         WHERE c.vec_id <> q.q_id),
       ranked AS (
@@ -1018,7 +1042,7 @@ object LlmOps {
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
       val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("neighbor_id"))
       n.join(broadcast(q), col("vec_id") =!= col("q_id"))
-        .withColumn("cosine", round(qvDot / (col("qn") * col("nrm")), 4))
+        .withColumn("cosine", q4(qvDot / (col("qn") * col("nrm"))))
         .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cosine"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)
@@ -1055,8 +1079,9 @@ object LlmOps {
       tr AS (SELECT vec_id AS train_id, v, nrm FROM n WHERE vec_id % 50 <> 0),
       scored AS (
         SELECT tr.train_id, ev.eval_id,
-               round(list_reduce(list_transform(list_zip(tr.v, ev.evv), p -> p[1] * p[2]),
-                                 (a, b) -> a + b) / (tr.nrm * ev.evn), 4) AS cosine
+               floor(list_reduce(list_transform(list_zip(tr.v, ev.evv), p -> p[1] * p[2]),
+                                 (a, b) -> a + b) / (tr.nrm * ev.evn)
+                     * 10000.0 + 0.5) / 10000.0 AS cosine
         FROM tr CROSS JOIN ev),
       ranked AS (
         SELECT train_id, eval_id, cosine,
@@ -1074,8 +1099,8 @@ object LlmOps {
         .select(col("vec_id").as("train_id"), col("v"), col("nrm"))
       tr.crossJoin(broadcast(ev))
         .withColumn("cosine",
-          round(graft.functions.VectorFunctions.dot(col("v"), col("evv"))
-            / (col("nrm") * col("evn")), 4))
+          q4(graft.functions.VectorFunctions.dot(col("v"), col("evv"))
+            / (col("nrm") * col("evn"))))
         .groupBy(col("train_id"))
         .agg(max(struct(col("cosine"), (-col("eval_id")).as("neg_eval"),
           col("eval_id"))).as("best"))
@@ -1116,8 +1141,9 @@ object LlmOps {
       tr AS (SELECT vec_id AS train_id, label, v, nrm FROM n WHERE vec_id % 50 <> 0),
       scored AS (
         SELECT ev.eval_id, ev.true_label, tr.train_id, tr.label,
-               round(list_reduce(list_transform(list_zip(ev.evv, tr.v), p -> p[1] * p[2]),
-                                 (a, b) -> a + b) / (ev.evn * tr.nrm), 4) AS cosine
+               floor(list_reduce(list_transform(list_zip(ev.evv, tr.v), p -> p[1] * p[2]),
+                                 (a, b) -> a + b) / (ev.evn * tr.nrm)
+                     * 10000.0 + 0.5) / 10000.0 AS cosine
         FROM ev CROSS JOIN tr),
       top5 AS (
         SELECT * FROM (
@@ -1147,8 +1173,8 @@ object LlmOps {
       val topk = graft.functions.TopKAgg.udaf(5)
       val top5 = tr.crossJoin(broadcast(ev))
         .withColumn("cosine",
-          round(graft.functions.VectorFunctions.dot(col("evv"), col("v"))
-            / (col("evn") * col("nrm")), 4))
+          q4(graft.functions.VectorFunctions.dot(col("evv"), col("v"))
+            / (col("evn") * col("nrm"))))
         .groupBy(col("eval_id"), col("true_label"))
         .agg(topk(col("cosine"), col("train_id")).as("top"))
         .select(col("eval_id"), col("true_label"),
@@ -1311,7 +1337,7 @@ object LlmOps {
         FROM bk c JOIN q ON c.tbl = q.qtbl AND c.bucket = q.qb AND c.vec_id <> q.q_id),
       scored AS (
         SELECT cd.q_id, cd.neighbor_id,
-               round(${sqlDotCols("nq.v", "nc.v")} / (nq.nrm * nc.nrm), 4) AS cosine
+               ${q4Sql(sqlDotCols("nq.v", "nc.v") + " / (nq.nrm * nc.nrm)")} AS cosine
         FROM cand cd
         JOIN n nq ON cd.q_id = nq.vec_id
         JOIN n nc ON cd.neighbor_id = nc.vec_id),
@@ -1342,7 +1368,7 @@ object LlmOps {
         .join(broadcast(n.filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))), "q_id")
         .join(n.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm")), "neighbor_id")
-        .withColumn("cosine", round(qvDot / (col("qn") * col("nrm")), 4))
+        .withColumn("cosine", q4(qvDot / (col("qn") * col("nrm"))))
         .select(col("q_id"), col("neighbor_id"), col("cosine"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
@@ -1369,7 +1395,7 @@ object LlmOps {
           ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
       scored AS (
         SELECT c.da, c.db,
-               round(${sqlDotCols("na.v", "nb.v")} / (na.nrm * nb.nrm), 4) AS cosine
+               ${q4Sql(sqlDotCols("na.v", "nb.v") + " / (na.nrm * nb.nrm)")} AS cosine
         FROM cand c
         JOIN n na ON c.da = na.vec_id
         JOIN n nb ON c.db = nb.vec_id)
@@ -1392,7 +1418,7 @@ object LlmOps {
       cand
         .join(n.select(col("vec_id").as("da"), col("v").as("qv"), col("nrm").as("qn")), "da")
         .join(n.select(col("vec_id").as("db"), col("v"), col("nrm")), "db")
-        .withColumn("cosine", round(qvDot / (col("qn") * col("nrm")), 4))
+        .withColumn("cosine", q4(qvDot / (col("qn") * col("nrm"))))
         .filter(col("cosine") >= 0.4)
         .select(col("da"), col("db"), col("cosine"))
         .orderBy("da", "db")
@@ -1469,7 +1495,7 @@ object LlmOps {
         .join(broadcast(n.filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))), "q_id")
         .join(n.select(col("vec_id").as("neighbor_id"), col("v"), col("nrm")), "neighbor_id")
-        .withColumn("cosine", round(qvDot / (col("qn") * col("nrm")), 4))
+        .withColumn("cosine", q4(qvDot / (col("qn") * col("nrm"))))
         .select(col("q_id"), col("neighbor_id"), col("cosine"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
@@ -1747,7 +1773,7 @@ object LlmOps {
       tot AS (SELECT sum(n) AS total FROM tf)
       SELECT doc_id,
              count(*) AS n_toks,
-             round(ln(tot.total) - avg(ln(tf.n)), 4) AS avg_neg_logprob
+             floor((ln(tot.total) - avg(ln(tf.n))) * 10000.0 + 0.5) / 10000.0 AS avg_neg_logprob
       FROM tok JOIN tf USING (tk) CROSS JOIN tot
       GROUP BY doc_id, tot.total
       ORDER BY doc_id"""),
@@ -1765,7 +1791,7 @@ object LlmOps {
         .agg(count(lit(1)).as("n_toks"), avg(log(col("n"))).as("mean_ln_n"))
         .crossJoin(broadcast(tot))
         .select(col("doc_id"), col("n_toks"),
-          round(log(col("total")) - col("mean_ln_n"), 4).as("avg_neg_logprob"))
+          q4(log(col("total")) - col("mean_ln_n")).as("avg_neg_logprob"))
         .orderBy("doc_id")
     })
 

@@ -103,6 +103,19 @@ object EventStreams {
   def startQualityGate(events: DataFrame, goodDir: String,
       quarantineDir: String, checkpointLocation: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    // same resume discipline as [[startIncrementalMerge]]: without a
+    // checkpoint a fresh query renumbers batches from 0, overwriting
+    // only b0 and leaving STALE b1..bN from the previous run mixed
+    // into downstream glob reads — rejected up front
+    def hasBatchDirs(dir: String): Boolean =
+      Option(new java.io.File(dir).listFiles()).toSeq.flatten
+        .exists(f => f.isDirectory && f.getName.matches("b\\d+"))
+    require(checkpointLocation.isDefined ||
+        (!hasBatchDirs(goodDir) && !hasBatchDirs(quarantineDir)),
+      s"$goodDir / $quarantineDir already hold gated batches but no " +
+        "checkpointLocation was given: a fresh query renumbers batches from 0 " +
+        "and stale batch directories from the prior run would survive. Pass " +
+        "the original checkpoint to resume, or point at empty directories.")
     val writer = events.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>

@@ -138,6 +138,16 @@ class EventStreamsSpec extends SparkSpec {
     val batchTagged = EventStreams.withViolations(replay)
     batchTagged.filter(org.apache.spark.sql.functions.size($"violations") === 0).count() shouldBe 1L
     batchTagged.filter(org.apache.spark.sql.functions.size($"violations") > 0).count() shouldBe 2L
+
+    // restarting over existing batch dirs without a checkpoint would
+    // renumber from 0 and leave stale b1.. mixed into glob reads —
+    // rejected up front (same discipline as the incremental merge)
+    val stream2 = MemoryStream[(Long, Option[java.sql.Timestamp], Option[Long],
+      String, Option[Double], String)]
+    an[IllegalArgumentException] should be thrownBy
+      EventStreams.startQualityGate(
+        stream2.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+        goodDir, quarDir)
   }
 
   test("incremental merge refuses to resume over existing state without a checkpoint") {
