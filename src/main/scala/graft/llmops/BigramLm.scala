@@ -31,7 +31,7 @@ object BigramLm {
   private val surprisal = GraftQuery(
     "llm_e4_bigram_surprisal",
     "corpus bigram conditional-LM surprisal, vocab^2-bounded broadcast model (E4)",
-    Some("""
+    Some(s"""
       WITH t AS (
         SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       tok AS (
@@ -42,7 +42,7 @@ object BigramLm {
       c1 AS (SELECT prev, SUM(n2) AS n1 FROM c2 GROUP BY prev)
       SELECT p.doc_id,
              COUNT(*) AS n_bigrams,
-             round(avg(ln(CAST(c1.n1 AS DOUBLE)) - ln(CAST(c2.n2 AS DOUBLE))), 4)
+             ${LlmOps.q4Sql("avg(ln(CAST(c1.n1 AS DOUBLE)) - ln(CAST(c2.n2 AS DOUBLE)))")}
                AS avg_neg_logprob
       FROM pairs p
       JOIN c2 ON c2.prev = p.prev AND c2.tk = p.tk
@@ -71,7 +71,7 @@ object BigramLm {
         .groupBy(col("doc_id"))
         .agg(
           count(lit(1)).as("n_bigrams"),
-          round(avg(log(col("n1").cast("double")) - log(col("n2").cast("double"))), 4)
+          LlmOps.q4(avg(log(col("n1").cast("double")) - log(col("n2").cast("double"))))
             .as("avg_neg_logprob"))
         .orderBy(col("doc_id"))
     })

@@ -310,10 +310,13 @@ object LlmOps {
     * the batch bucket join). Projection-only is what makes the SAME
     * plan bind in Structured Streaming: a per-doc streaming aggregate
     * would need a watermark and delay every flag by it, while a
-    * projection flags in the arrival micro-batch. The 16 per-shingle
-    * chunk values are computed in ONE inner array (4 md5 digests per
-    * shingle via codegen subexpression sharing), then each signature
-    * register is an array_min over one element_at pass. Shingles here
+    * projection flags in the arrival micro-batch. The 4 distinct md5
+    * digests are computed ONCE per shingle into an inner array and the
+    * 16 chunk values carved from them by substring — HOF lambdas are
+    * interpreted (no whole-stage codegen, no subexpression
+    * elimination), so inlining mhHashOf 16× would genuinely run 16
+    * digests per shingle. Each signature register is then an array_min
+    * over one element_at pass. Shingles here
     * are UNCAPPED (a stream doc cannot know corpus dfs; the df-capped
     * inverted index remains the batch path's optimization). Emits one
     * row per (original row, band): `band`, `bh` appended to the input
@@ -330,8 +333,14 @@ object LlmOps {
     df.withColumn("t", toks(col("text")))
       .filter(size(col("t")) >= n)
       .withColumn("__sh", expr(ngramExpr(n)))
-      .withColumn("__hh", transform(col("__sh"),
-        x => array((0 until minhashK).map(j => mhHashOf(j, x)): _*)))
+      .withColumn("__dg", transform(col("__sh"),
+        x => array((0 until minhashK / 4).map(g =>
+          md5(concat_ws(":", lit(g.toString), x))): _*)))
+      .withColumn("__hh", transform(col("__dg"),
+        d => array((0 until minhashK).map { j =>
+          conv(substring(element_at(d, j / 4 + 1), 1 + 8 * (j % 4), 8), 16, 10)
+            .cast("long")
+        }: _*)))
       .select(keep :+ posexplode(array(bandCols: _*)).as(Seq("band", "bh")): _*)
   }
 
@@ -991,18 +1000,26 @@ object LlmOps {
 
   private def qvDot = graft.functions.VectorFunctions.dot(col("qv"), col("v"))
 
-  /** Tie-free 4-decimal quantization: floor(x·10⁴ + 0.5) / 10⁴, spelled
-    * with the SAME double operations in both engines, so the quantized
-    * value is bit-identical by construction. `round(x, 4)` is not:
-    * Spark rounds HALF_UP over the exact BigDecimal expansion of the
-    * double while DuckDB rounds after a lossy float multiply, and a
-    * value landing within an ulp of a .00005 boundary can flip in one
-    * engine only (the repo's decimal-discipline rule; see README
-    * "Correctness model"). */
-  private def q4(c: Column): Column =
-    floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
-  private def q4Sql(e: String): String =
-    s"floor(($e) * 10000.0 + 0.5) / 10000.0"
+  /** Tie-free 4-decimal quantization: with y = x·10⁴ + 0.5, emit
+    * (y − (y % 1)) / 10⁴ — the same `q - (q % 1.0)` exact-truncation
+    * discipline PageRank uses, spelled with the SAME double operations
+    * in both engines, so the quantized value is bit-identical by
+    * construction AND non-finite inputs propagate identically (fmod
+    * maps NaN→NaN and ±Inf→NaN in both engines; a floor() spelling
+    * would diverge — Spark's floor returns LONG, collapsing NaN to 0,
+    * while DuckDB's keeps NaN). `round(x, 4)` is also out: Spark
+    * rounds HALF_UP over the exact BigDecimal expansion of the double
+    * while DuckDB rounds after a lossy float multiply, and a value
+    * landing within an ulp of a .00005 boundary can flip in one engine
+    * only (the repo's decimal-discipline rule; see README "Correctness
+    * model"). Package-visible so every oracle-paired quantization site
+    * (incl. BigramLm) goes through ONE definition. */
+  private[llmops] def q4(c: Column): Column = {
+    val y = c * lit(10000.0) + lit(0.5)
+    (y - (y % lit(1.0))) / lit(10000.0)
+  }
+  private[llmops] def q4Sql(e: String): String =
+    s"(($e) * 10000.0 + 0.5 - ((($e) * 10000.0 + 0.5) % 1.0)) / 10000.0"
 
   /** Exact brute-force cosine top-5 for a fixed query set (vec_id < 10):
     * the query side is broadcast (it is small BY CONSTRUCTION — a search
@@ -1012,7 +1029,7 @@ object LlmOps {
   private val e3TopK = GraftQuery(
     "llm_e3_cosine_topk",
     "exact cosine top-5 per query vector, broadcast queries (E3)",
-    Some("""
+    Some(s"""
       WITH e AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings),
@@ -1023,9 +1040,7 @@ object LlmOps {
       q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
       scored AS (
         SELECT q.q_id, c.vec_id AS neighbor_id,
-               floor(list_reduce(list_transform(list_zip(q.qv, c.v), p -> p[1] * p[2]),
-                                 (a, b) -> a + b) / (q.qn * c.nrm)
-                     * 10000.0 + 0.5) / 10000.0 AS cosine
+               ${q4Sql("list_reduce(list_transform(list_zip(q.qv, c.v), p -> p[1] * p[2]), (a, b) -> a + b) / (q.qn * c.nrm)")} AS cosine
         FROM q CROSS JOIN n c
         WHERE c.vec_id <> q.q_id),
       ranked AS (
@@ -1067,7 +1082,7 @@ object LlmOps {
   private val e3EvalNN = GraftQuery(
     "llm_e3_eval_nn",
     "semantic decontamination: top-1 eval-set neighbor per training vector (E3)",
-    Some("""
+    Some(s"""
       WITH e AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings),
@@ -1079,9 +1094,7 @@ object LlmOps {
       tr AS (SELECT vec_id AS train_id, v, nrm FROM n WHERE vec_id % 50 <> 0),
       scored AS (
         SELECT tr.train_id, ev.eval_id,
-               floor(list_reduce(list_transform(list_zip(tr.v, ev.evv), p -> p[1] * p[2]),
-                                 (a, b) -> a + b) / (tr.nrm * ev.evn)
-                     * 10000.0 + 0.5) / 10000.0 AS cosine
+               ${q4Sql("list_reduce(list_transform(list_zip(tr.v, ev.evv), p -> p[1] * p[2]), (a, b) -> a + b) / (tr.nrm * ev.evn)")} AS cosine
         FROM tr CROSS JOIN ev),
       ranked AS (
         SELECT train_id, eval_id, cosine,
@@ -1128,7 +1141,7 @@ object LlmOps {
   private val e3KnnClassify = GraftQuery(
     "llm_e3_knn_classify",
     "k-NN majority-label classification of the eval split, k=5 via TopKAgg (E3)",
-    Some("""
+    Some(s"""
       WITH e AS (
         SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings),
@@ -1141,9 +1154,7 @@ object LlmOps {
       tr AS (SELECT vec_id AS train_id, label, v, nrm FROM n WHERE vec_id % 50 <> 0),
       scored AS (
         SELECT ev.eval_id, ev.true_label, tr.train_id, tr.label,
-               floor(list_reduce(list_transform(list_zip(ev.evv, tr.v), p -> p[1] * p[2]),
-                                 (a, b) -> a + b) / (ev.evn * tr.nrm)
-                     * 10000.0 + 0.5) / 10000.0 AS cosine
+               ${q4Sql("list_reduce(list_transform(list_zip(ev.evv, tr.v), p -> p[1] * p[2]), (a, b) -> a + b) / (ev.evn * tr.nrm)")} AS cosine
         FROM ev CROSS JOIN tr),
       top5 AS (
         SELECT * FROM (
@@ -1766,14 +1777,14 @@ object LlmOps {
   private val e4Surprisal = GraftQuery(
     "llm_e4_unigram_logprob",
     "corpus unigram-LM surprisal scoring, broadcast TF table (E4)",
-    Some("""
+    Some(s"""
       WITH tok AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
       tf AS (SELECT tk, count(*) AS n FROM tok GROUP BY tk),
       tot AS (SELECT sum(n) AS total FROM tf)
       SELECT doc_id,
              count(*) AS n_toks,
-             floor((ln(tot.total) - avg(ln(tf.n))) * 10000.0 + 0.5) / 10000.0 AS avg_neg_logprob
+             ${q4Sql("ln(tot.total) - avg(ln(tf.n))")} AS avg_neg_logprob
       FROM tok JOIN tf USING (tk) CROSS JOIN tot
       GROUP BY doc_id, tot.total
       ORDER BY doc_id"""),

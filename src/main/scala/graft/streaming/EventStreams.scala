@@ -106,10 +106,12 @@ object EventStreams {
     // same resume discipline as [[startIncrementalMerge]]: without a
     // checkpoint a fresh query renumbers batches from 0, overwriting
     // only b0 and leaving STALE b1..bN from the previous run mixed
-    // into downstream glob reads — rejected up front
+    // into downstream glob reads — rejected up front ([[childDirs]]
+    // resolves through the Hadoop FS API so the check also fires on
+    // hdfs:///object-store paths, where java.io.File would silently
+    // see nothing)
     def hasBatchDirs(dir: String): Boolean =
-      Option(new java.io.File(dir).listFiles()).toSeq.flatten
-        .exists(f => f.isDirectory && f.getName.matches("b\\d+"))
+      childDirs(events.sparkSession, dir, "b\\d+").nonEmpty
     require(checkpointLocation.isDefined ||
         (!hasBatchDirs(goodDir) && !hasBatchDirs(quarantineDir)),
       s"$goodDir / $quarantineDir already hold gated batches but no " +
@@ -164,7 +166,8 @@ object EventStreams {
   def startIncrementalMerge(events: DataFrame, stateDir: String,
       checkpointLocation: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    require(checkpointLocation.isDefined || completedVersions(stateDir).isEmpty,
+    require(checkpointLocation.isDefined ||
+        completedVersions(events.sparkSession, stateDir).isEmpty,
       s"stateDir $stateDir already holds merged state but no checkpointLocation " +
         "was given: a fresh query renumbers batches from 0 and the idempotency " +
         "short-circuit would drop the new data. Pass the original checkpoint " +
@@ -190,7 +193,7 @@ object EventStreams {
   private[streaming] def mergeBatch(batch: DataFrame, batchId: Long,
       stateDir: String): Unit = {
     val spark = batch.sparkSession
-    if (completedVersions(stateDir).exists(_._1 == batchId)) return
+    if (completedVersions(spark, stateDir).exists(_._1 == batchId)) return
     val delta = batch
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"),
@@ -211,27 +214,44 @@ object EventStreams {
   /** (version id, dir) of every COMPLETE (`_SUCCESS`-marked) state
     * version, ascending. A torn write (crash mid-parquet) has no marker
     * and is invisible — its directory is simply overwritten on replay. */
-  private def completedVersions(stateDir: String): Seq[(Long, java.io.File)] = {
-    val root = new java.io.File(stateDir)
-    Option(root.listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.matches("v\\d+") &&
-        new java.io.File(f, "_SUCCESS").exists())
-      .map(f => (f.getName.drop(1).toLong, f))
+  /** Child directories of `dir` whose names match `pattern`, via the
+    * HADOOP FileSystem API — java.io.File silently returns null for any
+    * URI-scheme path (hdfs://, s3a://), which would make every
+    * state/resume check vacuously pass exactly where production sinks
+    * live. Resolves the filesystem from the session's Hadoop conf, so
+    * local paths, HDFS, and object stores all behave identically. */
+  private def childDirs(spark: SparkSession, dir: String,
+      pattern: String): Seq[org.apache.hadoop.fs.Path] = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.matches(pattern))
+      .map(_.getPath)
+  }
+
+  private def completedVersions(spark: SparkSession,
+      stateDir: String): Seq[(Long, org.apache.hadoop.fs.Path)] = {
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    lazy val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    childDirs(spark, stateDir, "v\\d+")
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+      .map(p => (p.getName.drop(1).toLong, p))
       .sortBy(_._1)
   }
 
   /** The newest complete state version under `stateDir`, if any — what
     * READERS consume (always a full snapshot, never a torn write). */
   def latestState(spark: SparkSession, stateDir: String): Option[DataFrame] =
-    completedVersions(stateDir).lastOption
-      .map { case (_, f) => spark.read.parquet(f.getAbsolutePath) }
+    completedVersions(spark, stateDir).lastOption
+      .map { case (_, p) => spark.read.parquet(p.toString) }
 
   /** The merge base for batch `batchId`: newest complete version with a
     * strictly smaller id. */
   private def stateBefore(spark: SparkSession, stateDir: String,
       batchId: Long): Option[DataFrame] =
-    completedVersions(stateDir).filter(_._1 < batchId).lastOption
-      .map { case (_, f) => spark.read.parquet(f.getAbsolutePath) }
+    completedVersions(spark, stateDir).filter(_._1 < batchId).lastOption
+      .map { case (_, p) => spark.read.parquet(p.toString) }
 
   /** Streaming sessionization via the native session_window generator:
     * one row per (user, gap-merged session), half-open [ts, ts+gap)

@@ -274,8 +274,11 @@ class LlmOpsSpec extends SparkSpec {
     def cos(a: Array[Double], b: Array[Double]): Double = {
       var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
-        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      // the engine's q4 tie-free quantization, replayed exactly:
+      // y = x*1e4 + 0.5; (y - y%1) / 1e4 (Scala % on doubles == the
+      // IEEE fmod both engines use)
+      val y = d / (math.sqrt(na) * math.sqrt(nb)) * 10000.0 + 0.5
+      (y - (y % 1.0)) / 10000.0
     }
     out.length shouldBe tr.length // one row per training vector
     val trMap = tr.toMap
