@@ -89,6 +89,28 @@ object T {
   def money(c: Column): Column = c.cast(DecimalType(18, 2))
   def money(name: String): Column = money(col(name))
 
+  /** Tie-free quantization of a COMPUTED double to 1/`scale` steps:
+    * with y = x·scale + 0.5, emit (y − (y % 1)) / scale — the same
+    * `q - (q % 1.0)` exact-truncation discipline PageRank uses, spelled
+    * with identical double operations in both engines (see
+    * [[quantizeSql]]), so the quantized value is bit-identical by
+    * construction and NaN/±Inf propagate identically (fmod maps both
+    * to NaN everywhere). `round(x, k)` is NOT safe for oracle-paired
+    * outputs: Spark rounds HALF_UP over the exact BigDecimal expansion
+    * of the double while DuckDB rounds after a lossy multiply, so a
+    * value within an ulp of a half-step boundary can flip in one
+    * engine only. Rounds half-up for non-negative inputs (every
+    * current caller's domain); for decimal-ORIGIN values (already
+    * exact at the target scale) plain round() is an identity and fine. */
+  def quantize(c: Column, scale: Double): Column = {
+    val y = c * lit(scale) + lit(0.5)
+    (y - (y % lit(1.0))) / lit(scale)
+  }
+
+  /** The DuckDB spelling of [[quantize]] — same ops, same order. */
+  def quantizeSql(e: String, scale: String): String =
+    s"(($e) * $scale + 0.5 - ((($e) * $scale + 0.5) % 1.0)) / $scale"
+
   /** Order-insensitive exact sum of a 2-decimal measure, returned as double. */
   def dsum(c: Column): Column = sum(money(c)).cast("double")
 

@@ -380,13 +380,13 @@ object EventAnalytics {
   private val windowAnalytics = GraftQuery(
     "e5_window_analytics",
     "lag/lead/first/last/ntile/percent_rank over per-user event order (§2.6)",
-    Some("""
+    Some(s"""
       SELECT user_id, event_id,
         lag(event_type, 1, 'none') OVER w AS prev_type,
         lead(event_type, 1, 'none') OVER w AS next_type,
         first_value(event_type) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_type,
         CAST(ntile(4) OVER w AS INT) AS quartile,
-        round(percent_rank() OVER w, 6) AS pr
+        ${graft.T.quantizeSql("percent_rank() OVER w", "1000000.0")} AS pr
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       ORDER BY user_id, event_id"""),
@@ -399,7 +399,7 @@ object EventAnalytics {
           lead(col("event_type"), 1, "none").over(w).as("next_type"),
           first(col("event_type")).over(wRun).as("first_type"),
           ntile(4).over(w).as("quartile"),
-          round(percent_rank().over(w), 6).as("pr"))
+          graft.T.quantize(percent_rank().over(w), 1000000.0).as("pr"))
         .orderBy("user_id", "event_id")
     })
 

@@ -146,7 +146,7 @@ object Rolling {
   private val rollingReach = GraftQuery(
     "e5_rolling_dau_wau",
     "rolling 7-day distinct users via contribution-explode over the (user, day) frame (E5)",
-    Some("""
+    Some(s"""
       WITH ud AS (
         SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
       spine AS (
@@ -163,7 +163,7 @@ object Rolling {
       SELECT strftime(s.day, '%Y-%m-%d') AS day,
              COALESCE(d.dau, 0) AS dau,
              COALESCE(w.wau, 0) AS wau,
-             round(CAST(COALESCE(d.dau, 0) AS DOUBLE) / COALESCE(w.wau, 1), 4) AS stickiness
+             ${graft.T.quantizeSql("CAST(COALESCE(d.dau, 0) AS DOUBLE) / COALESCE(w.wau, 1)", "10000.0")} AS stickiness
       FROM spine s
       LEFT JOIN dau d ON d.day = s.day
       LEFT JOIN wau w ON w.day = s.day
@@ -187,8 +187,8 @@ object Rolling {
           date_format(col("day"), "yyyy-MM-dd").as("day"),
           coalesce(col("dau"), lit(0L)).as("dau"),
           coalesce(col("wau"), lit(0L)).as("wau"),
-          round(coalesce(col("dau"), lit(0L)).cast("double") /
-            coalesce(col("wau"), lit(1L)), 4).as("stickiness"))
+          graft.T.quantize(coalesce(col("dau"), lit(0L)).cast("double") /
+            coalesce(col("wau"), lit(1L)), 10000.0).as("stickiness"))
         .orderBy(col("day"))
     })
 

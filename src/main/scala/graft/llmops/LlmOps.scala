@@ -1014,12 +1014,9 @@ object LlmOps {
     * only (the repo's decimal-discipline rule; see README "Correctness
     * model"). Package-visible so every oracle-paired quantization site
     * (incl. BigramLm) goes through ONE definition. */
-  private[llmops] def q4(c: Column): Column = {
-    val y = c * lit(10000.0) + lit(0.5)
-    (y - (y % lit(1.0))) / lit(10000.0)
-  }
+  private[llmops] def q4(c: Column): Column = graft.T.quantize(c, 10000.0)
   private[llmops] def q4Sql(e: String): String =
-    s"(($e) * 10000.0 + 0.5 - ((($e) * 10000.0 + 0.5) % 1.0)) / 10000.0"
+    graft.T.quantizeSql(e, "10000.0")
 
   /** Exact brute-force cosine top-5 for a fixed query set (vec_id < 10):
     * the query side is broadcast (it is small BY CONSTRUCTION — a search
