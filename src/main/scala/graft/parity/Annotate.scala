@@ -73,7 +73,12 @@ trait Annotator extends Serializable {
 final class LexiconAnnotator(lexicon: Seq[(String, String)] = Lexicon.terms) extends Annotator {
   override def annotate(language: String, values: Seq[String]): Seq[Seq[Tag]] =
     values.map { v =>
-      val toks = v.split(" ", -1).toSet
+      // null-safe: a NULL text yields no tags, matching the Column
+      // path (split(NULL) -> NULL -> no lexicon hits). An NPE here
+      // would be caught as retryable and burn the batch's retries on a
+      // deterministic failure, silently dropping every OTHER doc in
+      // the batch via the skip-on-exhaustion path.
+      val toks = if (v == null) Set.empty[String] else v.split(" ", -1).toSet
       lexicon.collect { case (t, i) if toks(t) => Tag(t, i, Lexicon.source) }
     }
 }

@@ -32,8 +32,16 @@ object PipelineConfig {
       case _ => () // configparser would error on stray lines; reference never hits it
     }
     val d = PipelineConfig()
-    // configparser.getboolean accepts 1/yes/true/on (case-insensitive)
-    def bool(v: String): Boolean = Set("1", "yes", "true", "on")(v.toLowerCase)
+    // configparser.getboolean semantics EXACTLY: 1/yes/true/on -> true,
+    // 0/no/false/off -> false, anything else raises — the reference
+    // crashes loudly on a typo'd flag; mapping unknowns to false would
+    // silently run a differently-configured pipeline
+    def bool(v: String): Boolean = v.toLowerCase match {
+      case "1" | "yes" | "true" | "on" => true
+      case "0" | "no" | "false" | "off" => false
+      case other => throw new IllegalArgumentException(
+        s"Not a boolean: '$other' (configparser.getboolean accepts 1/yes/true/on/0/no/false/off)")
+    }
     PipelineConfig(
       inputFolder = settings.getOrElse("input_folder", d.inputFolder),
       outputFolder = settings.getOrElse("output_folder", d.outputFolder),

@@ -19,8 +19,10 @@ final class Dashboard(spark: SparkSession, dir: String) {
   @volatile private var flatView: DataFrame = load()
 
   private def load(): DataFrame = {
-    val annotated = Annotate.annotated(
-      spark.read.parquet(s"$dir/documents.parquet"))
+    // through the shared T loader: the memo absorbs the footer/schema
+    // driver jobs a raw spark.read.parquet pays per refresh, and the
+    // <dir>/<name>.parquet layout convention stays in one place
+    val annotated = Annotate.annotated(graft.T(spark, dir, "documents"))
     Parity.flatten(annotated).cache()
   }
 

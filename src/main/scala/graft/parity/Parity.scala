@@ -27,6 +27,16 @@ import org.apache.spark.sql.types._
   */
 object Parity {
 
+  /** Deterministic scratch-dir key for a testdata dir: 16 md5 hex chars
+    * of the path. Replaces `math.abs(dir.hashCode)`, which could
+    * collide two distinct dirs into one shared corpus (and renders
+    * negative for Int.MinValue). Deliberately deterministic per dir —
+    * the round-trip queries re-read their own previous write. */
+  private def scratchKey(dir: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    d.digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+  }
+
   // ---------------------------------------------------------------------
   // Spark side
   // ---------------------------------------------------------------------
@@ -192,7 +202,7 @@ object Parity {
     "per-group collect_list payload, deterministic fingerprint (A5)",
     Some("""
       SELECT lang, source, count(*) AS n_values,
-             md5(string_agg(text, chr(1) ORDER BY text)) AS payload_md5
+             md5(COALESCE(string_agg(text, chr(1) ORDER BY text), '')) AS payload_md5
       FROM documents
       GROUP BY lang, source
       ORDER BY lang, source"""),
@@ -201,6 +211,9 @@ object Parity {
         .groupBy(col("lang"), col("source"))
         .agg(
           count(lit(1)).as("n_values"),
+          // COALESCE in the oracle matches this side's empty-join: a
+          // group whose every text is NULL gives md5("") here
+          // (collect_list drops nulls) but string_agg returns SQL NULL
           md5(array_join(array_sort(collect_list(col("text"))), 1.toChar.toString)).as("payload_md5"))
         .orderBy("lang", "source"))
 
@@ -314,7 +327,7 @@ object Parity {
       GROUP BY lang
       ORDER BY lang"""),
     (s, dir) => {
-      val corpusDir = s"${sys.props("java.io.tmpdir")}/graft_corpus_${math.abs(dir.hashCode)}"
+      val corpusDir = s"${sys.props("java.io.tmpdir")}/graft_corpus_${scratchKey(dir)}"
       val d = docs(s, dir)
       // one blank line per language exercises the P1 drop
       val blanks = d.select(col("lang")).distinct().withColumn("text", lit("  "))
@@ -345,7 +358,7 @@ object Parity {
       GROUP BY t.term
       ORDER BY n_tags DESC, tag_literal"""),
     (s, dir) => {
-      val outDir = s"${sys.props("java.io.tmpdir")}/graft_results_${math.abs(dir.hashCode)}"
+      val outDir = s"${sys.props("java.io.tmpdir")}/graft_results_${scratchKey(dir)}"
       annotated(s, dir)
         .select(col("source"),
           struct(col("doc_id"), col("lang").as("language"),

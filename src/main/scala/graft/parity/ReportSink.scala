@@ -112,8 +112,23 @@ object ReportSink {
       (src, PdfWriter.document(s"De-bias Report: $src", header, body,
         rowsPerPage), body.size)
     }.map { case (src, bytes, n) =>
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(outDir, s"$src.pdf"), bytes)
+      // sanitized name (a source containing '/' must not escape
+      // outDir) and write-then-atomic-rename: Files.write truncates in
+      // place, so a concurrent speculative/zombie attempt could expose
+      // interleaved bytes to a reader; the rename makes publication
+      // all-or-nothing and last-writer-wins
+      val safe = src.replaceAll("[^A-Za-z0-9._-]", "_")
+      val target = java.nio.file.Paths.get(outDir, s"$safe.pdf")
+      val tmp = java.nio.file.Files.createTempFile(
+        java.nio.file.Paths.get(outDir), s".$safe", ".tmp")
+      java.nio.file.Files.write(tmp, bytes)
+      try java.nio.file.Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+        java.nio.file.Files.move(tmp, target,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
       n.toLong
     }.agg(coalesce(sum(col("value")), lit(0L))).as[Long].head()
   }

@@ -29,6 +29,15 @@ class ConfigSpec extends AnyFunSuite with Matchers {
     PipelineConfig.fromIni("") shouldBe PipelineConfig()
   }
 
+  test("getboolean rejects non-boolean values like configparser does") {
+    // the reference crashes loudly on a typo'd flag; silently mapping
+    // 'enabled' to false would run a differently-configured pipeline
+    PipelineConfig.fromIni("[settings]\nuse_ner = off\n") shouldBe
+      PipelineConfig(useNer = false)
+    an[IllegalArgumentException] should be thrownBy
+      PipelineConfig.fromIni("[settings]\nuse_ner = enabled\n")
+  }
+
   test("keys are case-insensitive and values keep embedded separators") {
     val c = PipelineConfig.fromIni(
       "[SETTINGS]\nINPUT_FOLDER = a = b\nUSE_NER = On\nMAX_RETRIES = 3")
