@@ -64,60 +64,28 @@ object EventAnalytics {
   private val sessionize = GraftQuery(
     "e5_sessionization",
     "lag + cumulative-sum session assignment, per-user rollup (E5)",
-    Some("""
-      WITH flagged AS (
-        SELECT user_id, ts, event_id,
-          CASE WHEN lag(ts) OVER w IS NULL
-                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
-               THEN 1 ELSE 0 END AS new_session
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-      ), sessions AS (
-        SELECT user_id, event_id,
-          SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-        FROM flagged
-      )
+    Some(s"""
+      WITH ${Temporal.sessionSql}
       SELECT user_id,
         CAST(MAX(session_id) AS BIGINT) AS n_sessions,
         COUNT(*) AS n_events
       FROM sessions
       GROUP BY user_id
       ORDER BY user_id"""),
-    (s, dir) => {
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      events(s, dir)
-        .withColumn("new_session",
-          when(lag(col("ts"), 1).over(w).isNull ||
-            col("ts") > lag(col("ts"), 1).over(w) + expr("INTERVAL 30 MINUTES"), 1)
-            .otherwise(0))
-        .withColumn("session_id", sum(col("new_session")).over(wRun))
+    (s, dir) =>
+      Temporal.sessionized(s, dir)
         .groupBy(col("user_id"))
         .agg(
           max(col("session_id")).cast("long").as("n_sessions"),
           count(lit(1)).as("n_events"))
-        .orderBy("user_id")
-    })
+        .orderBy("user_id"))
 
   /** Per-session stats → histogram of session sizes. */
   private val sessionHistogram = GraftQuery(
     "e5_session_size_histogram",
     "two-level aggregation: session stats then distribution (E5/A3 shape)",
-    Some("""
-      WITH flagged AS (
-        SELECT user_id, ts, event_id,
-          CASE WHEN lag(ts) OVER w IS NULL
-                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
-               THEN 1 ELSE 0 END AS new_session
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-      ), sessions AS (
-        SELECT user_id,
-          SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-        FROM flagged
-      ), per_session AS (
+    Some(s"""
+      WITH ${Temporal.sessionSql}, per_session AS (
         SELECT user_id, session_id, COUNT(*) AS session_events
         FROM sessions GROUP BY user_id, session_id
       )
@@ -125,21 +93,13 @@ object EventAnalytics {
       FROM per_session
       GROUP BY session_events
       ORDER BY session_events"""),
-    (s, dir) => {
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      events(s, dir)
-        .withColumn("new_session",
-          when(lag(col("ts"), 1).over(w).isNull ||
-            col("ts") > lag(col("ts"), 1).over(w) + expr("INTERVAL 30 MINUTES"), 1)
-            .otherwise(0))
-        .withColumn("session_id", sum(col("new_session")).over(wRun))
+    (s, dir) =>
+      Temporal.sessionized(s, dir)
         .groupBy(col("user_id"), col("session_id"))
         .agg(count(lit(1)).as("session_events"))
         .groupBy(col("session_events"))
         .agg(count(lit(1)).as("n_sessions"))
-        .orderBy("session_events")
-    })
+        .orderBy("session_events"))
 
   /** Semi-structured extraction from the JSON `props` string (§2.9 C6).
     * regexp-based so the oracle needs no JSON extension. */

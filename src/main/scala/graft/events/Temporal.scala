@@ -28,7 +28,7 @@ object Temporal {
     * event_type) — the shared gap-based session assignment (>30 min
     * silence starts a new session), tie-broken by event_id so every
     * downstream ordering is total. */
-  private def sessionized(s: SparkSession, dir: String): DataFrame = {
+  private[events] def sessionized(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     events(s, dir)
@@ -40,7 +40,7 @@ object Temporal {
   }
 
   /** Shared oracle CTE: sessionization identical to `e5_sessionization`. */
-  private val sessionSql = """
+  private[events] val sessionSql = """
       flagged AS (
         SELECT user_id, ts, event_id, event_type,
           CASE WHEN lag(ts) OVER w IS NULL
