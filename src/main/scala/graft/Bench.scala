@@ -97,6 +97,8 @@ object Bench {
     println(Iterator(15, 10, 5, 0).map(line).find(_.length < 1500).get)
     graft.SessionMemo.clear(spark)
     graft.relational.Relational.dropBucketedTables(spark)
+    graft.sources.Formats.dropScratch()
+    graft.sources.Layout.dropScratch()
     spark.stop()
   }
 }

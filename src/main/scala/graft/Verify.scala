@@ -49,6 +49,8 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     graft.SessionMemo.clear(spark)
     graft.relational.Relational.dropBucketedTables(spark)
+    graft.sources.Formats.dropScratch()
+    graft.sources.Layout.dropScratch()
     spark.stop()
 
     // Partition-invariance audit (opt-in): SPARK_GRAFT_VERIFY_CORES=N
@@ -96,6 +98,8 @@ object Verify {
       }
       graft.SessionMemo.clear(alt)
       graft.relational.Relational.dropBucketedTables(alt)
+      graft.sources.Formats.dropScratch()
+      graft.sources.Layout.dropScratch()
       alt.stop()
       if (drifted > 0) {
         System.err.println(s"[verify] PARTITION-INVARIANCE FAILED: $drifted of $checked queries drifted at local[$altCores]")

@@ -49,26 +49,38 @@ object Advanced {
           col("l_linestatus").asc_nulls_first))
 
   /** max_by/min_by selector aggregates (DuckDB arg_max/arg_min). The
-    * ordering value is made unique BY CONSTRUCTION — cents*1e10+orderkey,
-    * a single BIGINT — because max_by over a tied value is free to pick
-    * either row in both engines. totalprice has 2 decimals, so *100 is
-    * integral up to FP noise «1e-6 and the round() can never sit on a
-    * .5 boundary (where Spark HALF_UP and DuckDB half-even diverge). */
+    * ordering value is made unique BY CONSTRUCTION — a zero-padded
+    * fixed-width "cents|orderkey" string — because max_by over a tied
+    * value is free to pick either row in both engines. totalprice has
+    * 2 decimals, so *100 is integral up to FP noise «1e-6 and the
+    * round() can never sit on a .5 boundary (where Spark HALF_UP and
+    * DuckDB half-even diverge). */
   private val maxBy = GraftQuery(
     "q_max_by_selectors",
     "max_by/min_by per customer with a unique composite sort key (E6 §2.4)",
     Some(s"""
       SELECT o_custkey,
-        arg_max(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 10000000000 + o_orderkey) AS best_order,
-        arg_min(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) * 10000000000 + o_orderkey) AS worst_order,
+        arg_max(o_orderkey, lpad(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 12, '0')
+                            || '|' || lpad(CAST(o_orderkey AS VARCHAR), 19, '0')) AS best_order,
+        arg_min(o_orderkey, lpad(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 12, '0')
+                            || '|' || lpad(CAST(o_orderkey AS VARCHAR), 19, '0')) AS worst_order,
         CAST(MAX(${sqlMoney("o_totalprice")}) AS DOUBLE) AS best_price,
         COUNT(*) AS n_orders
       FROM orders
       GROUP BY o_custkey
       ORDER BY o_custkey"""),
     (s, dir) => {
-      val key = (round(col("o_totalprice") * 100).cast("long") * 10000000000L
-        + col("o_orderkey"))
+      // zero-padded fixed-width STRING key: lexicographic order equals
+      // numeric (cents, orderkey) order for non-negative ints, and the
+      // key stays unique at ANY scale — the previous cents*1e10+okey
+      // BIGINT composite silently re-admitted ties once o_orderkey
+      // reached 1e10 (~SF 1.7k), the exact nondeterminism it existed
+      // to prevent. 12 digits cover cents (o_totalprice is per-order
+      // bounded, SF-independent); 19 cover any positive BIGINT key.
+      val key = concat(
+        lpad(round(col("o_totalprice") * 100).cast("long").cast("string"), 12, "0"),
+        lit("|"),
+        lpad(col("o_orderkey").cast("string"), 19, "0"))
       T(s, dir, "orders")
         .groupBy(col("o_custkey"))
         .agg(

@@ -225,15 +225,21 @@ object Multiset {
       ) l
       ORDER BY r.r_name, l.n_custs DESC, l.n_name"""),
     (s, dir) => {
-      T(s, dir, "region").createOrReplaceTempView("graft_lat_region")
-      T(s, dir, "nation").createOrReplaceTempView("graft_lat_nation")
-      T(s, dir, "customer").createOrReplaceTempView("graft_lat_customer")
-      s.sql("""
+      // view names scoped by the sanitized dir: session temp views are
+      // session-global, so fixed names would let two run() calls with
+      // different dirs in ONE session race createOrReplace against the
+      // other call's analysis
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      T(s, dir, "region").createOrReplaceTempView(s"graft_lat_region_$tag")
+      T(s, dir, "nation").createOrReplaceTempView(s"graft_lat_nation_$tag")
+      T(s, dir, "customer").createOrReplaceTempView(s"graft_lat_customer_$tag")
+      s.sql(s"""
         SELECT r.r_name, l.n_name, l.n_custs
-        FROM graft_lat_region r,
+        FROM graft_lat_region_$tag r,
         LATERAL (
           SELECT n_name, COUNT(*) AS n_custs
-          FROM graft_lat_nation JOIN graft_lat_customer ON c_nationkey = n_nationkey
+          FROM graft_lat_nation_$tag JOIN graft_lat_customer_$tag
+            ON c_nationkey = n_nationkey
           WHERE n_regionkey = r.r_regionkey
           GROUP BY n_name
           ORDER BY n_custs DESC, n_name

@@ -27,18 +27,22 @@ object Profile {
   /** Numeric measures profiled through an exact-2-decimal string view. */
   private val numericCols = Seq("l_quantity", "l_extendedprice", "l_discount")
 
-  /** One profiled column: Spark-side string view + DuckDB string view.
-    * Numerics go through DECIMAL(18,2) so both engines render identical
-    * fixed-scale strings ("1.00"), never shortest-round-trip doubles. */
-  private case class Prof(name: String, spark: Column, sql: String)
+  /** One profiled column: a TYPED ordering view (min/max must compare
+    * numerically — aggregating over a string rendering would order
+    * "9.00" above "50.00") and a post-aggregate rendering that turns
+    * the typed extreme into an engine-identical string. Numerics order
+    * as DECIMAL(18,2) and render fixed-scale ("1.00"), never
+    * shortest-round-trip doubles; strings order and render as-is. */
+  private case class Prof(name: String, ord: Column, render: Column => Column,
+      ordSql: String, renderSql: String => String)
 
   private val profiled: Seq[Prof] =
     numericCols.map(c =>
-      Prof(c, col(c).cast("decimal(18,2)").cast("string"),
-        s"CAST(CAST($c AS DECIMAL(18,2)) AS VARCHAR)")) ++
+      Prof(c, col(c).cast("decimal(18,2)"), _.cast("string"),
+        s"CAST($c AS DECIMAL(18,2))", e => s"CAST($e AS VARCHAR)")) ++
       Seq(
-        Prof("l_returnflag", col("l_returnflag"), "l_returnflag"),
-        Prof("l_linestatus", col("l_linestatus"), "l_linestatus"))
+        Prof("l_returnflag", col("l_returnflag"), identity, "l_returnflag", identity),
+        Prof("l_linestatus", col("l_linestatus"), identity, "l_linestatus", identity))
 
   /** Column profile of lineitem, one output row per column.
     *
@@ -63,8 +67,8 @@ object Profile {
                COUNT(*) AS n_rows,
                CAST(SUM(CASE WHEN ${p.name} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
                COUNT(DISTINCT ${p.name}) AS n_distinct,
-               MIN(${p.sql}) AS min_value,
-               MAX(${p.sql}) AS max_value
+               ${p.renderSql(s"MIN(${p.ordSql})")} AS min_value,
+               ${p.renderSql(s"MAX(${p.ordSql})")} AS max_value
         FROM lineitem"""
       }
       selects.mkString(" UNION ALL ") + " ORDER BY column_name"
@@ -72,13 +76,13 @@ object Profile {
     (s, dir) => {
       val perColumn = profiled.map { p =>
         lineitem(s, dir)
-          .select(col(p.name), p.spark.as("sv")) // prunes the scan to one column
+          .select(col(p.name), p.ord.as("ov")) // prunes the scan to one column
           .agg(
             count(lit(1)).as("n_rows"),
             sum(when(col(p.name).isNull, 1L).otherwise(0L)).as("n_null"),
             countDistinct(col(p.name)).as("n_distinct"),
-            min(col("sv")).as("min_value"),
-            max(col("sv")).as("max_value"))
+            p.render(min(col("ov"))).as("min_value"),
+            p.render(max(col("ov"))).as("max_value"))
           .select(lit(p.name).as("column_name"), col("n_rows"), col("n_null"),
             col("n_distinct"), col("min_value"), col("max_value"))
       }
@@ -148,8 +152,8 @@ object Profile {
           sxx: String, syy: String, sxy: String): String =
         s"""SELECT rf AS l_returnflag, '$label' AS pair,
                (n * $sxy - $sx * $sy)
-                 / sqrt((n * $sxx - $sx * $sx) * (n * $syy - $sy * $sy)) AS corr_val,
-               (n * $sxy - $sx * $sy) / (n * (n - 1)) AS cov_val
+                 / NULLIF(sqrt((n * $sxx - $sx * $sx) * (n * $syy - $sy * $sy)), 0) AS corr_val,
+               (n * $sxy - $sx * $sy) / NULLIF(n * (n - 1), 0) AS cov_val
             FROM a"""
       s"""
       WITH d AS (
@@ -198,11 +202,18 @@ object Profile {
           sxx: String, syy: String, sxy: String) = {
         val n = col("n")
         val num = n * col(sxy) - col(sx) * col(sy)
+        // zero denominators (single-row or zero-variance group) emit
+        // NULL explicitly on BOTH sides (NULLIF in the oracle): DuckDB's
+        // IEEE float division would yield NaN/Inf where Spark's non-ANSI
+        // Divide yields NULL — a latent cross-engine flake on degenerate
+        // groups that current fixtures happen to avoid
+        def safeDiv(d: Column): Column =
+          num / when(d === 0d, lit(null)).otherwise(d)
         struct(
           lit(label).as("pair"),
-          (num / sqrt((n * col(sxx) - col(sx) * col(sx)) *
+          safeDiv(sqrt((n * col(sxx) - col(sx) * col(sx)) *
             (n * col(syy) - col(sy) * col(sy)))).as("corr_val"),
-          (num / (n * (n - lit(1)))).as("cov_val"))
+          safeDiv(n * (n - lit(1))).as("cov_val"))
       }
       a.select(col("rf").as("l_returnflag"), inline(array(
           pairRow("extendedprice~discount", "sp", "sd", "spp", "sdd", "spd"),

@@ -275,9 +275,12 @@ object Relational {
     "intersect + except + union distinct (§2.8)",
     Some("""
       SELECT c_custkey FROM (
-        (SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
-         INTERSECT
-         SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
+        ((SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+          INTERSECT
+          SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
+         UNION
+         SELECT o_custkey FROM orders
+         WHERE o_orderpriority = '2-HIGH' AND o_totalprice > 350000)
         EXCEPT
         SELECT o_custkey FROM orders WHERE o_totalprice > 400000
       )
@@ -288,9 +291,15 @@ object Relational {
         .select(col("o_custkey").as("c_custkey"))
       val low = ord.filter(col("o_orderpriority") === "5-LOW")
         .select(col("o_custkey").as("c_custkey"))
+      val highBig = ord.filter(col("o_orderpriority") === "2-HIGH" &&
+          col("o_totalprice") > 350000)
+        .select(col("o_custkey").as("c_custkey"))
       val big = ord.filter(col("o_totalprice") > 400000)
         .select(col("o_custkey").as("c_custkey"))
-      urgent.intersect(low).except(big).orderBy("c_custkey")
+      // union().distinct() == SQL UNION (distinct); except is EXCEPT
+      // DISTINCT in both engines
+      urgent.intersect(low).union(highBig).distinct()
+        .except(big).orderBy("c_custkey")
     })
 
   /** Scalar string functions over part (§2.9 C1-C5 analogs). */

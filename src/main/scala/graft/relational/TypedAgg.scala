@@ -15,8 +15,10 @@ object TypedAgg {
     * with the k-bounded [[graft.functions.TopKAgg]] instead of a window
     * sort.
     *
-    * Plan shape: broadcast supplier⋈nation onto the fact scan (the dim
-    * side is tiny at every SF), then ONE partial/final aggregate whose
+    * Plan shape: nation broadcasts onto the fact scan (25 rows at any
+    * SF); supplier is SF-SCALED so its join is left to AQE/statistics —
+    * a forced broadcast would OOM executors at large SF (the repo's
+    * standing broadcast rule). Then ONE partial/final aggregate whose
     * buffers are k-bounded — the shuffle carries ≤ 25 nations × 3 rows
     * per map partition, not the 600k scored rows the equivalent
     * `q_window_topk_per_group` plan shuffles and sorts. The oracle spells
@@ -51,7 +53,7 @@ object TypedAgg {
       val nation = T(s, dir, "nation").select("n_nationkey", "n_name")
       val topk = TopKAgg.udaf(3)
       lineitem
-        .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+        .join(supplier, col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
         .select(
           col("n_name").as("nation"),

@@ -26,9 +26,27 @@ object Formats {
   /** Session-scoped scratch root: per-process so concurrent harnesses
     * (test JVM vs Bench) never collide, under java.io.tmpdir so the
     * repo tree stays clean. */
-  private def scratch(sub: String): String = {
-    val pid = ProcessHandle.current().pid()
-    s"${sys.props("java.io.tmpdir")}/graft_formats_p$pid/$sub"
+  private def scratchRoot: String =
+    s"${sys.props("java.io.tmpdir")}/graft_formats_p${ProcessHandle.current().pid()}"
+
+  /** Scratch path for `sub` under `dir`'s dataset: keyed by 16 md5 hex
+    * chars of the full dir (hashCode could collide two dirs onto one
+    * path, silently serving one SF's rows to the other's lazy read). */
+  private def scratch(dir: String, sub: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    val key = d.digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    s"$scratchRoot/${sub}_$key"
+  }
+
+  /** Delete this process's format-scratch tree — wired into the
+    * harness/test teardown beside Relational.dropBucketedTables so
+    * round-trip dumps cannot accumulate per pid across runs. */
+  private[graft] def dropScratch(): Unit = {
+    val root = java.nio.file.Paths.get(scratchRoot)
+    if (java.nio.file.Files.exists(root)) {
+      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(pth => { java.nio.file.Files.deleteIfExists(pth); () })
+    }
   }
 
   private val nationSchema = StructType(Seq(
@@ -46,7 +64,7 @@ object Formats {
     "CSV sink + explicit-schema source round trip on nation (S-family §2.1)",
     Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"),
     (s, dir) => {
-      val path = scratch("nation_csv")
+      val path = scratch(dir, "nation_csv")
       T(s, dir, "nation")
         .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
         .write.mode("overwrite").option("header", "false").csv(path)
@@ -69,7 +87,7 @@ object Formats {
     "ORC sink + source round trip on supplier (S-family §2.1)",
     Some("SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey"),
     (s, dir) => {
-      val path = scratch("supplier_orc")
+      val path = scratch(dir, "supplier_orc")
       T(s, dir, "supplier")
         .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
         .write.mode("overwrite").orc(path)
@@ -107,7 +125,7 @@ object Formats {
       GROUP BY 1
       ORDER BY lang"""),
     (s, dir) => {
-      val path = scratch(s"docs_jsonl_${Integer.toHexString(dir.hashCode)}")
+      val path = scratch(dir, "docs_jsonl")
       T(s, dir, "documents")
         .select(
           when(col("doc_id") % 50 === 0,

@@ -26,14 +26,33 @@ object Layout {
     * tmpdir so concurrent harnesses never collide. */
   private val written = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  private def layoutRoot: String =
+    s"${sys.props("java.io.tmpdir")}/graft_layout_p${ProcessHandle.current().pid()}"
+
   private[graft] def partitionedDocs(s: SparkSession, dir: String): String =
     written.computeIfAbsent(dir, { _ =>
-      val pid = ProcessHandle.current().pid()
-      val path = s"${sys.props("java.io.tmpdir")}/graft_layout_p$pid/${dir.hashCode.toHexString}/docs_by_lang"
+      // path keyed by 16 md5 hex chars of the FULL dir, matching the
+      // memo key: dir.hashCode could collide two dirs onto one path
+      // while the map treats them as distinct — the second write would
+      // silently overwrite the first dir's layout
+      val d = java.security.MessageDigest.getInstance("MD5")
+      val key = d.digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+      val path = s"$layoutRoot/$key/docs_by_lang"
       T(s, dir, "documents")
         .write.mode("overwrite").partitionBy("lang").parquet(path)
       path
     })
+
+  /** Delete this process's layout-scratch tree and forget the written
+    * paths (so a later call rebuilds) — harness/test teardown hook. */
+  private[graft] def dropScratch(): Unit = {
+    written.clear()
+    val root = java.nio.file.Paths.get(layoutRoot)
+    if (java.nio.file.Files.exists(root)) {
+      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(pth => { java.nio.file.Files.deleteIfExists(pth); () })
+    }
+  }
 
   /** Per-language quality aggregate over the PRUNED partition only. The
     * scan's PartitionFilters (asserted in LayoutSpec) restrict the file

@@ -35,6 +35,8 @@ trait SparkSpec extends AnyFunSuite with Matchers with BeforeAndAfterAll {
   override protected def afterAll(): Unit = {
     graft.SessionMemo.clear(spark)
     graft.relational.Relational.dropBucketedTables(spark)
+    graft.sources.Formats.dropScratch()
+    graft.sources.Layout.dropScratch()
     super.afterAll()
   }
 }

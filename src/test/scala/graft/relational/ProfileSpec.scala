@@ -16,13 +16,22 @@ class ProfileSpec extends SparkSpec {
     out.values.foreach { r =>
       r.getLong(1) shouldBe n // n_rows: same single scan saw every row
       r.getLong(2) shouldBe 0L // synthetic data has no nulls
-      r.getString(4) should be <= r.getString(5) // min <= max (string order)
+      // min <= max NUMERICALLY for the decimal-rendered columns,
+      // lexically for the categorical ones (round-8 fix: min/max
+      // aggregate the typed value, not its string rendering)
+      val (lo, hi) = (r.getString(4), r.getString(5))
+      if (lo.contains('.')) BigDecimal(lo) should be <= BigDecimal(hi)
+      else lo should be <= hi
     }
     // spot-check one numeric and one categorical against direct queries
     out("l_returnflag").getLong(3) shouldBe
       li.select(col("l_returnflag")).distinct().count()
     out("l_quantity").getString(4) shouldBe
       li.agg(min(col("l_quantity").cast("decimal(18,2)"))).head.getDecimal(0).toString
+    // the round-8 regression case: max must be the NUMERIC max, not the
+    // lexicographic one ("9.00" > "50.00" as strings)
+    out("l_quantity").getString(5) shouldBe
+      li.agg(max(col("l_quantity").cast("decimal(18,2)"))).head.getDecimal(0).toString
   }
 
   test("q_corr_matrix: exact-moment corr agrees with Spark's corr(); cov with covar_samp") {

@@ -29,9 +29,13 @@ class FormatsSpec extends SparkSpec {
   test("csv write is multi-file (no coalesce(1) serialization point)") {
     run("q_csv_roundtrip").count() // force the write
     val pid = ProcessHandle.current().pid()
-    val dir = new java.io.File(
-      s"${sys.props("java.io.tmpdir")}/graft_formats_p$pid/nation_csv")
-    dir.exists() shouldBe true
+    // scratch paths are dir-keyed since round 8 (nation_csv_<md5-16>)
+    val root = new java.io.File(
+      s"${sys.props("java.io.tmpdir")}/graft_formats_p$pid")
+    val dirs = Option(root.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("nation_csv"))
+    dirs should have size 1
+    val dir = dirs.head
     // nation is tiny so Spark may legitimately emit one part at sf0.001;
     // the real assertion is that the writer was not pinned to a single
     // partition by the query code — the write path count matches the
