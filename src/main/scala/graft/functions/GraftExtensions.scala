@@ -33,10 +33,11 @@ object GraftFunctions {
     * with fixed geometry — SQL has no way to pass a Double[][] literal,
     * so each deployed configuration registers under its own name. */
   private[functions] def entries: Seq[(String, String, Seq[Expression] => Expression)] = {
-    val lshPlanes = (0 until 8).flatMap { t =>
-      val rnd = new scala.util.Random(42 + t)
-      Seq.fill(4)(Array.fill(64)(rnd.nextGaussian()))
-    }.toArray
+    // ONE plane-generation recipe, shared with the oracle-paired LSH
+    // plans — a second inline Random(42+t) here could silently drift
+    // from the geometry llm_e3_ann_lsh_topk ships in its plan/oracle
+    val lshPlanes = (0 until 8)
+      .flatMap(t => graft.llmops.LlmOps.hyperplanes(64, t, 4)).toArray
     Seq(
       ("vec_dot", "dot product of two array<double> vectors",
         arity("vec_dot", 2) { case Seq(a, b) => DotProduct(a, b) }),

@@ -55,11 +55,20 @@ final case class WordNgrams(child: Expression, n: Int)
       val last = arr.numElements() - n
       if (last < 0) Iterator.empty
       else (0 to last).iterator.map { i =>
+        // concat_ws semantics exactly: a null token contributes NOTHING
+        // — neither value nor separator — so the generator stays
+        // fingerprint-identical to the HOF concat_ws formulation on
+        // null-bearing arrays (rendering null as "" would leave a
+        // doubled separator concat_ws never emits)
         val sb = new java.lang.StringBuilder
         var j = 0
+        var wrote = false
         while (j < n) {
-          if (j > 0) sb.append(' ')
-          if (!arr.isNullAt(i + j)) sb.append(arr.getUTF8String(i + j).toString)
+          if (!arr.isNullAt(i + j)) {
+            if (wrote) sb.append(' ')
+            sb.append(arr.getUTF8String(i + j).toString)
+            wrote = true
+          }
           j += 1
         }
         InternalRow(i, UTF8String.fromString(sb.toString))

@@ -542,7 +542,14 @@ object LlmOps {
       .unionByName(edges.select(col("db").as("src"), col("da").as("dst")))
       .persist()
     var labels = nodes.select(col("doc_id"), col("doc_id").as("label")).persist()
-    var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
+    // null-safe 1-row read: sum over an EMPTY frame is SQL NULL, and
+    // getLong would NPE — an empty corpus must yield empty labels, not
+    // a crash
+    def labelSum(df: DataFrame): Long = {
+      val r = df.agg(sum(col("label"))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -552,7 +559,7 @@ object LlmOps {
       labels = labels.unionByName(pushed)
         .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
         .persist()
-      val s = labels.agg(sum(col("label"))).head().getLong(0)
+      val s = labelSum(labels)
       prev.unpersist()
       converged = s == prevSum
       prevSum = s
@@ -1271,7 +1278,7 @@ object LlmOps {
 
   /** Deterministic random hyperplanes (fixed seed per table) as literal
     * columns — computed once on the driver, shipped in the plan for free. */
-  private def hyperplanes(dim: Int, table: Int, bits: Int): Seq[Array[Double]] = {
+  private[graft] def hyperplanes(dim: Int, table: Int, bits: Int): Seq[Array[Double]] = {
     val rnd = new scala.util.Random(42 + table)
     Seq.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
   }
@@ -1468,11 +1475,12 @@ object LlmOps {
       // nearest-cell id as a codegen'd projection over the centroid
       // literals (same DotProduct expression as the scorer)
       def cellOf(vcol: Column): Column = {
+        // argmin is invariant to the +||v||^2 constant — dropping it
+        // saves K redundant 64-dim self-dots per corpus row
         val dists = centroids.zipWithIndex.map { case (c, i) =>
           val cc = array(c.map(lit): _*)
           struct(
-            (graft.functions.VectorFunctions.dot(vcol, vcol)
-              - lit(2.0) * graft.functions.VectorFunctions.dot(vcol, cc)
+            (lit(-2.0) * graft.functions.VectorFunctions.dot(vcol, cc)
               + lit(c.map(x => x * x).sum)).as("d2"),
             lit(i).as("cell"))
         }

@@ -31,17 +31,6 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
-  /** The typed schema a multimodal table carries: opaque payload + typed
-    * metadata struct. */
-  val mediaSchema: StructType = StructType(Seq(
-    StructField("media_id", LongType, nullable = false),
-    StructField("payload", BinaryType),
-    StructField("meta", StructType(Seq(
-      StructField("mime", StringType),
-      StructField("n_bytes", LongType),
-      StructField("width", LongType),
-      StructField("height", LongType))))))
-
   /** FAKE decode: "width" from md5 hex chars 1-4. A real impl would parse
     * the image header here. Deterministic + cross-engine reproducible. */
   def fakeDecodeWidth(payloadMd5: Column): Column =
@@ -237,7 +226,7 @@ object Multimodal {
     val md = java.security.MessageDigest.getInstance("MD5")
       .digest(sig.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val tag = md.take(8).map(b => f"$b%02x").mkString
-    new java.io.File(s"${sys.props("java.io.tmpdir")}/graft_binfiles_$tag")
+    new java.io.File(s"$blobRoot/graft_binfiles_$tag")
   }
 
   /** Materialize one .bin file per document (content = UTF-8 text bytes)
@@ -246,6 +235,14 @@ object Multimodal {
     * Idempotent: a _DONE marker (written only after the job completes)
     * skips rebuilds; bytes are a pure function of the table, so a lost
     * marker race just rewrites identical files. */
+  /** Blob-dir root: java.io.tmpdir in this single-JVM harness. On a
+    * real cluster this MUST point at shared storage
+    * (SPARK_GRAFT_BLOB_DIR) — executors write blobs with local file
+    * APIs, so an executor-local /tmp would leave the driver-side
+    * binaryFile scan seeing none of them. */
+  private def blobRoot: String =
+    sys.env.getOrElse("SPARK_GRAFT_BLOB_DIR", sys.props("java.io.tmpdir"))
+
   private def ensureBinFiles(s: SparkSession, dir: String): String = synchronized {
     val out = binDirFor(dir)
     val marker = new java.io.File(out, "_DONE")

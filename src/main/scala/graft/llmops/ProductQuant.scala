@@ -111,11 +111,14 @@ object ProductQuant {
   /** argmin-codeword id for subspace m, as a codegen'd projection over
     * codeword literals (same shape as IVF's cellOf). */
   private def codeOf(cb: Array[Array[Double]], sub: Column): Column = {
+    // the argmin is invariant to the +||sub||^2 constant, so it is
+    // dropped: keeping it cost K redundant 8-dim self-dots per
+    // subspace per corpus row in the encode (same -2ab + ||b||^2 form
+    // as cellOf below)
     val cands = cb.zipWithIndex.map { case (cw, k) =>
       val cwLit = array(cw.map(lit): _*)
       struct(
-        (dot(sub, sub) - lit(2.0) * dot(sub, cwLit) + lit(cw.map(x => x * x).sum))
-          .as("d2"),
+        (lit(-2.0) * dot(sub, cwLit) + lit(cw.map(x => x * x).sum)).as("d2"),
         lit(k).as("k"))
     }
     array_min(array(cands: _*)).getField("k")
