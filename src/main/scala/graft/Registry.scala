@@ -12,12 +12,21 @@ import org.apache.spark.sql.types._
   *               operators whose semantics are not SQL-expressible
   *               (approximate LSH, custom hashes) — driver then records a
   *               weaker rows-only check.
+  * @param oracleGen data-dependent oracle: some operators' only
+  *               non-static inputs are deterministic constants DERIVED
+  *               from the data (seeded k-means centroids, PQ codebooks
+  *               — all memoized per (session, dir)), so their oracle SQL
+  *               can be GENERATED at verify time with those constants
+  *               embedded as literals, exactly like the static
+  *               hyperplane/minhash pairings but per-dir. Verify merges
+  *               these into oracle_sql.json beside the static oracles.
   */
 final case class GraftQuery(
     name: String,
     doc: String,
     oracle: Option[String],
-    run: (SparkSession, String) => DataFrame)
+    run: (SparkSession, String) => DataFrame,
+    oracleGen: Option[(SparkSession, String) => String] = None)
 
 /** Shared helpers: table loading + oracle-exact numeric discipline.
   *

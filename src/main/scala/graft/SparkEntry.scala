@@ -20,4 +20,11 @@ object SparkEntry {
     * (approximate LSH variants) — driver records a rows-only check. */
   def oracleSql: Map[String, String] =
     Registry.all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+  /** The static oracles plus the data-dependent GENERATED ones (SQL
+    * embedding deterministic per-dir constants — see
+    * [[GraftQuery.oracleGen]]); Verify dumps this merged map so the
+    * driver's DuckDB compare covers both kinds. */
+  def oracleSqlFor(spark: SparkSession, sfDir: String): Map[String, String] =
+    Registry.all.flatMap(q =>
+      q.oracle.orElse(q.oracleGen.map(_(spark, sfDir))).map(q.name -> _)).toMap
 }

@@ -44,7 +44,10 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // generated oracles run AFTER the queries above, so the memoized
+    // constants they embed (centroids, codebooks) are already warm and
+    // identical to what the Spark results were computed with
+    val json = SparkEntry.oracleSqlFor(spark, sfDir)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     graft.SessionMemo.clear(spark)

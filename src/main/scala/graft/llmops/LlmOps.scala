@@ -1292,7 +1292,7 @@ object LlmOps {
     * loop), so every sign bit — and therefore every bucket id and the
     * candidate pair set — is bit-deterministic and engine-neutral.
     * ~20 KB of SQL per table of planes; generated, never hand-edited. */
-  private def sqlDot(vExpr: String, w: Array[Double]): String = {
+  private[llmops] def sqlDot(vExpr: String, w: Array[Double]): String = {
     val arr = w.map(java.lang.Double.toString).mkString("[", ", ", "]")
     s"list_reduce(list_transform(list_zip($vExpr, $arr), p -> p[1] * p[2]), (a, b) -> a + b)"
   }
@@ -1307,10 +1307,10 @@ object LlmOps {
   }
   /** Sequential-fold dot of two vector COLUMNS in SQL (the literal-free
     * twin of [[sqlDot]]) — same fold order as the codegen'd DotProduct. */
-  private def sqlDotCols(a: String, b: String): String =
+  private[llmops] def sqlDotCols(a: String, b: String): String =
     s"list_reduce(list_transform(list_zip($a, $b), p -> p[1] * p[2]), (a, b) -> a + b)"
 
-  private val sqlNormedCte = """
+  private[llmops] val sqlNormedCte = """
       WITH e AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings),
@@ -1439,8 +1439,63 @@ object LlmOps {
         .orderBy("da", "db")
     })
 
-  private val ivfCells = 16
-  private val ivfProbes = 4
+  /** The IVF per-row distance candidates — `{d2, cell}` structs over the
+    * centroid literals — in both spellings. The Spark struct array and
+    * the DuckDB struct list compare identically (lexicographic by field
+    * order: d2 first, cell as the tiebreak), the dot products fold
+    * sequentially in both engines, and the ||c||² constant is computed
+    * ONCE on the driver and embedded as the same binary64 literal on
+    * both sides — so argmin cell assignment and probe ranking are
+    * engine-neutral bit-for-bit. The +||v||² constant is dropped from
+    * d2: the argmin is invariant to it, and keeping it would cost K
+    * redundant 64-dim self-dots per corpus row. */
+  private def ivfCellStructs(cs: Array[Array[Double]], vcol: Column): Seq[Column] =
+    cs.toSeq.zipWithIndex.map { case (c, i) =>
+      struct(
+        (lit(-2.0) * graft.functions.VectorFunctions.dot(vcol, array(c.map(lit): _*))
+          + lit(c.map(x => x * x).sum)).as("d2"),
+        lit(i).as("cell"))
+    }
+  private def ivfCellStructsSql(cs: Array[Array[Double]]): String =
+    cs.zipWithIndex.map { case (c, i) =>
+      val sumsq = java.lang.Double.toString(c.map(x => x * x).sum)
+      s"{'d2': -2.0 * ${sqlDot("v", c)} + $sumsq, 'cell': $i}"
+    }.mkString("[", ",\n          ", "]")
+
+  /** The IVF pipeline as generated ANSI SQL (the data-dependent twin of
+    * [[sqlBuckets]]): the centroids are deterministic per-dir constants
+    * (seeded sample, vec_id-sorted, local Lloyd — memoized in
+    * [[ProductQuant.ivfCentroids]]), so the oracle embeds the SAME
+    * doubles the Spark plan carries. Generated at verify time via
+    * [[GraftQuery.oracleGen]], never hand-edited. */
+  private def ivfOracleSql(s: SparkSession, dir: String): String = {
+    val structs = ivfCellStructsSql(ProductQuant.ivfCentroids(s, dir))
+    s"""$sqlNormedCte,
+      asgn AS (
+        SELECT vec_id, list_min($structs).cell AS cell FROM n),
+      qp AS (
+        SELECT vec_id AS q_id,
+               unnest(list_transform(list_sort($structs)[1:${ProductQuant.ivfProbes}],
+                                     x -> x.cell)) AS cell
+        FROM n WHERE vec_id < 10),
+      cand AS (
+        SELECT DISTINCT qp.q_id, a.vec_id AS neighbor_id
+        FROM asgn a JOIN qp ON a.cell = qp.cell AND a.vec_id <> qp.q_id),
+      scored AS (
+        SELECT cd.q_id, cd.neighbor_id,
+               ${q4Sql(sqlDotCols("nq.v", "nc.v") + " / (nq.nrm * nc.nrm)")} AS cosine
+        FROM cand cd
+        JOIN n nq ON cd.q_id = nq.vec_id
+        JOIN n nc ON cd.neighbor_id = nc.vec_id),
+      ranked AS (
+        SELECT q_id, neighbor_id, cosine,
+               CAST(row_number() OVER (PARTITION BY q_id
+                                       ORDER BY cosine DESC, neighbor_id) AS INT) AS rn
+        FROM scored)
+      SELECT q_id, rn, neighbor_id, cosine
+      FROM ranked WHERE rn <= 3
+      ORDER BY q_id, rn"""
+  }
 
   /** ANN via IVF (inverted-file index — the other scale path the north
     * star names alongside LSH): a k-means coarse quantizer assigns every
@@ -1449,57 +1504,27 @@ object LlmOps {
     * Corpus scan cost per query drops to probes/cells of the data;
     * centroids are a driver-side constant (k x 64 doubles) shipped into
     * the plan, so cell assignment is a codegen'd projection, and the
-    * candidate join shuffles on the cell id. Training is one MLlib
-    * KMeans fit on a seeded SAMPLE of the corpus (centroid quality needs
-    * thousands of points per cell, not the full 100 TB). Rows-only
-    * (centroid geometry is seed-specific); recall vs the exact top-k is
-    * asserted in LlmOpsSpec. */
+    * candidate join shuffles on the cell id. The quantizer is the SAME
+    * memoized seeded local-Lloyd fit the IVF-PQ index uses
+    * ([[ProductQuant.ivfCentroids]] — one fit, one bounded sample scan,
+    * two consumers). ORACLE-PAIRED since round 9 via generated SQL
+    * embedding the centroid literals ([[ivfOracleSql]]); recall vs the
+    * exact top-k stays independently asserted in LlmOpsSpec. */
   private val e3Ivf = GraftQuery(
     "llm_e3_ivf_topk",
-    "IVF: k-means cells + nprobe cell-scan ANN top-3 (E3, approx)",
+    "IVF: k-means cells + nprobe cell-scan ANN top-3 (E3)",
     None,
     (s, dir) => {
-      import org.apache.spark.ml.clustering.KMeans
-      import org.apache.spark.ml.linalg.Vectors
-      import org.apache.spark.ml.functions.array_to_vector
       val n = normed(s, dir)
-      // train the quantizer on a bounded seeded sample — ~1000 points per
-      // cell is plenty; the fraction shrinks as the corpus grows
-      val total = n.count()
-      val targetTrain = (ivfCells * 1000L) max 10000L
-      val fraction = math.min(1.0, targetTrain.toDouble / total)
-      val train = n.sample(withReplacement = false, fraction, seed = 7L)
-        .select(col("vec_id"), array_to_vector(col("v")).as("features"))
-      val model = new KMeans().setK(ivfCells).setSeed(7L).setMaxIter(10).fit(train)
-      val centroids = model.clusterCenters.map(_.toArray)
-      // nearest-cell id as a codegen'd projection over the centroid
-      // literals (same DotProduct expression as the scorer)
-      def cellOf(vcol: Column): Column = {
-        // argmin is invariant to the +||v||^2 constant — dropping it
-        // saves K redundant 64-dim self-dots per corpus row
-        val dists = centroids.zipWithIndex.map { case (c, i) =>
-          val cc = array(c.map(lit): _*)
-          struct(
-            (lit(-2.0) * graft.functions.VectorFunctions.dot(vcol, cc)
-              + lit(c.map(x => x * x).sum)).as("d2"),
-            lit(i).as("cell"))
-        }
-        array_min(array(dists: _*)).getField("cell")
-      }
-      val cells = n.withColumn("cell", cellOf(col("v")))
+      val centroids = ProductQuant.ivfCentroids(s, dir)
+      val cells = n.withColumn("cell",
+        array_min(array(ivfCellStructs(centroids, col("v")): _*)).getField("cell"))
       // each query probes its `ivfProbes` nearest cells
       val qCells = n.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("v").as("qv_full"))
-        .withColumn("probe_cells", {
-          val dists = centroids.zipWithIndex.map { case (c, i) =>
-            val cc = array(c.map(lit): _*)
-            struct(
-              (lit(-2.0) * graft.functions.VectorFunctions.dot(col("qv_full"), cc)
-                + lit(c.map(x => x * x).sum)).as("d2"),
-              lit(i).as("cell"))
-          }
-          slice(transform(array_sort(array(dists: _*)), x => x.getField("cell")), 1, ivfProbes)
-        })
+        .withColumn("probe_cells",
+          slice(transform(array_sort(array(ivfCellStructs(centroids, col("qv_full")): _*)),
+            x => x.getField("cell")), 1, ProductQuant.ivfProbes))
         .select(col("q_id"), explode(col("probe_cells")).as("cell"))
       val cand = cells.select(col("vec_id"), col("cell"))
         .join(broadcast(qCells), Seq("cell"))
@@ -1517,7 +1542,8 @@ object LlmOps {
         .filter(col("rn") <= 3)
         .select(col("q_id"), col("rn"), col("neighbor_id"), col("cosine"))
         .orderBy("q_id", "rn")
-    })
+    },
+    oracleGen = Some(ivfOracleSql))
 
   // ---------------------------------------------------------------------
   // E4: text analysis

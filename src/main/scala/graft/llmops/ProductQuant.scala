@@ -298,12 +298,15 @@ object ProductQuant {
     })
 
   private val ivfCells = 16
-  private val ivfProbes = 4
+  private[llmops] val ivfProbes = 4
 
   /** IVF coarse quantizer trained on the same bounded sample discipline
     * as the PQ codebooks (16 full-dimension cells, seeded local Lloyd),
-    * memoized per (session, dir) beside them. */
-  private def ivfCentroids(s: SparkSession, dir: String): Array[Array[Double]] =
+    * memoized per (session, dir) beside them. Package-visible: the flat
+    * IVF search in [[LlmOps]] shares this quantizer (one fit serves both
+    * IVF and IVF-PQ) and its oracle generator embeds the same centroids
+    * as SQL literals. */
+  private[llmops] def ivfCentroids(s: SparkSession, dir: String): Array[Array[Double]] =
     graft.SessionMemo.value(s, dir, "ivfpq_centroids") {
       lloyd(trainingSample(s, dir), k = ivfCells, dim = M * subDim)
     }
