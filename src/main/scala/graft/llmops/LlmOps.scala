@@ -1456,7 +1456,7 @@ object LlmOps {
           + lit(c.map(x => x * x).sum)).as("d2"),
         lit(i).as("cell"))
     }
-  private def ivfCellStructsSql(cs: Array[Array[Double]]): String =
+  private[llmops] def ivfCellStructsSql(cs: Array[Array[Double]]): String =
     cs.zipWithIndex.map { case (c, i) =>
       val sumsq = java.lang.Double.toString(c.map(x => x * x).sum)
       s"{'d2': -2.0 * ${sqlDot("v", c)} + $sumsq, 'cell': $i}"

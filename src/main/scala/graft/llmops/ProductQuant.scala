@@ -126,6 +126,96 @@ object ProductQuant {
 
   private val shortlist = 16
 
+  /** The fixed query-vector set (vec_id < 10) — BOUNDED by construction
+    * (the query set IS the search request), collected once and memoized
+    * per (session, dir): the ADC LUT builders and the oracle generators
+    * all read the same arrays. */
+  private def queryVecs(s: SparkSession, dir: String): Array[(Long, Array[Double])] =
+    graft.SessionMemo.value(s, dir, "pq_query_vecs") {
+      embeddings(s, dir).filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("v")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    }
+
+  /** ||a − b||² over a subvector range, driver-side (LUT entries). */
+  private def subD2(a: Array[Double], off: Int, b: Array[Double]): Double = {
+    var d = 0.0; var i = 0
+    while (i < b.length) { val t = a(off + i) - b(i); d += t * t; i += 1 }
+    d
+  }
+
+  /** Generated-SQL spelling of the per-subspace argmin codeword id
+    * (`c0`..`c7` columns): same struct-lexicographic argmin contract as
+    * [[LlmOps.ivfCellStructsSql]] — DuckDB list_min over structs ==
+    * Spark array_min over structs, dots fold sequentially, ||cw||²
+    * constants embedded as identical binary64 literals. */
+  private def sqlCodeCols(cb: Array[Array[Array[Double]]], vcol: String = "v"): String =
+    (0 until M).map { m =>
+      val sub = s"$vcol[${m * subDim + 1}:${(m + 1) * subDim}]"
+      val structs = cb(m).zipWithIndex.map { case (cw, k) =>
+        val sumsq = java.lang.Double.toString(cw.map(x => x * x).sum)
+        s"{'d2': -2.0 * ${LlmOps.sqlDot(sub, cw)} + $sumsq, 'k': $k}"
+      }.mkString("[", ", ", "]")
+      s"list_min($structs).k AS c$m"
+    }.mkString(",\n        ")
+
+  /** The flat-PQ pipeline as generated ANSI SQL: encode every corpus
+    * vector into its 8 argmin codeword ids, scan with each query's ADC
+    * LUT embedded as a 16-double list literal (one UNION branch per
+    * query — the LUTs differ per query), rank into the shortlist, then
+    * re-rank the shortlist by exact distance. The codebooks and LUTs
+    * are the SAME driver-side doubles the Spark plan ships, so code
+    * assignment, ADC sums, and both rankings are engine-neutral. */
+  private def pqOracleSql(s: SparkSession, dir: String): String = {
+    val cb = graft.SessionMemo.value(s, dir, "pq_codebooks") {
+      trainCodebooks(s, dir)
+    }
+    val branches = queryVecs(s, dir).map { case (qid, qv) =>
+      val adc = (0 until M).map { m =>
+        val lut = cb(m).map(cw => subD2(qv, m * subDim, cw))
+          .map(java.lang.Double.toString).mkString("[", ", ", "]")
+        s"list_extract($lut, c$m + 1)"
+      }.mkString("(", "\n                 + ", ")")
+      s"SELECT CAST($qid AS BIGINT) AS q_id, vec_id AS neighbor_id, ${LlmOps.q4Sql(adc)} AS approx_d2\n" +
+        s"        FROM codes WHERE vec_id <> $qid"
+    }.mkString("\n        UNION ALL ")
+    s"""${LlmOps.sqlNormedCte},
+      codes AS (
+        SELECT vec_id, ${sqlCodeCols(cb)}
+        FROM e),
+      scored AS (
+        $branches),
+      short AS (
+        SELECT q_id, neighbor_id FROM (
+          SELECT q_id, neighbor_id,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY approx_d2, neighbor_id) AS srn
+          FROM scored)
+        WHERE srn <= $shortlist),
+      rerank AS (
+        SELECT s.q_id, s.neighbor_id,
+               ${LlmOps.q4Sql(sqlL2d2("q.v", "c.v"))} AS d2
+        FROM short s
+        JOIN e c ON s.neighbor_id = c.vec_id
+        JOIN e q ON s.q_id = q.vec_id),
+      ranked AS (
+        SELECT q_id, neighbor_id, d2,
+               CAST(row_number() OVER (PARTITION BY q_id
+                                       ORDER BY d2, neighbor_id) AS INT) AS rn
+        FROM rerank)
+      SELECT q_id, rn, neighbor_id, d2
+      FROM ranked WHERE rn <= 3
+      ORDER BY q_id, rn"""
+  }
+
+  /** Sequential-fold squared L2 distance between two vector columns —
+    * the distance twin of [[LlmOps.sqlDotCols]] (same fold order as the
+    * Spark zip_with/aggregate spelling; the 0.0 init only ever adds to
+    * a non-negative square, so the missing-init list_reduce fold is
+    * bit-identical). */
+  private def sqlL2d2(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b)"
+
   /** The compressed index: (vec_id, packed code) + the codebooks that
     * produced it. Code packing: Σ_m code_m << 4m — one BIGINT holding
     * 8×4 bits (the top 4 bits would overflow a signed INT). Shared by
@@ -165,45 +255,45 @@ object ProductQuant {
     * request, 10 rows here), exactly mirroring how a PQ index serves
     * queries in practice. The scan itself is then pure codegen: per
     * code, Σ_m element_at(LUT literal, 4-bit field) — no array HOFs,
-    * no corpus vectors, no join. */
+    * no corpus vectors, no join. ORACLE-PAIRED since round 9 via
+    * generated SQL embedding the codebooks and per-query LUTs as
+    * literals ([[pqOracleSql]]); the ADC and exact distances both go
+    * through the tie-free q4 quantization so rankings cannot flip
+    * cross-engine. */
   private val pqTopK = GraftQuery(
     "llm_e3_pq_topk",
-    "product-quantization ADC shortlist + exact re-rank ANN top-3 (E3, approx)",
+    "product-quantization ADC shortlist + exact re-rank ANN top-3 (E3)",
     None,
     (s, dir) => {
       val n = embeddings(s, dir)
       val (codes, cb) = codeIndex(s, dir)
       val queries = n.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("v").as("qv"))
-      // per-query ADC distance as LUT-literal lookups over the packed code.
-      // The bounded query-vector collect is memoized alongside the code
-      // index so re-constructing the query with a warm memo runs no jobs.
-      val qVecs = graft.SessionMemo.value(s, dir, "pq_query_vecs") {
-        queries.collect()
-          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
-      }
-      val perQuery = qVecs.map { case (qid, qv) =>
+      // per-query ADC distance as LUT-literal lookups over the packed code
+      val perQuery = queryVecs(s, dir).map { case (qid, qv) =>
         val adc = (0 until M).map { m =>
-          val lut = cb(m).map { cw =>
-            var d = 0.0; var i = 0
-            while (i < subDim) { val t = qv(m * subDim + i) - cw(i); d += t * t; i += 1 }
-            d
-          }
+          val lut = cb(m).map(cw => subD2(qv, m * subDim, cw))
           element_at(array(lut.map(lit): _*),
             shiftright(col("code"), 4 * m).bitwiseAND(lit(15L)).cast("int") + 1)
         }.reduce(_ + _)
         struct(lit(qid).as("q_id"), adc.as("adc"))
       }
-      val wAdc = Window.partitionBy(col("q_id"))
-        .orderBy(col("approx_d2"), col("neighbor_id"))
+      // k-bounded shortlist via TopKAgg, NOT a window: row_number over
+      // PARTITION BY q_id would shuffle every (query × corpus) scored
+      // row to one of only |queries| reducers and sort there; the
+      // aggregate folds to ≤ shortlist rows per query map-side. Scores
+      // are q4-quantized BEFORE ranking, so the (-d2, id) total order
+      // is identical to the oracle's row_number tie-break.
+      val topk = graft.functions.TopKAgg.udaf(shortlist)
       val short = codes
         .select(col("vec_id"), explode(array(perQuery: _*)).as("s"))
         .select(col("s.q_id").as("q_id"), col("vec_id").as("neighbor_id"),
-          round(col("s.adc"), 4).as("approx_d2"))
+          LlmOps.q4(col("s.adc")).as("approx_d2"))
         .filter(col("neighbor_id") =!= col("q_id"))
-        .withColumn("rn", row_number().over(wAdc))
-        .filter(col("rn") <= shortlist)
-        .select(col("q_id"), col("neighbor_id"))
+        .groupBy(col("q_id"))
+        .agg(topk(-col("approx_d2"), col("neighbor_id")).as("top"))
+        .select(col("q_id"), explode(col("top")).as("item"))
+        .select(col("q_id"), col("item.id").as("neighbor_id"))
       // exact re-rank: raw vectors re-attach for shortlist rows only
       val exactD2 = aggregate(
         zip_with(col("qv"), col("v"), (a, b) => (a - b) * (a - b)),
@@ -213,12 +303,13 @@ object ProductQuant {
       short
         .join(n.select(col("vec_id").as("neighbor_id"), col("v")), "neighbor_id")
         .join(broadcast(queries), "q_id")
-        .withColumn("d2", round(exactD2, 4))
+        .withColumn("d2", LlmOps.q4(exactD2))
         .withColumn("rn", row_number().over(wExact))
         .filter(col("rn") <= 3)
         .select(col("q_id"), col("rn"), col("neighbor_id"), col("d2"))
         .orderBy("q_id", "rn")
-    })
+    },
+    oracleGen = Some(pqOracleSql))
 
   /** Banded semantic near-dup pairs over a compressed index: candidate
     * pairs agree on a 16-bit HALF of the packed code (two bands of 4
@@ -250,7 +341,7 @@ object ProductQuant {
         col("nrm").as("kn")), "keep_id")
       .join(normed.select(col("vec_id").as("prune_id"), col("v"), col("nrm")),
         "prune_id")
-      .withColumn("cosine", round(cosine, 4))
+      .withColumn("cosine", LlmOps.q4(cosine))
       .filter(col("cosine") >= tau)
       .select(col("keep_id"), col("prune_id"), col("cosine"))
   }
@@ -265,10 +356,14 @@ object ProductQuant {
     * duplicates in ProductQuantSpec. Always two rows (one per band) —
     * never vacuously empty.
     *
-    * Rows-only (code geometry is seed-specific). */
+    * ORACLE-PAIRED since round 9: the band keys are pure arithmetic
+    * over the argmin codeword ids (band 0 = low 16 bits = subspaces
+    * 0–3, band 1 = high 16 = subspaces 4–7), so the generated SQL
+    * re-derives them as c0 + 16·c1 + 256·c2 + 4096·c3 over the same
+    * codes CTE the PQ oracle uses ([[pqAuditOracleSql]]). */
   private val pqCodeDedup = GraftQuery(
     "llm_e2_pq_dedup_audit",
-    "PQ half-code band occupancy + verified near-dup count audit (E2, approx)",
+    "PQ half-code band occupancy + verified near-dup count audit (E2)",
     None,
     (s, dir) => {
       val n = embeddings(s, dir)
@@ -295,7 +390,55 @@ object ProductQuant {
         .select(col("band"), col("n_cells"), col("max_cell"),
           col("n_cand_pairs"), col("n_dup_pairs"))
         .orderBy("band")
-    })
+    },
+    oracleGen = Some(pqAuditOracleSql))
+
+  /** The dedup-audit pipeline as generated ANSI SQL — band keys, cell
+    * stats, and the cosine-verified dup count over the same codes CTE
+    * as [[pqOracleSql]]. The m·(m−1)/2 pair count divides a BIGINT by
+    * 2 — float division in both engines (Spark integral `/` and DuckDB
+    * `/` both promote to double), exact for these magnitudes, then cast
+    * back to BIGINT. */
+  private def pqAuditOracleSql(s: SparkSession, dir: String): String = {
+    val cb = graft.SessionMemo.value(s, dir, "pq_codebooks") {
+      trainCodebooks(s, dir)
+    }
+    val cosine = LlmOps.q4Sql(
+      LlmOps.sqlDotCols("na.v", "nb.v") + " / (na.nrm * nb.nrm)")
+    s"""${LlmOps.sqlNormedCte},
+      codes AS (
+        SELECT vec_id, ${sqlCodeCols(cb)}
+        FROM e),
+      banded AS (
+        SELECT vec_id, 0 AS band,
+               CAST(c0 + 16 * c1 + 256 * c2 + 4096 * c3 AS BIGINT) AS key
+        FROM codes
+        UNION ALL
+        SELECT vec_id, 1,
+               CAST(c4 + 16 * c5 + 256 * c6 + 4096 * c7 AS BIGINT)
+        FROM codes),
+      cells AS (
+        SELECT band, key, count(*) AS m FROM banded GROUP BY band, key),
+      cellstats AS (
+        SELECT band, count(*) AS n_cells, max(m) AS max_cell,
+               CAST(sum(m * (m - 1) / 2) AS BIGINT) AS n_cand_pairs
+        FROM cells GROUP BY band),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS keep_id, b.vec_id AS prune_id
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+      dup AS (
+        SELECT count(*) AS n_dup_pairs FROM (
+          SELECT $cosine AS cosine
+          FROM cand c
+          JOIN n na ON c.keep_id = na.vec_id
+          JOIN n nb ON c.prune_id = nb.vec_id)
+        WHERE cosine >= 0.4)
+      SELECT band, n_cells, max_cell, n_cand_pairs,
+             (SELECT n_dup_pairs FROM dup) AS n_dup_pairs
+      FROM cellstats
+      ORDER BY band"""
+  }
 
   private val ivfCells = 16
   private[llmops] val ivfProbes = 4
@@ -393,62 +536,63 @@ object ProductQuant {
     * At 100 TB: a billion-vector index is 4 GB of codes + 12 B of cell
     * ids per vector; a query touches probes/cells ≈ 25% of it here, and
     * production tunes cells up (√N cells → ~0.4% scanned at 1e9 rows)
-    * with the identical plan shape. Rows-only (cell and codeword
-    * geometry are seed-specific); ProductQuantSpec asserts recall
-    * against the exact top-10 and the scan-pruning fraction. */
+    * with the identical plan shape. ORACLE-PAIRED since round 9: cell
+    * assignment, residual encode, and the per-(query, probe) ADC scan
+    * are all argmin/arithmetic over deterministic driver-side constants,
+    * so the generated SQL ([[ivfPqOracleSql]]) re-derives the whole
+    * pipeline with the same literals. ProductQuantSpec keeps the
+    * independent recall and scan-pruning assertions. */
+  private def nearestCells(cs: Array[Array[Double]], qv: Array[Double]): Seq[Int] =
+    cs.zipWithIndex.map { case (c, i) => (subD2(qv, 0, c), i) }
+      .sortBy(_._1).take(ivfProbes).map(_._2).toSeq
+
   private val ivfPqTopK = GraftQuery(
     "llm_e3_ivfpq_topk",
-    "IVF cell pruning + PQ ADC compressed scan + exact re-rank ANN top-3 (E3, approx)",
+    "IVF cell pruning + PQ ADC compressed scan + exact re-rank ANN top-3 (E3)",
     None,
     (s, dir) => {
       val n = embeddings(s, dir)
       val (indexed, cs, cb) = ivfPqIndex(s, dir)
       val queries = n.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("v").as("qv"))
-      val qVecs = graft.SessionMemo.value(s, dir, "pq_query_vecs") {
-        queries.collect()
-          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
-      }
-      def nearestCells(qv: Array[Double]): Seq[Int] =
-        cs.zipWithIndex.map { case (c, i) =>
-          var d = 0.0; var j = 0
-          while (j < qv.length) { val t = qv(j) - c(j); d += t * t; j += 1 }
-          (d, i)
-        }.sortBy(_._1).take(ivfProbes).map(_._2).toSeq
       // residual coding makes the ADC LUT per-(query, probe cell): the
       // query's residual against EACH probed centroid gets its own
       // 8×16 table (FAISS's IVFPQ search shape). 10 queries × 4 probes
-      // of driver arithmetic; each (query, cell) struct carries its
-      // cell id, so the HOF filter below doubles as the probe match.
-      val perQuery = qVecs.flatMap { case (qid, qv) =>
-        nearestCells(qv).map { cell =>
+      // of driver arithmetic, shipped as a 40-row BROADCAST probe table
+      // whose LUTs ride as array columns. The cell-id equi-join IS the
+      // probe match, and — unlike the earlier filter()-HOF spelling,
+      // whose interpreted lambda eagerly evaluated all 40 ADC structs
+      // per corpus row before discarding the non-matches (measured 2.1s
+      // warm) — the ADC sum here is computed only for the ~probes/cells
+      // fraction of (row, query) pairs that survive the join, entirely
+      // inside whole-stage codegen (element_at over the joined array
+      // columns).
+      import s.implicits._
+      val probes = queryVecs(s, dir).flatMap { case (qid, qv) =>
+        nearestCells(cs, qv).map { cell =>
           val rq = Array.tabulate(qv.length)(i => qv(i) - cs(cell)(i))
-          val adc = (0 until M).map { m =>
-            val lut = cb(m).map { cw =>
-              var d = 0.0; var i = 0
-              while (i < subDim) { val t = rq(m * subDim + i) - cw(i); d += t * t; i += 1 }
-              d
-            }
-            element_at(array(lut.map(lit): _*),
-              shiftright(col("code"), 4 * m).bitwiseAND(lit(15L)).cast("int") + 1)
-          }.reduce(_ + _)
-          struct(lit(qid).as("q_id"), lit(cell).as("pcell"), adc.as("adc"))
+          val luts = (0 until M).map(m => cb(m).map(cw => subD2(rq, m * subDim, cw)))
+          (qid, cell, luts(0), luts(1), luts(2), luts(3),
+            luts(4), luts(5), luts(6), luts(7))
         }
-      }
-      val wAdc = Window.partitionBy(col("q_id"))
-        .orderBy(col("approx_d2"), col("neighbor_id"))
+      }.toSeq.toDF("q_id", "pcell", "lut0", "lut1", "lut2", "lut3",
+        "lut4", "lut5", "lut6", "lut7")
+      val adc = (0 until M).map { m =>
+        element_at(col(s"lut$m"),
+          shiftright(col("code"), 4 * m).bitwiseAND(lit(15L)).cast("int") + 1)
+      }.reduce(_ + _)
+      // k-bounded shortlist via TopKAgg (same rationale + tie-break
+      // equivalence as in [[pqTopK]])
+      val topk = graft.functions.TopKAgg.udaf(shortlist)
       val short = indexed
-        // HOF filter BEFORE explode: a row fans out only to the
-        // (query, probe) structs whose cell matches the row's cell
-        .select(col("vec_id"),
-          explode(filter(array(perQuery: _*),
-            x => x.getField("pcell") === col("cell"))).as("s"))
-        .select(col("s.q_id").as("q_id"), col("vec_id").as("neighbor_id"),
-          round(col("s.adc"), 4).as("approx_d2"))
+        .join(broadcast(probes), col("cell") === col("pcell"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"),
+          LlmOps.q4(adc).as("approx_d2"))
         .filter(col("neighbor_id") =!= col("q_id"))
-        .withColumn("rn", row_number().over(wAdc))
-        .filter(col("rn") <= shortlist)
-        .select(col("q_id"), col("neighbor_id"))
+        .groupBy(col("q_id"))
+        .agg(topk(-col("approx_d2"), col("neighbor_id")).as("top"))
+        .select(col("q_id"), explode(col("top")).as("item"))
+        .select(col("q_id"), col("item.id").as("neighbor_id"))
       val exactD2 = aggregate(
         zip_with(col("qv"), col("v"), (a, b) => (a - b) * (a - b)),
         lit(0.0), (acc, x) => acc + x)
@@ -457,12 +601,76 @@ object ProductQuant {
       short
         .join(n.select(col("vec_id").as("neighbor_id"), col("v")), "neighbor_id")
         .join(broadcast(queries), "q_id")
-        .withColumn("d2", round(exactD2, 4))
+        .withColumn("d2", LlmOps.q4(exactD2))
         .withColumn("rn", row_number().over(wExact))
         .filter(col("rn") <= 3)
         .select(col("q_id"), col("rn"), col("neighbor_id"), col("d2"))
         .orderBy("q_id", "rn")
-    })
+    },
+    oracleGen = Some(ivfPqOracleSql))
+
+  /** The IVF-PQ pipeline as generated ANSI SQL — the composition of
+    * [[LlmOps.ivfCellStructsSql]] (coarse cell), a residual projection
+    * against the selected centroid literal, [[sqlCodeCols]] over the
+    * residual, and one ADC UNION branch per (query, probe cell) with
+    * its own LUT literal — filtered to that cell's rows, exactly like
+    * the Spark HOF-filter fan-out. */
+  private def ivfPqOracleSql(s: SparkSession, dir: String): String = {
+    val cs = ivfCentroids(s, dir)
+    val cb = residualCodebooks(s, dir, cs)
+    val centroidList = cs.map(_.map(java.lang.Double.toString)
+      .mkString("[", ", ", "]")).mkString("[", ",\n          ", "]")
+    val branches = queryVecs(s, dir).flatMap { case (qid, qv) =>
+      nearestCells(cs, qv).map { cell =>
+        val rq = Array.tabulate(qv.length)(i => qv(i) - cs(cell)(i))
+        val adc = (0 until M).map { m =>
+          val lut = cb(m).map(cw => subD2(rq, m * subDim, cw))
+            .map(java.lang.Double.toString).mkString("[", ", ", "]")
+          s"list_extract($lut, c$m + 1)"
+        }.mkString("(", "\n                 + ", ")")
+        s"SELECT CAST($qid AS BIGINT) AS q_id, vec_id AS neighbor_id, " +
+          s"${LlmOps.q4Sql(adc)} AS approx_d2\n" +
+          s"        FROM rcodes WHERE cell = $cell AND vec_id <> $qid"
+      }
+    }.mkString("\n        UNION ALL ")
+    s"""${LlmOps.sqlNormedCte},
+      asgn AS (
+        SELECT vec_id, v,
+               list_min(${LlmOps.ivfCellStructsSql(cs)}).cell AS cell
+        FROM e),
+      res AS (
+        SELECT vec_id, cell,
+               list_transform(
+                 list_zip(v, list_extract($centroidList, cell + 1)),
+                 p -> p[1] - p[2]) AS r
+        FROM asgn),
+      rcodes AS (
+        SELECT vec_id, cell, ${sqlCodeCols(cb, "r")}
+        FROM res),
+      scored AS (
+        $branches),
+      short AS (
+        SELECT q_id, neighbor_id FROM (
+          SELECT q_id, neighbor_id,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY approx_d2, neighbor_id) AS srn
+          FROM scored)
+        WHERE srn <= $shortlist),
+      rerank AS (
+        SELECT s.q_id, s.neighbor_id,
+               ${LlmOps.q4Sql(sqlL2d2("q.v", "c.v"))} AS d2
+        FROM short s
+        JOIN e c ON s.neighbor_id = c.vec_id
+        JOIN e q ON s.q_id = q.vec_id),
+      ranked AS (
+        SELECT q_id, neighbor_id, d2,
+               CAST(row_number() OVER (PARTITION BY q_id
+                                       ORDER BY d2, neighbor_id) AS INT) AS rn
+        FROM rerank)
+      SELECT q_id, rn, neighbor_id, d2
+      FROM ranked WHERE rn <= 3
+      ORDER BY q_id, rn"""
+  }
 
   def queries: Seq[GraftQuery] = Seq(pqTopK, pqCodeDedup, ivfPqTopK)
 }
