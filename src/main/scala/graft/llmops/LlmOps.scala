@@ -295,7 +295,14 @@ object LlmOps {
   }
 
   /** MinHash signature columns h0..h15: min over the doc's shingles of
-    * each [[mhHash]] family. */
+    * each [[mhHash]] family, hashed INLINE per (doc, shingle) index row.
+    * A hash-each-distinct-shingle-once + join-back variant was measured
+    * (round 9, sf0.1 isolate, median-of-3): 6.15s vs 4.33s for this
+    * spelling — the distinct + join add two wide string-keyed shuffles
+    * to save map-side md5 work that 32 cores absorb in parallel (4
+    * digests/row via partial-agg CSE, zero shuffle). Per-occurrence
+    * hashing is also the 100 TB-safe choice: compute scales out with
+    * executors, shuffles don't. */
   private def minhashSignatures(sh: DataFrame): DataFrame = {
     val aggs = (0 until minhashK).map(j => min(mhHash(j)).as(s"h$j"))
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
