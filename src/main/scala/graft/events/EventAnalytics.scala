@@ -617,10 +617,67 @@ object EventAnalytics {
         .orderBy("user_id")
     })
 
+  /** Per-rule violation counts over any frame carrying the event
+    * columns — the aggregation core of [[qualityGateAudit]], factored
+    * so QualityGatePropSpec can assert a MemoryStream run of
+    * [[graft.streaming.EventStreams.startQualityGate]] aggregates to
+    * exactly this. One scan: global conditional sums, then the 4-row
+    * stack via an explode over per-rule structs. */
+  private[graft] def qualityAudit(df: DataFrame): DataFrame = {
+    val rules = graft.streaming.EventStreams.eventRules
+    val tagged = graft.streaming.EventStreams.withViolations(df)
+    val aggs = count(lit(1)).as("n_rows") +:
+      rules.zipWithIndex.map { case ((name, _, _), i) =>
+        sum(when(array_contains(col("violations"), name), 1L).otherwise(0L))
+          .as(s"v$i")
+      }
+    val stacked = rules.zipWithIndex.map { case ((name, _, _), i) =>
+      struct(lit(name).as("rule"), col(s"v$i").as("n_violations"))
+    }
+    tagged.agg(aggs.head, aggs.tail: _*)
+      .select(col("n_rows"), explode(array(stacked: _*)).as("e"))
+      .select(col("e.rule").as("rule"), col("e.n_violations").as("n_violations"),
+        col("n_rows"),
+        (col("e.n_violations").cast("double") / col("n_rows")).as("violation_share"))
+      .orderBy("rule")
+  }
+
+  /** Batch twin of the streaming quality gate (§2.10): classify every
+    * event against [[graft.streaming.EventStreams.eventRules]] and
+    * aggregate violations by rule — always one row per rule (zero
+    * counts included), so the audit is never vacuously empty. The
+    * oracle SQL is GENERATED from the same rule list's ANSI twins, so
+    * rule names/semantics cannot drift between the gate, this audit,
+    * and the oracle. violation_share is a single division of two exact
+    * counts — cross-engine exact. */
+  private val qualityGateAudit = GraftQuery(
+    "e5_quality_gate_audit",
+    "quality-gate rule audit: per-rule violation counts + share over events (E5/§2.10 batch twin of startQualityGate)",
+    Some {
+      val rules = graft.streaming.EventStreams.eventRules
+      val sums = rules.zipWithIndex.map { case ((_, _, sqlPred), i) =>
+        s"CAST(SUM(CASE WHEN NOT coalesce($sqlPred, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v$i"
+      }.mkString(",\n               ")
+      val stack = rules.zipWithIndex.map { case ((name, _, _), i) =>
+        s"SELECT '$name' AS rule, v$i AS n_violations, n_rows FROM agg"
+      }.mkString("\n        UNION ALL ")
+      s"""
+      WITH agg AS (
+        SELECT count(*) AS n_rows,
+               $sums
+        FROM events)
+      SELECT rule, n_violations, n_rows,
+             CAST(n_violations AS DOUBLE) / n_rows AS violation_share
+      FROM (
+        $stack)
+      ORDER BY rule"""
+    },
+    (s, dir) => qualityAudit(events(s, dir)))
+
   def queries: Seq[GraftQuery] =
     Seq(hourly, sessionize, sessionHistogram, jsonProps, funnel, sessionWindowQ, asof,
       asofNearest,
       jsonRoundtrip, hourlySalted, windowAnalytics, rangeJoin, sketches,
       sketchExactTwin, cohortRetention,
-      rfm)
+      rfm, qualityGateAudit)
 }

@@ -72,22 +72,28 @@ object EventStreams {
 
   /** Row-level data-quality rules for the event stream — the streaming
     * twin of the batch `q_constraint_audit` (which verifies a published
-    * TABLE; this gates rows at INGEST). Each rule is a named Column
-    * predicate; a row's `violations` array lists every rule it fails
-    * (coalesce-to-false so a NULL predicate — e.g. a range rule over a
-    * NULL value — counts as a violation rather than silently passing). */
-  private[streaming] val eventRules: Seq[(String, org.apache.spark.sql.Column)] = Seq(
-    "value_non_negative" -> (col("value").isNotNull && col("value") >= 0),
-    "known_event_type" ->
+    * TABLE; this gates rows at INGEST). Each rule is (name, Column
+    * predicate, ANSI-SQL twin of the predicate) — the SQL twin feeds
+    * the oracle of the batch audit query (`e5_quality_gate_audit`), so
+    * rule names and semantics have ONE definition; a row's `violations`
+    * array lists every rule it fails (coalesce-to-false so a NULL
+    * predicate — e.g. a range rule over a NULL value — counts as a
+    * violation rather than silently passing; the SQL twin relies on
+    * the same three-valued semantics via NOT coalesce(pred, FALSE)). */
+  private[graft] val eventRules: Seq[(String, org.apache.spark.sql.Column, String)] = Seq(
+    ("value_non_negative", col("value").isNotNull && col("value") >= 0,
+      "value IS NOT NULL AND value >= 0"),
+    ("known_event_type",
       col("event_type").isin("click", "error", "purchase", "signup", "view"),
-    "user_present" -> col("user_id").isNotNull,
-    "ts_present" -> col("ts").isNotNull)
+      "event_type IN ('click', 'error', 'purchase', 'signup', 'view')"),
+    ("user_present", col("user_id").isNotNull, "user_id IS NOT NULL"),
+    ("ts_present", col("ts").isNotNull, "ts IS NOT NULL"))
 
   /** Append a `violations: array<string>` column naming every failed
     * rule. Pure projection — binds identically in batch and streaming. */
   def withViolations(df: DataFrame): DataFrame =
     df.withColumn("violations", array_compact(array(eventRules.map {
-      case (name, cond) => when(!coalesce(cond, lit(false)), lit(name))
+      case (name, cond, _) => when(!coalesce(cond, lit(false)), lit(name))
     }: _*)))
 
   /** Streaming QUALITY GATE with a dead-letter queue: every micro-batch

@@ -64,4 +64,43 @@ class QualityGatePropSpec extends SparkSpec {
       nGood + nBad shouldBe rows.size.toLong
     }
   }
+
+  test("a MemoryStream gate run aggregates to exactly the batch-twin audit") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val goodDir = java.nio.file.Files.createTempDirectory("graft_gate_prop_good").toString
+    val quarDir = java.nio.file.Files.createTempDirectory("graft_gate_prop_quar").toString
+    val rows = Gen.listOfN(60, evGen)(Gen.Parameters.default, Seed(4242L)).get
+      .zipWithIndex.map { case ((ts, uid, et, value), i) =>
+        Ev(i.toLong, ts, uid, et, value, "{}")
+      }
+    val stream = MemoryStream[Ev]
+    // two micro-batches, so the comparison spans a batch boundary
+    stream.addData(rows.take(25))
+    val q = EventStreams.startQualityGate(stream.toDF(), goodDir, quarDir)
+    q.processAllAvailable()
+    stream.addData(rows.drop(25))
+    q.processAllAvailable(); q.stop()
+    // quarantine rows (one per (row, rule)) aggregated by rule ==
+    // the batch-twin audit of the same rows (e5_quality_gate_audit's
+    // aggregation core), zero-count rules included
+    val streamed = spark.read.parquet(s"$quarDir/*")
+      .groupBy(col("rule")).count()
+      .as[(String, Long)].collect().toMap
+    val audited = graft.events.EventAnalytics.qualityAudit(rows.toDF())
+      .select(col("rule"), col("n_violations"))
+      .as[(String, Long)].collect().toMap
+    audited.keySet shouldBe EventStreams.eventRules.map(_._1).toSet
+    audited.foreach { case (rule, n) =>
+      withClue(s"rule $rule: ") {
+        streamed.getOrElse(rule, 0L) shouldBe n
+      }
+    }
+    // and the gate's good/quarantine split reconciles with the audit:
+    // good rows + distinct quarantined rows == input rows
+    val nGood = spark.read.parquet(s"$goodDir/*").count()
+    val nQuarRows = spark.read.parquet(s"$quarDir/*")
+      .select(col("event_id")).distinct().count()
+    nGood + nQuarRows shouldBe rows.size.toLong
+  }
 }
