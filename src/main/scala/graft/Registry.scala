@@ -46,6 +46,20 @@ object T {
     * (warehouse.dir is a STATIC conf, set only at session build). */
   def warehouseDir: String = s"${sys.props("java.io.tmpdir")}/graft_warehouse"
 
+  /** Deterministic 16-hex-char md5 key for a data dir — the ONE scoping
+    * key for per-dir scratch paths (Parity/Formats/Layout) and
+    * session-global temp-view names (Multiset). `hashCode` or a lossy
+    * character sanitization (`replaceAll("[^A-Za-z0-9]", "_")`) can
+    * collide two distinct dirs onto one key — e.g. `/a.b` and `/a_b` —
+    * recreating exactly the same-session cross-dir race these keys
+    * exist to prevent; md5 of the full path cannot in practice.
+    * Deliberately deterministic per dir: round-trip queries re-read
+    * their own previous write. */
+  def scratchKey(dir: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    d.digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+  }
+
   /** Table frames are memoized per (session, dir, name): `spark.read
     * .parquet` runs a footer/schema-inference job at CONSTRUCTION time,
     * so without the memo every one of the 139 registry queries pays
@@ -108,9 +122,17 @@ object T {
     * outputs: Spark rounds HALF_UP over the exact BigDecimal expansion
     * of the double while DuckDB rounds after a lossy multiply, so a
     * value within an ulp of a half-step boundary can flip in one
-    * engine only. Rounds half-up for non-negative inputs (every
-    * current caller's domain); for decimal-ORIGIN values (already
-    * exact at the target scale) plain round() is an identity and fine. */
+    * engine only. Rounding convention: half-up for non-negative
+    * inputs; for NEGATIVE inputs (cosines can be negative) the
+    * `% 1.0` truncates the +0.5-shifted value TOWARD ZERO, which is
+    * not nearest rounding — e.g. −0.12349 quantizes to −0.1234, up to
+    * one full step from nearest. That bias is identical in both
+    * engines (same ops, same order) and strictly monotone, so
+    * cross-engine parity and every ranking built on quantized values
+    * are unaffected; only the absolute reported value of a negative
+    * quantity carries the ≤1-step skew. For decimal-ORIGIN values
+    * (already exact at the target scale) plain round() is an identity
+    * and fine. */
   def quantize(c: Column, scale: Double): Column = {
     val y = c * lit(scale) + lit(0.5)
     (y - (y % lit(1.0))) / lit(scale)

@@ -27,15 +27,9 @@ import org.apache.spark.sql.types._
   */
 object Parity {
 
-  /** Deterministic scratch-dir key for a testdata dir: 16 md5 hex chars
-    * of the path. Replaces `math.abs(dir.hashCode)`, which could
-    * collide two distinct dirs into one shared corpus (and renders
-    * negative for Int.MinValue). Deliberately deterministic per dir —
-    * the round-trip queries re-read their own previous write. */
-  private def scratchKey(dir: String): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-    d.digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
-  }
+  /** Deterministic scratch-dir key for a testdata dir — the shared
+    * [[graft.T.scratchKey]] (16 md5 hex chars of the full path). */
+  private def scratchKey(dir: String): String = T.scratchKey(dir)
 
   // ---------------------------------------------------------------------
   // Spark side

@@ -113,22 +113,31 @@ object ReportSink {
         rowsPerPage), body.size)
     }.map { case (src, bytes, n) =>
       // sanitized name (a source containing '/' must not escape
-      // outDir) and write-then-atomic-rename: Files.write truncates in
-      // place, so a concurrent speculative/zombie attempt could expose
-      // interleaved bytes to a reader; the rename makes publication
-      // all-or-nothing and last-writer-wins
-      val safe = src.replaceAll("[^A-Za-z0-9._-]", "_")
+      // outDir) PLUS an md5-derived suffix of the RAW source name:
+      // sanitization alone is lossy ('a/b' and 'a_b' both sanitize to
+      // 'a_b'), and two distinct sources mapping to one path would
+      // silently last-writer-wins-merge their reports. Then
+      // write-then-atomic-rename: Files.write truncates in place, so a
+      // concurrent speculative/zombie attempt could expose interleaved
+      // bytes to a reader; the rename makes publication all-or-nothing
+      // and last-writer-wins PER SOURCE. The temp file is deleted on
+      // any failure between create and move, so failed attempts cannot
+      // leak '.<name>*.tmp' files into outDir.
+      val safe = src.replaceAll("[^A-Za-z0-9._-]", "_") +
+        "-" + graft.T.scratchKey(src).take(8)
       val target = java.nio.file.Paths.get(outDir, s"$safe.pdf")
       val tmp = java.nio.file.Files.createTempFile(
         java.nio.file.Paths.get(outDir), s".$safe", ".tmp")
-      java.nio.file.Files.write(tmp, bytes)
-      try java.nio.file.Files.move(tmp, target,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
-        java.nio.file.Files.move(tmp, target,
+      try {
+        java.nio.file.Files.write(tmp, bytes)
+        try java.nio.file.Files.move(tmp, target,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      }
+        catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+          java.nio.file.Files.move(tmp, target,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+      } finally java.nio.file.Files.deleteIfExists(tmp)
       n.toLong
     }.agg(coalesce(sum(col("value")), lit(0L))).as[Long].head()
   }

@@ -186,7 +186,7 @@ object Graph {
         JOIN e e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
       ne AS (SELECT COUNT(*) AS n_edges FROM e)
       SELECT ne.n_edges, w.n_wedges, t.n_triangles,
-             CAST(3.0 * t.n_triangles / w.n_wedges AS DOUBLE) AS clustering_coeff
+             CAST(3.0 * t.n_triangles / NULLIF(w.n_wedges, 0) AS DOUBLE) AS clustering_coeff
       FROM ne, w, t"""),
     (s, dir) => {
       // deterministic global top-K over the shared weighted pair frame
@@ -217,8 +217,15 @@ object Graph {
         .agg(count(lit(1)).as("n_triangles"))
       nEdges.crossJoin(broadcast(nWedges)).crossJoin(broadcast(nTriangles))
         .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
-          (lit(3.0) * col("n_triangles") / col("n_wedges"))
-            .cast("double").as("clustering_coeff"))
+          // zero-wedge guard (degenerate backbone, e.g. a perfect
+          // matching): Spark's non-ANSI x/0 yields NULL while DuckDB's
+          // IEEE double division yields Inf/NaN — NULLIF in the oracle
+          // + an explicit null here keep the engines aligned (the same
+          // safeDiv discipline as Profile.scala). Unreachable on real
+          // co-supply data; latent cross-engine divergence otherwise.
+          when(col("n_wedges") === 0, lit(null).cast("double"))
+            .otherwise((lit(3.0) * col("n_triangles") / col("n_wedges"))
+              .cast("double")).as("clustering_coeff"))
     })
 
   def queries: Seq[GraftQuery] = Seq(pagerank, triangleCensus)

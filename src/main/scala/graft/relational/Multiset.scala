@@ -225,11 +225,13 @@ object Multiset {
       ) l
       ORDER BY r.r_name, l.n_custs DESC, l.n_name"""),
     (s, dir) => {
-      // view names scoped by the sanitized dir: session temp views are
-      // session-global, so fixed names would let two run() calls with
-      // different dirs in ONE session race createOrReplace against the
-      // other call's analysis
-      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      // view names scoped by the md5-derived dir key (T.scratchKey —
+      // a sanitized dir string is LOSSY: '/a.b' and '/a_b' would map
+      // to the same tag): session temp views are session-global, so
+      // colliding names would let two run() calls with different dirs
+      // in ONE session race createOrReplace against the other call's
+      // analysis
+      val tag = graft.T.scratchKey(dir)
       T(s, dir, "region").createOrReplaceTempView(s"graft_lat_region_$tag")
       T(s, dir, "nation").createOrReplaceTempView(s"graft_lat_nation_$tag")
       T(s, dir, "customer").createOrReplaceTempView(s"graft_lat_customer_$tag")

@@ -29,14 +29,11 @@ object Formats {
   private def scratchRoot: String =
     s"${sys.props("java.io.tmpdir")}/graft_formats_p${ProcessHandle.current().pid()}"
 
-  /** Scratch path for `sub` under `dir`'s dataset: keyed by 16 md5 hex
-    * chars of the full dir (hashCode could collide two dirs onto one
+  /** Scratch path for `sub` under `dir`'s dataset: keyed by the shared
+    * [[graft.T.scratchKey]] (hashCode could collide two dirs onto one
     * path, silently serving one SF's rows to the other's lazy read). */
-  private def scratch(dir: String, sub: String): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-    val key = d.digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
-    s"$scratchRoot/${sub}_$key"
-  }
+  private def scratch(dir: String, sub: String): String =
+    s"$scratchRoot/${sub}_${graft.T.scratchKey(dir)}"
 
   /** Delete this process's format-scratch tree — wired into the
     * harness/test teardown beside Relational.dropBucketedTables so

@@ -31,13 +31,11 @@ object Layout {
 
   private[graft] def partitionedDocs(s: SparkSession, dir: String): String =
     written.computeIfAbsent(dir, { _ =>
-      // path keyed by 16 md5 hex chars of the FULL dir, matching the
-      // memo key: dir.hashCode could collide two dirs onto one path
-      // while the map treats them as distinct — the second write would
-      // silently overwrite the first dir's layout
-      val d = java.security.MessageDigest.getInstance("MD5")
-      val key = d.digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
-      val path = s"$layoutRoot/$key/docs_by_lang"
+      // path keyed by the shared T.scratchKey (16 md5 hex of the FULL
+      // dir), matching the memo key: dir.hashCode could collide two
+      // dirs onto one path while the map treats them as distinct — the
+      // second write would silently overwrite the first dir's layout
+      val path = s"$layoutRoot/${T.scratchKey(dir)}/docs_by_lang"
       T(s, dir, "documents")
         .write.mode("overwrite").partitionBy("lang").parquet(path)
       path

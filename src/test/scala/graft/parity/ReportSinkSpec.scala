@@ -55,10 +55,18 @@ class ReportSinkSpec extends SparkSpec {
     val n = ReportSink.writeFlaggedPdfReports(ann, out)
     n shouldBe 30L // 28 single-tag + 2 tags for doc 100
 
+    // published names are "<sanitized>-<8-hex md5 of raw source>.pdf"
+    // (the hash keeps distinct sources distinct after lossy sanitizing)
+    def published(src: String): Seq[java.nio.file.Path] =
+      Files.list(Paths.get(out)).iterator().asScala
+        .filter(_.getFileName.toString.matches(s"$src-[0-9a-f]{8}\\.pdf"))
+        .toSeq
     // flagged-only gating
-    Files.exists(Paths.get(s"$out/fileB.pdf")) shouldBe false
+    published("fileB") shouldBe empty
 
-    val bytes = Files.readAllBytes(Paths.get(s"$out/fileA.pdf"))
+    val fileA = published("fileA")
+    fileA should have size 1
+    val bytes = Files.readAllBytes(fileA.head)
     val pdf = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
     // structural validity: header, trailer, and an xref whose startxref
     // offset points AT the xref table

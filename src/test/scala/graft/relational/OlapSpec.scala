@@ -127,6 +127,37 @@ class OlapSpec extends SparkSpec {
       groups.map(r => BigInt(r.getString(2))).sum
   }
 
+  test("drilldown localizes a planted single-key mutation to exactly its bucket") {
+    // the operational merkle claim: if one row diverges between the two
+    // sides of a copy, the drilldown must flag EXACTLY the bucket
+    // containing it (l_orderkey % 256) and leave the other 255
+    // checksums byte-identical — anything else (bucket key drift, a
+    // non-additive hash, an order-sensitive sum) breaks the descent
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val victim = li
+      .selectExpr("CAST(l_orderkey AS BIGINT) AS k", "CAST(l_linenumber AS BIGINT) AS ln")
+      .orderBy("k", "ln").limit(1).collect().head
+    val (vOrder, vLine) = (victim.getLong(0), victim.getLong(1))
+    // mutate every row of that (orderkey, linenumber) key — the synthetic
+    // data reuses line numbers, but all mutated rows share l_orderkey, so
+    // the blast radius is still exactly one bucket
+    val tmp = java.nio.file.Files.createTempDirectory("graft_merkle").toString
+    li.withColumn("l_extendedprice",
+        when(col("l_orderkey") === vOrder && col("l_linenumber") === vLine,
+          col("l_extendedprice") + 1000.0).otherwise(col("l_extendedprice")))
+      .write.parquet(s"$tmp/lineitem.parquet")
+    def byBucket(dir: String): Map[Long, (Long, String)] =
+      Registry.byName("q_fingerprint_drilldown").run(spark, dir).collect()
+        .map(r => r.getLong(0) -> (r.getAs[Long]("n_rows"), r.getString(2))).toMap
+    val clean = byBucket(sfDir)
+    val dirty = byBucket(tmp)
+    dirty.keySet shouldBe clean.keySet
+    // row counts are untouched everywhere (a mutation, not an insert)
+    clean.foreach { case (b, (n, _)) => dirty(b)._1 shouldBe n }
+    val changed = clean.keySet.filter(b => dirty(b)._2 != clean(b)._2)
+    changed shouldBe Set(vOrder % 256)
+  }
+
   test("constraint audit: one row per rule; structural rules hold on testdata") {
     val rows = run("q_constraint_audit").collect()
     rows.length shouldBe 9
