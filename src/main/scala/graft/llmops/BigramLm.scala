@@ -19,9 +19,10 @@ import org.apache.spark.sql.functions._
   * The corpus-sized bigram stream is a pure per-row posexplode — prev
   * comes from indexing the token array, NOT a lag window, so there is
   * ZERO shuffle before the vocabulary-keyed pair aggregation and the
-  * doc_id-keyed mean. Rounded to 4dp on both engines so FP
-  * summation-order ulps can't flip the oracle hash (same discipline as
-  * the unigram twin).
+  * doc_id-keyed mean. Order-insensitive by construction (same
+  * discipline as the unigram twin): each ln lands on the exact 1e-7
+  * integer grid ([[LlmOps.ln7]]) so the per-doc sum is exact in any
+  * order, and the mean is one division of exact operands before q4.
   */
 object BigramLm {
 
@@ -42,7 +43,10 @@ object BigramLm {
       c1 AS (SELECT prev, SUM(n2) AS n1 FROM c2 GROUP BY prev)
       SELECT p.doc_id,
              COUNT(*) AS n_bigrams,
-             ${LlmOps.q4Sql("avg(ln(CAST(c1.n1 AS DOUBLE)) - ln(CAST(c2.n2 AS DOUBLE)))")}
+             ${LlmOps.q4Sql(
+               s"sum(${LlmOps.ln7Sql("CAST(c1.n1 AS DOUBLE)")}" +
+                 s" - ${LlmOps.ln7Sql("CAST(c2.n2 AS DOUBLE)")})" +
+                 " / (count(*) * 10000000.0)")}
                AS avg_neg_logprob
       FROM pairs p
       JOIN c2 ON c2.prev = p.prev AND c2.tk = p.tk
@@ -71,7 +75,10 @@ object BigramLm {
         .groupBy(col("doc_id"))
         .agg(
           count(lit(1)).as("n_bigrams"),
-          LlmOps.q4(avg(log(col("n1").cast("double")) - log(col("n2").cast("double"))))
+          sum(LlmOps.ln7(col("n1").cast("double"))
+            - LlmOps.ln7(col("n2").cast("double"))).as("sum7"))
+        .select(col("doc_id"), col("n_bigrams"),
+          LlmOps.q4(col("sum7") / (col("n_bigrams") * lit(1.0e7)))
             .as("avg_neg_logprob"))
         .orderBy(col("doc_id"))
     })

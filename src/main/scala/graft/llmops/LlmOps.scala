@@ -1032,6 +1032,26 @@ object LlmOps {
   private[llmops] def q4Sql(e: String): String =
     graft.T.quantizeSql(e, "10000.0")
 
+  /** ln(c) truncated toward zero onto an exact 1e-7 integer grid —
+    * the summand for ORDER-INSENSITIVE logprob averaging: the
+    * truncated values are integer-valued doubles (ln of any count ≤
+    * ~44, so ≤ 4.4e8 ≪ 2^53), and integer-valued doubles below 2^53
+    * sum EXACTLY in any order, in any partitioning, on any engine.
+    * The per-doc mean then becomes a single division of exact
+    * operands. This removes the avg(ln(...)) risk class entirely:
+    * double summation is not associative, so a partitioning change
+    * could shift the mean by an ulp and flip the q4 boundary in one
+    * engine only. (The residual risk — Spark's Math.log and DuckDB's
+    * libm disagreeing in the last ulp exactly where ln(n)·1e7 sits
+    * within that ulp of an integer — is value-static, run-stable, and
+    * ~1e-9 per distinct count.) */
+  private[llmops] def ln7(c: Column): Column = {
+    val y = log(c) * lit(1.0e7)
+    y - (y % lit(1.0))
+  }
+  private[llmops] def ln7Sql(e: String): String =
+    s"(ln($e) * 10000000.0 - ((ln($e) * 10000000.0) % 1.0))"
+
   /** Exact brute-force cosine top-5 for a fixed query set (vec_id < 10):
     * the query side is broadcast (it is small BY CONSTRUCTION — a search
     * has few queries), the corpus is scanned once; per-query ranking is a
@@ -1804,8 +1824,13 @@ object LlmOps {
     * shape (CCNet scores docs with a KenLM; a unigram LM built from the
     * corpus itself is the exactly-computable analog with the same plan):
     * avg_neg_logprob = ln(N) - mean(ln(count(token))), higher = more
-    * surprising under the corpus distribution. Rounded to 4dp on both
-    * engines so FP summation-order ulps can't flip the oracle hash.
+    * surprising under the corpus distribution. Computed ORDER-
+    * INSENSITIVELY on both engines: each ln lands on the exact 1e-7
+    * integer grid ([[ln7]]), per-doc sums of those integer-valued
+    * doubles are exact in any order/partitioning, and the mean is ONE
+    * division of exact operands — (t7·k − Σln7) / (k·1e7) with t7·k ≤
+    * ~4e12 ≪ 2^53 — so the q4'd output cannot drift by summation
+    * order (avg(ln(...)) could: double addition is not associative).
     *
     * 100 TB shape: the term-frequency table is vocabulary-sized —
     * bounded, NOT corpus-sized — so it broadcasts (the same reasoning
@@ -1822,7 +1847,8 @@ object LlmOps {
       tot AS (SELECT sum(n) AS total FROM tf)
       SELECT doc_id,
              count(*) AS n_toks,
-             ${q4Sql("ln(tot.total) - avg(ln(tf.n))")} AS avg_neg_logprob
+             ${q4Sql(s"(${ln7Sql("tot.total")} * count(*) - sum(${ln7Sql("tf.n")}))" +
+                " / (count(*) * 10000000.0)")} AS avg_neg_logprob
       FROM tok JOIN tf USING (tk) CROSS JOIN tot
       GROUP BY doc_id, tot.total
       ORDER BY doc_id"""),
@@ -1837,10 +1863,11 @@ object LlmOps {
       val tot = tf.agg(sum(col("n")).as("total"))
       tok.join(broadcast(tf), Seq("tk"))
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_toks"), avg(log(col("n"))).as("mean_ln_n"))
+        .agg(count(lit(1)).as("n_toks"), sum(ln7(col("n"))).as("sum7"))
         .crossJoin(broadcast(tot))
         .select(col("doc_id"), col("n_toks"),
-          q4(log(col("total")) - col("mean_ln_n")).as("avg_neg_logprob"))
+          q4((ln7(col("total")) * col("n_toks") - col("sum7"))
+            / (col("n_toks") * lit(1.0e7))).as("avg_neg_logprob"))
         .orderBy("doc_id")
     })
 

@@ -186,43 +186,76 @@ object Retrieval {
     })
 
   /** Quality-score deciles WITHOUT a global sort: compute the 9 decile
-    * boundaries as one exact-percentile aggregate (1 row), broadcast
-    * them, and assign each doc `decile = 1 + #(boundaries < score)` —
-    * the scalable alternative to `ntile(10) OVER (ORDER BY score)`,
-    * whose single ORDER BY partition is the classic 100 TB scale
-    * killer. Boundary assignment is also stable under ties (equal
-    * scores always land in the same decile; ntile splits them by row
-    * position). Per-decile stats are order-insensitive (count/min/max),
-    * so no summation-order hazard.
+    * boundaries as RANK-BASED (type-1 / lower) quantiles — boundary i
+    * is the smallest score whose cumulative count reaches
+    * ceil(i·n/10) — broadcast them, and assign each doc
+    * `decile = 1 + #(boundaries < score)`; the scalable alternative to
+    * `ntile(10) OVER (ORDER BY score)`, whose single ORDER BY
+    * partition is the classic 100 TB scale killer. Boundary assignment
+    * is stable under ties (equal scores always land in the same
+    * decile; ntile splits them by row position).
     *
-    * The score is the distinct-token ratio from `llm_e4_doc_quality`
-    * (one division of exact integers — bit-identical cross-engine). */
+    * Rank-based (not interpolated) boundaries are what make the query
+    * engine-exact: an interpolated percentile lerps between two data
+    * values with engine-LOCAL arithmetic, and with heavy ties (ratio
+    * scores) the boundary lands within an ulp of a data value — a doc
+    * whose score equals that value could then flip deciles in one
+    * engine only. A rank-based boundary IS a data value (here an exact
+    * single division of two ints), so `score > boundary` compares
+    * bit-identical doubles, and the threshold ceil(i·n/10) is integer
+    * arithmetic: (i·n + 9) div 10 in both engines. The cumulative
+    * window runs over DISTINCT score values, whose count is bounded by
+    * the token-length cap (a ratio d/t with d ≤ t ≤ max_tokens), NOT
+    * by corpus size — the unpartitioned window is safe at 100 TB. */
   private val qualityDeciles = GraftQuery(
     "llm_e4_quality_deciles",
-    "quality-score deciles via broadcast percentile boundaries, no global sort (E4)",
-    Some("""
+    "quality-score deciles via broadcast rank-based boundaries, no global sort (E4)",
+    Some {
+      val bDefs = (1 to 9).map(i =>
+        s"min(CASE WHEN cum >= ($i * tot.n + 9) // 10 THEN score END) AS b$i")
+        .mkString(",\n               ")
+      val decileExpr = (1 to 9)
+        .map(i => s"(CASE WHEN q.score > b.b$i THEN 1 ELSE 0 END)")
+        .mkString("1 + ", " + ", "")
+      s"""
       WITH q AS (
         SELECT doc_id,
                CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
                  / len(string_split(text, ' ')) AS score
         FROM documents),
+      vals AS (SELECT score, count(*) AS c FROM q GROUP BY score),
+      tot AS (SELECT count(*) AS n FROM q),
+      cum AS (
+        SELECT score, sum(c) OVER (ORDER BY score
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM vals),
       b AS (
-        SELECT quantile_cont(score, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
-        FROM q)
-      SELECT 1 + len(list_filter(b.bs, x -> q.score > x)) AS decile,
+        SELECT $bDefs
+        FROM cum CROSS JOIN tot)
+      SELECT CAST($decileExpr AS BIGINT) AS decile,
              COUNT(*) AS n_docs, MIN(q.score) AS min_score, MAX(q.score) AS max_score
       FROM q CROSS JOIN b
-      GROUP BY 1 ORDER BY decile"""),
+      GROUP BY 1 ORDER BY decile"""
+    },
     (s, dir) => {
       val q = docs(s, dir).select(
         col("doc_id"),
         (size(array_distinct(toks(col("text")))).cast("double") /
           size(toks(col("text")))).as("score"))
-      val b = q.agg(expr(
-        "percentile(score, array(0.1D, 0.2D, 0.3D, 0.4D, 0.5D, 0.6D, 0.7D, 0.8D, 0.9D))").as("bs"))
+      val vals = q.groupBy(col("score")).agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("score"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val cum = vals.withColumn("cum", sum(col("c")).over(w))
+        .crossJoin(broadcast(q.agg(count(lit(1)).as("n"))))
+      val bAggs = (1 to 9).map(i =>
+        min(when(col("cum") >= expr(s"($i * n + 9) div 10"), col("score"))).as(s"b$i"))
+      val b = cum.agg(bAggs.head, bAggs.tail: _*)
+      val decile = (1 to 9)
+        .map(i => when(col("score") > col(s"b$i"), 1L).otherwise(0L))
+        .foldLeft(lit(1L))(_ + _)
       q.crossJoin(broadcast(b)) // 1-row boundary vector
-        .withColumn("decile",
-          (lit(1) + size(expr("filter(bs, x -> score > x)"))).cast("long"))
+        .withColumn("decile", decile)
         .groupBy(col("decile"))
         .agg(
           count(lit(1)).as("n_docs"),
