@@ -21,8 +21,15 @@ import org.apache.spark.sql.types._
   */
 
 /** dot(a, b) over array<double> OR array<float> columns; null if either
-  * side is null. Extra elements of the longer array are ignored (callers
-  * pass equal-length vectors).
+  * side is null, and null if any PAIRED ELEMENT is null — exactly the
+  * analyzed-HOF semantics (`zip_with` yields a null product for a null
+  * slot and `Add(acc, null)` poisons the fold) and DuckDB's
+  * list_reduce. Matching the HOF here is load-bearing: the Catalyst
+  * [[graft.plans.VectorizeRule]] rewrites the HOF spelling into this
+  * expression, and a rewrite must never change results — reading null
+  * slots as 0.0 (the pre-round-9 behavior) silently would have. Extra
+  * elements of the longer array are ignored (callers pass equal-length
+  * vectors).
   *
   * Float inputs keep the analyzed-HOF semantics exactly: the per-element
   * product is computed in FLOAT arithmetic (that's what
@@ -58,13 +65,30 @@ final case class DotProduct(left: Expression, right: Expression)
     case _ => false
   }
 
+  /** Null SLOTS can only occur when a child's array type admits them —
+    * the per-element check (and the result's nullability) keys off the
+    * schema, so containsNull=false inputs keep the branch-free loop. */
+  private lazy val elementsNullable = Seq(left.dataType, right.dataType).exists {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  }
+  override def nullable: Boolean =
+    left.nullable || right.nullable || elementsNullable
+
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     val n = math.min(a.numElements(), b.numElements())
     var s = 0.0
     var i = 0
-    if (floatInputs)
+    if (elementsNullable) {
+      while (i < n) {
+        if (a.isNullAt(i) || b.isNullAt(i)) return null
+        s += (if (floatInputs) (a.getFloat(i) * b.getFloat(i)).toDouble
+              else a.getDouble(i) * b.getDouble(i))
+        i += 1
+      }
+    } else if (floatInputs)
       while (i < n) { s += (a.getFloat(i) * b.getFloat(i)).toDouble; i += 1 }
     else
       while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
@@ -81,10 +105,20 @@ final case class DotProduct(left: Expression, right: Expression)
     def prod(a: String, b: String) =
       if (floatInputs) s"$a.getFloat($i) * $b.getFloat($i)"
       else s"$a.getDouble($i) * $b.getDouble($i)"
+    // the null-slot check compiles in ONLY for schemas that admit null
+    // elements, so the containsNull=false hot path stays a branch-free
+    // fused multiply loop
+    def slotGuard(a: String, b: String) =
+      if (elementsNullable)
+        s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+      else ""
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
       |int $n = Math.min($a.numElements(), $b.numElements());
       |double $s = 0.0;
-      |for (int $i = 0; $i < $n; $i++) { $s += ${prod(a, b)}; }
+      |for (int $i = 0; $i < $n; $i++) {
+      |  ${slotGuard(a, b)}
+      |  $s += ${prod(a, b)};
+      |}
       |${ev.value} = $s;
       |""".stripMargin)
   }
@@ -105,8 +139,24 @@ final case class LshBuckets(child: Expression, planes: Array[Array[Double]],
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "lsh_buckets"
 
+  /** Same discipline as [[DotProduct]]: a null SLOT poisons every
+    * plane's dot (an HOF spelling would fold to null), so the whole
+    * bucket array is null — never a silent read-as-0.0 that could hash
+    * a vector into a sign-flipped bucket. Schema-keyed so
+    * containsNull=false inputs keep the branch-free loop. */
+  private lazy val elementsNullable = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  }
+  override def nullable: Boolean = child.nullable || elementsNullable
+
   override protected def nullSafeEval(v: Any): Any = {
     val a = v.asInstanceOf[ArrayData]
+    if (elementsNullable) {
+      var i = 0
+      val m = a.numElements()
+      while (i < m) { if (a.isNullAt(i)) return null; i += 1 }
+    }
     val out = new Array[Int](tables)
     var t = 0
     while (t < tables) {
@@ -137,20 +187,32 @@ final case class LshBuckets(child: Expression, planes: Array[Array[Double]],
     val n = ctx.freshName("n")
     val s = ctx.freshName("s")
     val i = ctx.freshName("i")
+    val g = ctx.freshName("g")
+    // null-slot pre-scan compiles in ONLY for schemas admitting null
+    // elements (mirrors DotProduct's slotGuard)
+    def slotGuard(a: String) =
+      if (elementsNullable) s"""
+        |for (int $g = 0; $g < $a.numElements(); $g++) {
+        |  if ($a.isNullAt($g)) { ${ev.isNull} = true; break; }
+        |}""".stripMargin
+      else ""
     nullSafeCodeGen(ctx, ev, a => s"""
-      |int[] $out = new int[$tables];
-      |for (int $t = 0; $t < $tables; $t++) {
-      |  int $bucket = 0;
-      |  for (int $b = 0; $b < $bits; $b++) {
-      |    double[] $p = $planesRef[$t * $bits + $b];
-      |    int $n = Math.min($a.numElements(), $p.length);
-      |    double $s = 0.0;
-      |    for (int $i = 0; $i < $n; $i++) { $s += $a.getDouble($i) * $p[$i]; }
-      |    if ($s > 0) $bucket |= (1 << $b);
+      |${slotGuard(a)}
+      |if (!${ev.isNull}) {
+      |  int[] $out = new int[$tables];
+      |  for (int $t = 0; $t < $tables; $t++) {
+      |    int $bucket = 0;
+      |    for (int $b = 0; $b < $bits; $b++) {
+      |      double[] $p = $planesRef[$t * $bits + $b];
+      |      int $n = Math.min($a.numElements(), $p.length);
+      |      double $s = 0.0;
+      |      for (int $i = 0; $i < $n; $i++) { $s += $a.getDouble($i) * $p[$i]; }
+      |      if ($s > 0) $bucket |= (1 << $b);
+      |    }
+      |    $out[$t] = $bucket;
       |  }
-      |  $out[$t] = $bucket;
+      |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
       |}
-      |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
       |""".stripMargin)
   }
 

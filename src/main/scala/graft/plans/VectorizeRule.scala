@@ -27,12 +27,14 @@ import org.apache.spark.sql.types._
   * Conservative by design, because the rule is injected into EVERY
   * session via `spark.sql.extensions` and must therefore never change
   * the result of an arbitrary user query:
-  *  - both inputs must be array<double> or both array<float>, with
-  *    containsNull = FALSE. With nullable elements the HOF yields NULL
-  *    (null propagates through the multiply and the fold) while
-  *    DotProduct would read undefined slots — so those shapes are left
-  *    on the interpreted path. Float inputs match the analyzed merge
-  *    shape `acc + cast(v as double)` and DotProduct keeps the
+  *  - both inputs must be array<double> or both array<float> (same
+  *    element type both sides). Nullable ELEMENTS are fine as of round
+  *    9: DotProduct now propagates a null slot to a NULL result —
+  *    exactly the HOF's poisoned fold — so the schema shape parquet
+  *    produces by default (containsNull = true) takes the fused loop
+  *    too, with the slot check compiled in only for those schemas.
+  *    Float inputs match the analyzed merge shape
+  *    `acc + cast(v as double)` and DotProduct keeps the
   *    float-multiply/double-accumulate semantics bit-for-bit.
   *  - the seed must be literal +0.0 — bit-checked via doubleToLongBits,
   *    because `-0.0 == 0.0` numerically but the HOF returns -0.0 for
@@ -48,11 +50,13 @@ import org.apache.spark.sql.types._
   */
 object VectorizeDotProduct extends Rule[LogicalPlan] {
 
-  /** array<double> or array<float> with containsNull = false — the two
-    * element types [[DotProduct]] reproduces bit-exactly (float inputs:
-    * float multiply, double accumulate — see the expression's doc). */
+  /** array<double> or array<float> — the two element types
+    * [[DotProduct]] reproduces bit-exactly (float inputs: float
+    * multiply, double accumulate — see the expression's doc). Element
+    * nullability is irrelevant to eligibility: DotProduct propagates
+    * null slots to NULL exactly as the HOF fold does. */
   private def vectorElemType(e: Expression): Option[DataType] = e.dataType match {
-    case ArrayType(t @ (DoubleType | FloatType), containsNull) if !containsNull => Some(t)
+    case ArrayType(t @ (DoubleType | FloatType), _) => Some(t)
     case _ => None
   }
 

@@ -56,6 +56,22 @@ class ExprConsistencySpec extends SparkSpec {
     g2 shouldBe i2
   }
 
+  test("DotProduct + LshBuckets: a null SLOT poisons the result (HOF semantics), both paths") {
+    // element type is nullable here, so the slot-guard branch compiles in
+    val df = Seq(
+      Seq[java.lang.Double](1.0, null, 3.0),
+      Seq[java.lang.Double](1.0, 2.0, 3.0)).toDF("v")
+    val planes = Seq(Array(1.0, 1.0, 1.0), Array(1.0, -1.0, 1.0))
+    val (g1, i1) = bothModes(df.select(VectorFunctions.dot($"v", $"v").as("d")))
+    g1 shouldBe i1
+    g1 shouldBe Seq("[null]", "[14.0]")
+    val (g2, i2) = bothModes(df.select(
+      VectorFunctions.lshBuckets($"v", planes, 1, 2).as("b")))
+    g2 shouldBe i2
+    g2.head shouldBe "[null]"
+    g2(1) should not be "[null]"
+  }
+
   test("null inputs are null through both paths") {
     val df = Seq[Option[String]](None, Some("some text that is long enough"))
       .toDF("text")

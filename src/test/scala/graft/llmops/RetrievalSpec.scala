@@ -99,9 +99,23 @@ class RetrievalSpec extends SparkSpec {
     plan should include("BroadcastHashJoin")
   }
 
-  test("llm_e4_quality_deciles plan: no global Sort — boundaries broadcast, not ntile") {
+  test("llm_e4_quality_deciles plan: boundaries broadcast, no corpus-sized ntile/sort") {
     val p = run("llm_e4_quality_deciles").queryExecution.executedPlan.toString
-    p should not include "Window"
+    // the corpus-scale killer would be ntile(10) OVER (ORDER BY score):
+    // one all-rows range sort. The rank-based boundaries instead run
+    // their cumulative window over DISTINCT scores — the plan's only
+    // Window must sit on top of the score-keyed aggregate (bounded by
+    // the token-length cap, not corpus size), and doc→decile assignment
+    // must be a broadcast of the 1-row boundary vector.
+    p should not include "ntile"
     p.toLowerCase should include("broadcast")
+    "Window".r.findAllIn(p).size shouldBe 1
+    val win = p.indexOf("Window")
+    val distinctAgg = p.indexOf("HashAggregate(keys=[score")
+    withClue("cumulative window must read the distinct-score aggregate:") {
+      distinctAgg should be > win
+    }
+    // and the corpus branch itself is never range-sorted by score
+    p should not include "rangepartitioning(score"
   }
 }

@@ -4,10 +4,11 @@ import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
 /** The auto-vectorization rule must (1) fire on exactly the canonical
-  * HOF dot-product shape over non-nullable-element arrays, (2) preserve
-  * results bit-for-bit including the unequal-length NULL case, and (3)
-  * leave near-miss shapes — other seeds, other folds, nullable
-  * elements — alone. */
+  * HOF dot-product shape — element nullability included, since round 9
+  * made DotProduct's null-slot semantics HOF-identical — (2) preserve
+  * results bit-for-bit including the unequal-length and null-slot NULL
+  * cases, and (3) leave near-miss shapes (other seeds, other folds)
+  * alone. */
 class VectorizeRuleSpec extends SparkSpec {
   import spark.implicits._
 
@@ -117,15 +118,38 @@ class VectorizeRuleSpec extends SparkSpec {
     }
   }
 
-  test("nullable-element arrays are NOT rewritten (HOF null semantics differ)") {
+  test("nullable-element arrays (the raw parquet shape) rewrite and stay bit-identical") {
     GraftOptimizations.install(spark)
-    val df = Seq(Tuple1(1)).toDF("i")
-      .select(expr(
-        "aggregate(zip_with(array(1.0D, cast(null as double)), array(2.0D, 3.0D)," +
-          " (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)").as("dot"))
-    df.queryExecution.optimizedPlan.toString should not include "vec_dot"
-    // null element poisons the fold — the untouched HOF returns NULL
-    df.collect().head.isNullAt(0) shouldBe true
+    // no coalesce: parquet arrays carry containsNull = true — the shape
+    // real queries read. Since round 9 DotProduct propagates null slots
+    // exactly like the HOF's poisoned fold, so the rule may (and must,
+    // for perf) fire here too.
+    val nvecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    nvecs.schema("v").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].containsNull shouldBe true
+    val pairs = nvecs.as("a").crossJoin(nvecs.as("b"))
+      .filter($"a.vec_id" < $"b.vec_id" && $"b.vec_id" < 21) // 210 pairs
+    val df = pairs.select($"a.vec_id", $"b.vec_id", expr(hofDot).as("dot"))
+    df.queryExecution.optimizedPlan.toString should include("vec_dot")
+    val viaRule = df.as[(Long, Long, Double)].collect().toMap2
+    val direct = pairs.select($"a.vec_id", $"b.vec_id",
+        graft.functions.VectorFunctions.dot($"a.v", $"b.v").as("dot"))
+      .as[(Long, Long, Double)].collect().toMap2
+    viaRule shouldBe direct
+
+    // planted null slot: append a null element to BOTH sides (lengths
+    // stay equal) — the HOF's fold is poisoned to NULL and the rewritten
+    // plan must agree, row for row
+    val poisoned = nvecs.limit(5)
+      .select(concat($"v", array(lit(null).cast("double"))).as("a"),
+        concat($"v", array(lit(null).cast("double"))).as("b"))
+      .select(expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)").as("dot"))
+    poisoned.queryExecution.optimizedPlan.toString should include("vec_dot")
+    val rows = poisoned.collect()
+    rows should not be empty
+    all(rows.map(_.isNullAt(0))) shouldBe true
   }
 
   test("near-miss shapes are left to the interpreted HOF path") {
