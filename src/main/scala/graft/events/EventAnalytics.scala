@@ -22,17 +22,23 @@ object EventAnalytics {
 
   import T._
 
-  /** events.ts is parquet timestamp[ns]; Spark may surface it as
-    * LongType (nanos) depending on reader config. Normalize to
-    * TimestampType (µs — the source data is µs-aligned so truncation is
-    * lossless). DuckDB reads the same column as TIMESTAMP_NS; oracle SQL
-    * therefore never emits raw timestamps — only date_format strings and
-    * epoch bigints, which agree across precisions. */
+  /** events.ts has shipped as parquet timestamp[ns] (surfacing as
+    * LongType nanos under spark.sql.legacy.parquet.nanosAsLong) and as
+    * timestamp[us] with isAdjustedToUTC=false (surfacing as
+    * TIMESTAMP_NTZ) across driver testdata generations. Normalize every
+    * representation to TimestampType in the UTC session: ns→µs
+    * truncation is lossless (the source data is µs-aligned), and the
+    * NTZ→LTZ cast reinterprets the wall clock in the session TZ (UTC),
+    * which preserves the epoch value. DuckDB reads the same column
+    * natively; oracle SQL never emits raw timestamps — only date_format
+    * strings and epoch bigints, which agree across representations. */
   def events(s: SparkSession, dir: String): DataFrame = {
     val df = T(s, dir, "events")
     df.schema("ts").dataType match {
       case LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
       case _ => df
     }
   }

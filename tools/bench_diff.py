@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Bench-trajectory diff: joins two BENCH_DETAIL.json per-query maps and
+prints the movers, so "env-wide drift vs targeted regression" is a
+one-command answer instead of a manual forensic.
+
+Usage:
+    python3 tools/bench_diff.py                 # HEAD copy vs working copy
+    python3 tools/bench_diff.py OLD [NEW]       # each arg: a file path, or a
+                                                # git ref (resolved against
+                                                # <ref>:BENCH_DETAIL.json)
+
+Reads the {"queries": {name: sec}} map from each side. Output:
+  - totals + overall median per-query ratio (the env-drift indicator: a
+    near-uniform median shift with few outliers = environment, not code)
+  - every query whose ratio moved >1.5x either way, sorted by |log ratio|,
+    with the absolute delta (a 4.6x move on a 0.27s query is noise-grade;
+    the delta column keeps that honest)
+  - queries present on only one side (added/removed)
+
+Exit code 0 always — this is a reporting tool, not a gate.
+"""
+import json
+import math
+import subprocess
+import sys
+
+
+def load(spec: str) -> dict:
+    """File path if it exists, else `git show <spec>:BENCH_DETAIL.json`
+    (or `git show <spec>` verbatim if the spec already names a path)."""
+    try:
+        with open(spec) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        ref = spec if ":" in spec else f"{spec}:BENCH_DETAIL.json"
+        out = subprocess.check_output(["git", "show", ref], text=True)
+        return json.loads(out)
+
+
+def main() -> None:
+    old_spec = sys.argv[1] if len(sys.argv) > 1 else "HEAD"
+    new_spec = sys.argv[2] if len(sys.argv) > 2 else "BENCH_DETAIL.json"
+    old, new = load(old_spec), load(new_spec)
+    oq, nq = old["queries"], new["queries"]
+    common = sorted(set(oq) & set(nq))
+    if not common:
+        print("no common queries between the two sides")
+        return
+
+    ratios = sorted(nq[k] / max(oq[k], 1e-9) for k in common)
+    med = ratios[len(ratios) // 2]
+    print(f"old: {old_spec}  total={old.get('value')}s  n={len(oq)}")
+    print(f"new: {new_spec}  total={new.get('value')}s  n={len(nq)}")
+    print(f"common={len(common)}  median_ratio={med:.2f}x  "
+          f"(>1.2x: {sum(r > 1.2 for r in ratios)}, <0.83x: {sum(r < 1/1.2 for r in ratios)})")
+
+    movers = [(k, nq[k] / max(oq[k], 1e-9)) for k in common]
+    movers = [(k, r) for k, r in movers if r > 1.5 or r < 1 / 1.5]
+    movers.sort(key=lambda kr: -abs(math.log(kr[1])))
+    if movers:
+        print(f"\n{len(movers)} quer{'y' if len(movers) == 1 else 'ies'} moved >1.5x:")
+        print(f"  {'query':42} {'old':>7} {'new':>7} {'ratio':>7} {'delta':>8}")
+        for k, r in movers:
+            print(f"  {k:42} {oq[k]:7.2f} {nq[k]:7.2f} {r:6.2f}x {nq[k]-oq[k]:+7.2f}s")
+    else:
+        print("\nno query moved >1.5x either way")
+
+    added, removed = sorted(set(nq) - set(oq)), sorted(set(oq) - set(nq))
+    if added:
+        print(f"\nadded ({len(added)}): " + ", ".join(f"{k} ({nq[k]:.2f}s)" for k in added))
+    if removed:
+        print(f"removed ({len(removed)}): " + ", ".join(f"{k} ({oq[k]:.2f}s)" for k in removed))
+
+
+if __name__ == "__main__":
+    main()
