@@ -149,7 +149,7 @@ object ProductQuant {
     * [[LlmOps.ivfCellStructsSql]] — DuckDB list_min over structs ==
     * Spark array_min over structs, dots fold sequentially, ||cw||²
     * constants embedded as identical binary64 literals. */
-  private def sqlCodeCols(cb: Array[Array[Array[Double]]], vcol: String = "v"): String =
+  private[llmops] def sqlCodeCols(cb: Array[Array[Array[Double]]], vcol: String = "v"): String =
     (0 until M).map { m =>
       val sub = s"$vcol[${m * subDim + 1}:${(m + 1) * subDim}]"
       val structs = cb(m).zipWithIndex.map { case (cw, k) =>

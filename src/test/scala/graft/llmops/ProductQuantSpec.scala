@@ -142,6 +142,50 @@ class ProductQuantSpec extends SparkSpec {
     withClue(s"ivfpq scan fraction = $fraction") { fraction should be < 0.5 }
   }
 
+  test("oracle generator: every codebook double round-trips through its SQL literal exactly") {
+    // The generated SQL embeds the codebooks via java.lang.Double.toString
+    // (shortest round-trip repr). A silent switch to a lossy rendering
+    // (e.g. %.6f) would drift the oracle's argmin off the Spark plan's
+    // only on adversarial inputs — catch it here, not at the driver.
+    val cb = ProductQuant.trainCodebooks(spark, sfDir)
+    val sql = ProductQuant.sqlCodeCols(cb)
+    for (m <- cb.indices; cw <- cb(m)) {
+      val sumsq = cw.map(x => x * x).sum
+      withClue(s"||cw||^2 literal for subspace $m") {
+        sql should include(java.lang.Double.toString(sumsq))
+      }
+      cw.foreach { x =>
+        withClue(s"codeword component literal $x") {
+          sql should include(java.lang.Double.toString(x))
+        }
+        // the literal the SQL carries parses back to the identical bits
+        java.lang.Double.doubleToLongBits(
+          java.lang.Double.parseDouble(java.lang.Double.toString(x))) shouldBe
+          java.lang.Double.doubleToLongBits(x)
+      }
+    }
+  }
+
+  test("oracle generator: perturbing one codebook entry changes the generated SQL") {
+    val cb = ProductQuant.trainCodebooks(spark, sfDir)
+    val sql = ProductQuant.sqlCodeCols(cb)
+    // deep-copy, then nudge a single codeword component by one ulp — the
+    // smallest possible drift a literal-truncation bug could hide
+    val perturbed = cb.map(_.map(_.clone()))
+    perturbed(0)(0)(0) = Math.nextUp(perturbed(0)(0)(0))
+    val sql2 = ProductQuant.sqlCodeCols(perturbed)
+    sql2 should not be sql
+    // and the untouched subspaces render identically (the diff is local)
+    sql.linesIterator.zip(sql2.linesIterator).count { case (a, b) => a != b } shouldBe 1
+  }
+
+  test("oracle generator: pq/ivfpq SQL is deterministic across invocations") {
+    val gen = Registry.byName("llm_e3_pq_topk").oracleGen.get
+    gen(spark, sfDir) shouldBe gen(spark, sfDir)
+    val gen2 = Registry.byName("llm_e3_ivfpq_topk").oracleGen.get
+    gen2(spark, sfDir) shouldBe gen2(spark, sfDir)
+  }
+
   test("pq dedup core finds planted duplicates") {
     import spark.implicits._
     // 60 spread base vectors + 3 planted near-exact copies of vec 0
