@@ -42,4 +42,17 @@ class PlanSpec extends SparkSpec {
     val p = plan("llm_e1_exact_dedup")
     p should include("partial_min") // map-side combine on the hash key
   }
+
+  test("no registry query plans a CartesianProduct") {
+    // the per-round crossJoin audit, automated: every crossJoin in the
+    // repo is either a broadcast 1-row scalar or a dimension-bounded
+    // grid, so every one must plan as a BroadcastNestedLoopJoin. A
+    // CartesianProductExec means a broadcast hint was lost (or a new
+    // query shipped an unbounded pairs join) — the shuffle-both-sides
+    // plan that cannot survive 100 TB.
+    graft.Registry.all.foreach { q =>
+      val p = q.run(spark, sfDir).queryExecution.executedPlan.toString
+      withClue(s"${q.name}: ") { p should not include "CartesianProduct" }
+    }
+  }
 }
