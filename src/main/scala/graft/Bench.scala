@@ -14,6 +14,29 @@ import org.apache.spark.sql.SparkSession
   * TF table) is cleared between passes so every pass pays the real
   * build cost (within-pass sharing — the production shape — is kept). */
 object Bench {
+  /** Machine-speed probe: `cpus` threads each run a fixed LCG loop, and
+    * the WALL time for all to finish is returned. On an idle box this is
+    * a constant; under ambient load (the shared-machine drift that has
+    * made two rounds of recorded totals incomparable — same-tree full
+    * benches measured 113.5s and 156.7s forty minutes apart in round 10)
+    * it inflates by roughly the same contention factor as the query
+    * times. Printed as calib_pre/calib_post so any cross-round total can
+    * be read against the machine speed that produced it. */
+  private def calibrate(threads: Int): Double = {
+    val t0 = System.nanoTime()
+    val sink = new java.util.concurrent.atomic.AtomicLong(0L)
+    val ts = (1 to threads).map { seed =>
+      new Thread(() => {
+        var x = seed.toLong; var i = 0
+        while (i < 500000000) { x = x * 6364136223846793005L + 1442695040888963407L; i += 1 }
+        sink.addAndGet(x); ()
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    if (sink.get() == 42L) print("") // defeat dead-code elimination
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     // Builder-local isolate mode: `runMain graft.Bench [sfDir] [substr…]`
     // — an ABSOLUTE path naming an existing directory overrides
@@ -49,6 +72,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     T.quietBoundedWindowWarnings()
+    val calibPre = calibrate(cpus.toInt)
     // Warm the session before timing: JVM/codegen/parquet-reader costs land
     // here instead of inflating whichever query happens to run first. One
     // scan per input table — no data is cached, only the machinery warms.
@@ -70,6 +94,7 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
       }
     }
+    val calibPost = calibrate(cpus.toInt)
     val results = samples.toSeq.map { case (k, v) =>
       k -> v.sorted.apply(v.size / 2) // median (upper for even sizes)
     }
@@ -88,12 +113,12 @@ object Bench {
     // the COMPLETE per-query map goes to BENCH_DETAIL.json next to the repo.
     if (args.isEmpty)
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
-        s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${qsJson(results)},"errors":$errJson,"n_failed":${errors.size},"repeats":$repeats,"sf":"$sfDir"}""".getBytes("UTF-8"))
+        s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${qsJson(results)},"errors":$errJson,"n_failed":${errors.size},"repeats":$repeats,"calib_pre":${r3(calibPre)},"calib_post":${r3(calibPost)},"sf":"$sfDir"}""".getBytes("UTF-8"))
     // failed-query NAMES only on the printed line (messages are in the
     // detail file) — a long stack-trace message must not evict the timings
     val errNames = errors.keys.take(8).map(k => s""""${esc(k)}"""").mkString("[", ",", "]")
     def line(nTop: Int): String =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${qsJson(results.sortBy(-_._2).take(nTop))},"failed":$errNames,"n_failed":${errors.size},"repeats":$repeats,"n_queries":${results.size},"detail":"BENCH_DETAIL.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${qsJson(results.sortBy(-_._2).take(nTop))},"failed":$errNames,"n_failed":${errors.size},"repeats":$repeats,"n_queries":${results.size},"calib_pre":${r3(calibPre)},"calib_post":${r3(calibPost)},"detail":"BENCH_DETAIL.json","sf":"$sfDir"}"""
     println(Iterator(15, 10, 5, 0).map(line).find(_.length < 1500).get)
     graft.SessionMemo.clear(spark)
     graft.relational.Relational.dropBucketedTables(spark)
