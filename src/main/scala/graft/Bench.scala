@@ -98,6 +98,15 @@ object Bench {
     val results = samples.toSeq.map { case (k, v) =>
       k -> v.sorted.apply(v.size / 2) // median (upper for even sizes)
     }
+    // Per-pass wall totals: calib_pre/calib_post bracket the run but are
+    // blind to MID-run ambient load (round 10 observed a full bench with
+    // idle calibration at both ends whose middle queries ran 4x slow).
+    // The sum of pass i's samples is a free load probe at `repeats`
+    // points across the run — a lopsided pass_totals vector localizes a
+    // transient; a flat one clears the environment.
+    val passTotals = (0 until repeats).map { i =>
+      samples.valuesIterator.map(v => if (i < v.size) v(i) else 0.0).sum
+    }
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString }
     def r3(v: Double): String = f"$v%.3f"
@@ -113,12 +122,12 @@ object Bench {
     // the COMPLETE per-query map goes to BENCH_DETAIL.json next to the repo.
     if (args.isEmpty)
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
-        s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${qsJson(results)},"errors":$errJson,"n_failed":${errors.size},"repeats":$repeats,"calib_pre":${r3(calibPre)},"calib_post":${r3(calibPost)},"sf":"$sfDir"}""".getBytes("UTF-8"))
+        s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${qsJson(results)},"errors":$errJson,"n_failed":${errors.size},"repeats":$repeats,"calib_pre":${r3(calibPre)},"calib_post":${r3(calibPost)},"pass_totals":${passTotals.map(r3).mkString("[", ",", "]")},"sf":"$sfDir"}""".getBytes("UTF-8"))
     // failed-query NAMES only on the printed line (messages are in the
     // detail file) — a long stack-trace message must not evict the timings
     val errNames = errors.keys.take(8).map(k => s""""${esc(k)}"""").mkString("[", ",", "]")
     def line(nTop: Int): String =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${qsJson(results.sortBy(-_._2).take(nTop))},"failed":$errNames,"n_failed":${errors.size},"repeats":$repeats,"n_queries":${results.size},"calib_pre":${r3(calibPre)},"calib_post":${r3(calibPost)},"detail":"BENCH_DETAIL.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${qsJson(results.sortBy(-_._2).take(nTop))},"failed":$errNames,"n_failed":${errors.size},"repeats":$repeats,"n_queries":${results.size},"calib_pre":${r3(calibPre)},"calib_post":${r3(calibPost)},"pass_totals":${passTotals.map(r3).mkString("[", ",", "]")},"detail":"BENCH_DETAIL.json","sf":"$sfDir"}"""
     println(Iterator(15, 10, 5, 0).map(line).find(_.length < 1500).get)
     graft.SessionMemo.clear(spark)
     graft.relational.Relational.dropBucketedTables(spark)
