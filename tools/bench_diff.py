@@ -49,8 +49,20 @@ def main() -> None:
 
     ratios = sorted(nq[k] / max(oq[k], 1e-9) for k in common)
     med = ratios[len(ratios) // 2]
-    print(f"old: {old_spec}  total={old.get('value')}s  n={len(oq)}")
-    print(f"new: {new_spec}  total={new.get('value')}s  n={len(nq)}")
+
+    def probes(d: dict) -> str:
+        """Environment-probe suffix (fields present since round 10):
+        calib ≈0.9 idle, inflated by ambient contention; pass_totals
+        lopsided = mid-run load the calibrations can't see."""
+        parts = []
+        if d.get("calib_pre") is not None:
+            parts.append(f"calib={d['calib_pre']:.2f}/{d.get('calib_post', 0):.2f}")
+        if d.get("pass_totals"):
+            parts.append("passes=[" + ",".join(f"{p:.0f}" for p in d["pass_totals"]) + "]")
+        return ("  " + "  ".join(parts)) if parts else ""
+
+    print(f"old: {old_spec}  total={old.get('value')}s  n={len(oq)}{probes(old)}")
+    print(f"new: {new_spec}  total={new.get('value')}s  n={len(nq)}{probes(new)}")
     print(f"common={len(common)}  median_ratio={med:.2f}x  "
           f"(>1.2x: {sum(r > 1.2 for r in ratios)}, <0.83x: {sum(r < 1/1.2 for r in ratios)})")
 
