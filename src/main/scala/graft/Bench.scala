@@ -56,10 +56,15 @@ object Bench {
     val sfDir = dirArgs.headOption.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // cpus feeds local[$cpus] verbatim (so "*" stays a valid master spec);
+    // the NUMERIC uses (calibration threads, shuffle partitions) parse
+    // defensively instead of crashing the bench on a non-integer spec.
+    val cpuCount = scala.util.Try(cpus.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors)
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", cpuCount)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       // events.ts is parquet timestamp[ns]; read as long (nanos) and let
@@ -72,7 +77,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     T.quietBoundedWindowWarnings()
-    val calibPre = calibrate(cpus.toInt)
+    val calibPre = calibrate(cpuCount)
     // Warm the session before timing: JVM/codegen/parquet-reader costs land
     // here instead of inflating whichever query happens to run first. One
     // scan per input table — no data is cached, only the machinery warms.
@@ -94,7 +99,7 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
       }
     }
-    val calibPost = calibrate(cpus.toInt)
+    val calibPost = calibrate(cpuCount)
     val results = samples.toSeq.map { case (k, v) =>
       k -> v.sorted.apply(v.size / 2) // median (upper for even sizes)
     }
@@ -128,7 +133,10 @@ object Bench {
     val errNames = errors.keys.take(8).map(k => s""""${esc(k)}"""").mkString("[", ",", "]")
     def line(nTop: Int): String =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${qsJson(results.sortBy(-_._2).take(nTop))},"failed":$errNames,"n_failed":${errors.size},"repeats":$repeats,"n_queries":${results.size},"calib_pre":${r3(calibPre)},"calib_post":${r3(calibPost)},"pass_totals":${passTotals.map(r3).mkString("[", ",", "]")},"detail":"BENCH_DETAIL.json","sf":"$sfDir"}"""
-    println(Iterator(15, 10, 5, 0).map(line).find(_.length < 1500).get)
+    // even the nTop=0 line can exceed the cap in pathological configs
+    // (huge repeats inflating pass_totals + 8 failed names) — print the
+    // shortest line rather than throwing after a full run
+    println(Iterator(15, 10, 5, 0).map(line).find(_.length < 1500).getOrElse(line(0)))
     graft.SessionMemo.clear(spark)
     graft.relational.Relational.dropBucketedTables(spark)
     graft.sources.Formats.dropScratch()

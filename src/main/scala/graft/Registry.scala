@@ -60,16 +60,101 @@ object T {
     d.digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
   }
 
+  /** Canonical LOGICAL type per driver-table column — the schema
+    * contract every engine query consumes. The sfDir PHYSICAL schema is
+    * driver-owned and has regenerated without notice before (round 10:
+    * `events.ts` shipped as parquet timestamp[ns] through round 9, then
+    * as timestamp[us] NTZ — breaking every unix_micros event query at
+    * the driver gate until normalized). [[apply]] casts any drifted
+    * column back to this contract, so a regeneration that changes a
+    * physical width (float/double list element, int32/int64 key,
+    * decimal-encoded measure, date/timestamp/NTZ) is absorbed at the
+    * read and NOTHING downstream — plans, oracle pairings, specs —
+    * sees it. The contract types are exactly what the current testdata
+    * surfaces (verified green in CORRECTNESS_r10), so on undrifted data
+    * every cast is a no-op and the frame is returned unchanged.
+    * Drift-pinned by SchemaDriftSpec, which writes alternate physical
+    * encodings of the same rows and asserts identical engine output. */
+  private[graft] val canonical: Map[String, Seq[(String, DataType)]] = Map(
+    "region" -> Seq("r_regionkey" -> IntegerType, "r_name" -> StringType),
+    "nation" -> Seq("n_nationkey" -> IntegerType, "n_name" -> StringType,
+      "n_regionkey" -> IntegerType),
+    "customer" -> Seq("c_custkey" -> LongType, "c_name" -> StringType,
+      "c_nationkey" -> IntegerType, "c_acctbal" -> DoubleType,
+      "c_mktsegment" -> StringType),
+    "supplier" -> Seq("s_suppkey" -> LongType, "s_name" -> StringType,
+      "s_nationkey" -> IntegerType, "s_acctbal" -> DoubleType),
+    "part" -> Seq("p_partkey" -> LongType, "p_name" -> StringType,
+      "p_brand" -> StringType, "p_type" -> StringType,
+      "p_size" -> IntegerType, "p_retailprice" -> DoubleType),
+    "orders" -> Seq("o_orderkey" -> LongType, "o_custkey" -> LongType,
+      "o_orderstatus" -> StringType, "o_totalprice" -> DoubleType,
+      "o_orderdate" -> TimestampNTZType, "o_orderpriority" -> StringType),
+    "lineitem" -> Seq("l_orderkey" -> LongType, "l_partkey" -> LongType,
+      "l_suppkey" -> LongType, "l_linenumber" -> IntegerType,
+      "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType,
+      "l_discount" -> DoubleType, "l_tax" -> DoubleType,
+      "l_returnflag" -> StringType, "l_linestatus" -> StringType,
+      "l_shipdate" -> TimestampNTZType),
+    "events" -> Seq("event_id" -> LongType, "ts" -> TimestampType,
+      "user_id" -> LongType, "event_type" -> StringType,
+      "value" -> DoubleType, "props" -> StringType),
+    "documents" -> Seq("doc_id" -> LongType, "text" -> StringType,
+      "lang" -> StringType, "source" -> StringType, "n_chars" -> LongType),
+    "embeddings" -> Seq("vec_id" -> LongType,
+      "embedding" -> ArrayType(FloatType), "label" -> IntegerType))
+
+  /** Cast one drifted column to its contract type. Timestamp moves are
+    * epoch-preserving ONLY in a UTC session (NTZ↔LTZ reinterprets the
+    * wall clock in the session TZ; date→LTZ stamps midnight in it), so
+    * those casts fail loudly on a non-UTC caller instead of silently
+    * shifting every timestamp. A LongType source for a timestamp column
+    * is parquet timestamp[ns] surfaced as raw nanos by
+    * spark.sql.legacy.parquet.nanosAsLong (the one conf all in-repo
+    * sessions set); ns→µs truncation is lossless, the data is µs-aligned. */
+  private def normCol(spark: SparkSession, f: StructField, want: DataType): Column = {
+    def requireUtc(): Unit = {
+      val tz = spark.conf.get("spark.sql.session.timeZone")
+      require(tz == "UTC",
+        s"timestamp normalization of '${f.name}' (${f.dataType.sql} -> ${want.sql}) " +
+          s"is epoch-preserving only under spark.sql.session.timeZone=UTC; session has '$tz'")
+    }
+    val c = col(f.name)
+    val out = (f.dataType, want) match {
+      case (LongType, TimestampType) => timestamp_micros(expr(s"`${f.name}` div 1000"))
+      case (LongType, TimestampNTZType) =>
+        requireUtc(); timestamp_micros(expr(s"`${f.name}` div 1000")).cast(want)
+      case (TimestampNTZType, TimestampType) | (TimestampType, TimestampNTZType) =>
+        requireUtc(); c.cast(want)
+      case (DateType, TimestampType) => requireUtc(); c.cast(want)
+      case _ => c.cast(want) // numeric widths, decimal measures, array elements
+    }
+    out.as(f.name)
+  }
+
+  private def normalize(spark: SparkSession, name: String, df: DataFrame): DataFrame = {
+    val want = canonical.getOrElse(name, Seq.empty).toMap
+    val drifted = df.schema.fields.exists(f => want.get(f.name).exists(_ != f.dataType))
+    if (!drifted) df
+    else df.select(df.schema.fields.map { f =>
+      want.get(f.name) match {
+        case Some(t) if t != f.dataType => normCol(spark, f, t)
+        case _ => col(f.name)
+      }
+    }.toSeq: _*)
+  }
+
   /** Table frames are memoized per (session, dir, name): `spark.read
     * .parquet` runs a footer/schema-inference job at CONSTRUCTION time,
     * so without the memo every one of the 139 registry queries pays
     * 1-3 small driver-scheduled jobs just to be built. The memoized
     * frame pins nothing (no persist — only the resolved plan is
     * reused); [[SessionMemo.clear]] drops the entries so a regenerated
-    * testdata dir is re-listed on the next run. */
+    * testdata dir is re-listed on the next run. Frames are returned
+    * normalized to [[canonical]] — see the contract note there. */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     SessionMemo.value(spark, dir, s"table:$name") {
-      spark.read.parquet(s"$dir/$name.parquet")
+      normalize(spark, name, spark.read.parquet(s"$dir/$name.parquet"))
     }
 
   /** Register every driver table as a temp view (named exactly as in

@@ -25,23 +25,14 @@ object EventAnalytics {
   /** events.ts has shipped as parquet timestamp[ns] (surfacing as
     * LongType nanos under spark.sql.legacy.parquet.nanosAsLong) and as
     * timestamp[us] with isAdjustedToUTC=false (surfacing as
-    * TIMESTAMP_NTZ) across driver testdata generations. Normalize every
-    * representation to TimestampType in the UTC session: ns→µs
-    * truncation is lossless (the source data is µs-aligned), and the
-    * NTZ→LTZ cast reinterprets the wall clock in the session TZ (UTC),
-    * which preserves the epoch value. DuckDB reads the same column
-    * natively; oracle SQL never emits raw timestamps — only date_format
-    * strings and epoch bigints, which agree across representations. */
-  def events(s: SparkSession, dir: String): DataFrame = {
-    val df = T(s, dir, "events")
-    df.schema("ts").dataType match {
-      case LongType =>
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType =>
-        df.withColumn("ts", col("ts").cast(TimestampType))
-      case _ => df
-    }
-  }
+    * TIMESTAMP_NTZ) across driver testdata generations. Since round 11
+    * the normalization to TimestampType lives in [[graft.T.canonical]]
+    * — every driver table is contract-normalized at the read, and the
+    * timestamp casts assert the UTC session they are only valid under.
+    * DuckDB reads the same column natively; oracle SQL never emits raw
+    * timestamps — only date_format strings and epoch bigints, which
+    * agree across representations. */
+  def events(s: SparkSession, dir: String): DataFrame = T(s, dir, "events")
 
   /** Hourly tumbling buckets via Spark's window() generator. */
   private val hourly = GraftQuery(

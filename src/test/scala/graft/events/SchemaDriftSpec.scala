@@ -1,7 +1,7 @@
 package graft.events
 
-import graft.SparkSpec
-import org.apache.spark.sql.DataFrame
+import graft.{SparkSpec, T}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -9,73 +9,187 @@ import org.apache.spark.sql.types._
   * under the engine (round 10: events.ts shipped as parquet
   * timestamp[ns] through round 9, then regenerated as timestamp[us]
   * with isAdjustedToUTC=false — surfacing as TIMESTAMP_NTZ — which
-  * broke every unix_micros-based event query at the driver gate). Pin
-  * [[EventAnalytics.events]]'s normalization across every
-  * representation the testdata has shipped, so the NEXT regeneration
-  * is caught by `sbt test` instead of the round's correctness run. */
+  * broke every unix_micros-based event query at the driver gate). Since
+  * round 11 every driver table is normalized to [[graft.T.canonical]]
+  * at the read; this spec writes the SAME rows in every physical
+  * encoding the testdata has shipped (or plausibly could) and asserts
+  * the normalized frame is identical — so the NEXT regeneration is
+  * caught by `sbt test` instead of the round's correctness run.
+  *
+  * Scratch dirs are suffixed with the JVM pid so two concurrent test
+  * JVMs on one machine cannot delete each other's fixtures mid-read. */
 class SchemaDriftSpec extends SparkSpec {
 
-  // three events, micro-second precise, one with a null props
-  private val rows = Seq(
+  private val scratchRoot =
+    s"${sys.props("java.io.tmpdir")}/graft_drift_${ProcessHandle.current().pid()}"
+
+  /** Write `df` as `<table>.parquet` under a per-variant sfDir-shaped
+    * scratch dir and read it back through the T normalizer. */
+  private def viaT(table: String, tag: String, df: DataFrame): DataFrame = {
+    val dir = s"$scratchRoot/$tag"
+    df.write.mode("overwrite").parquet(s"$dir/$table.parquet")
+    T(spark, dir, table)
+  }
+
+  /** Assert every variant normalizes to the canonical column types and
+    * to value-identical rows (compared on `probe` projections, which
+    * must render drift-sensitively: epochs for timestamps, exact
+    * numerics for measures). */
+  private def assertInvariant(table: String, variants: Map[String, DataFrame],
+      probe: DataFrame => DataFrame): Unit = {
+    val want = T.canonical(table).toMap
+    variants.foreach { case (tag, df) =>
+      withClue(s"variant $tag schema: ") {
+        df.schema.fields.filter(f => want.contains(f.name)).foreach { f =>
+          withClue(s"column ${f.name}: ") { f.dataType shouldBe want(f.name) }
+        }
+      }
+    }
+    val collected = variants.map { case (tag, df) =>
+      tag -> probe(df).collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    }
+    val reference = collected.head._2
+    collected.foreach { case (tag, got) =>
+      withClue(s"variant $tag rows: ") { got shouldBe reference }
+    }
+  }
+
+  // ---- events: the round-10 incident, all three shipped ts shapes ----
+
+  private val eventRows = Seq(
     (1L, 1700000000000000L, 7L, "click", 1.5, """{"k":1}"""),
     (2L, 1700000000123456L, 8L, "purchase", 2.5, """{"k":2}"""),
     (3L, 1700003600000000L, 7L, "view", 0.0, null: String))
 
-  /** Write the same rows with `ts` in the given physical shape into a
-    * scratch dir laid out like an sfDir, and read back via events(). */
-  private def roundtrip(tag: String)(shape: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
+  private def eventsVariant(tag: String)(shape: Column => Column): DataFrame = {
     import spark.implicits._
-    val dir = s"${sys.props("java.io.tmpdir")}/graft_evdrift_$tag"
-    rows.toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
-      .select(col("event_id"), shape(col("ts_us")).as("ts"), col("user_id"),
-        col("event_type"), col("value"), col("props"))
-      .write.mode("overwrite").parquet(s"$dir/events.parquet")
-    EventAnalytics.events(spark, dir)
+    viaT("events", s"ev_$tag",
+      eventRows.toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
+        .select(col("event_id"), shape(col("ts_us")).as("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props")))
   }
 
-  test("events() normalizes long-nanos, NTZ, and LTZ ts to one TimestampType frame") {
-    // the three physical shapes the testdata has shipped (or could):
-    //  - raw int64 nanos (what nanosAsLong surfaced for timestamp[ns])
-    //  - TIMESTAMP_NTZ   (timestamp[us], isAdjustedToUTC = false)
-    //  - TimestampType   (timestamp[us], isAdjustedToUTC = true)
+  test("events: long-nanos, NTZ and LTZ ts all normalize to one TimestampType frame") {
     val variants = Map(
-      "nanos" -> roundtrip("nanos")(us => (us * lit(1000L)).cast(LongType)),
-      "ntz" -> roundtrip("ntz")(us => timestamp_micros(us).cast(TimestampNTZType)),
-      "ltz" -> roundtrip("ltz")(us => timestamp_micros(us)))
-    variants.foreach { case (tag, df) =>
-      withClue(s"variant $tag: ") {
-        df.schema("ts").dataType shouldBe TimestampType
+      "nanos" -> eventsVariant("nanos")(us => (us * lit(1000L)).cast(LongType)),
+      "ntz" -> eventsVariant("ntz")(us => timestamp_micros(us).cast(TimestampNTZType)),
+      "ltz" -> eventsVariant("ltz")(us => timestamp_micros(us)))
+    assertInvariant("events", variants,
+      _.select(col("event_id"), unix_micros(col("ts")), col("props")))
+    // and the epochs are the exact microseconds that were written
+    val got = variants("nanos").select(col("event_id"), unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    got shouldBe eventRows.map(r => (r._1, r._2)).sortBy(_._1)
+  }
+
+  // ---- embeddings: float vs double list element, key/label widths ----
+
+  test("embeddings: double-element lists and narrowed key widths normalize") {
+    import spark.implicits._
+    // float-representable values so the double→float cast is exact
+    val base = Seq((1L, Array(0.5f, -1.25f, 3.0f), 0),
+      (2L, Array(2.5f, 0.0f, -0.75f), 1)).toDF("vec_id", "embedding", "label")
+    val variants = Map(
+      "canonical" -> viaT("embeddings", "emb_f", base),
+      "double_elems" -> viaT("embeddings", "emb_d",
+        base.withColumn("embedding", col("embedding").cast(ArrayType(DoubleType)))),
+      "narrow_keys" -> viaT("embeddings", "emb_i32",
+        base.withColumn("vec_id", col("vec_id").cast(IntegerType))
+          .withColumn("label", col("label").cast(LongType))))
+    assertInvariant("embeddings", variants, df => df)
+  }
+
+  // ---- lineitem: decimal measures, date/NTZ/LTZ shipdate, key widths ----
+
+  test("lineitem: decimal measures, date/LTZ shipdate and int32 keys normalize") {
+    import spark.implicits._
+    // midnight-aligned dates (matching the testdata) so the DateType
+    // variant round-trips to the identical NTZ midnight
+    val base = Seq(
+      (1L, 10L, 100L, 1, 17.0, 1200.50, 0.05, 0.02, "N", "O", "1997-03-05 00:00:00"),
+      (1L, 11L, 101L, 2, 36.0, 890.25, 0.10, 0.04, "R", "F", "1998-11-29 00:00:00"))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "ship")
+      .withColumn("l_shipdate", col("ship").cast(TimestampNTZType)).drop("ship")
+    val variants = Map(
+      "canonical" -> viaT("lineitem", "li_base", base),
+      "decimal_measures" -> viaT("lineitem", "li_dec",
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").foldLeft(base) {
+          (df, c) => df.withColumn(c, col(c).cast(DecimalType(12, 2)))
+        }),
+      "date_shipdate" -> viaT("lineitem", "li_date",
+        base.withColumn("l_shipdate", col("l_shipdate").cast(DateType))),
+      "ltz_shipdate" -> viaT("lineitem", "li_ltz",
+        base.withColumn("l_shipdate", col("l_shipdate").cast(TimestampType))),
+      "narrow_keys" -> viaT("lineitem", "li_i32",
+        Seq("l_orderkey", "l_partkey", "l_suppkey").foldLeft(base) {
+          (df, c) => df.withColumn(c, col(c).cast(IntegerType))
+        }))
+    assertInvariant("lineitem", variants, df => df.select(
+      col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+      col("l_extendedprice"), T.money("l_extendedprice").cast("string"),
+      unix_micros(col("l_shipdate").cast(TimestampType))))
+  }
+
+  // ---- orders: the other shipped-timestamp table ----
+
+  test("orders: date and LTZ o_orderdate normalize to the NTZ contract") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, 7L, "O", 1000.50, "1996-01-02 00:00:00", "1-URGENT"),
+      (2L, 8L, "F", 2200.25, "1993-07-14 00:00:00", "3-MEDIUM"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "od", "o_orderpriority")
+      .withColumn("o_orderdate", col("od").cast(TimestampNTZType)).drop("od")
+    val variants = Map(
+      "canonical" -> viaT("orders", "ord_base", base),
+      "date" -> viaT("orders", "ord_date",
+        base.withColumn("o_orderdate", col("o_orderdate").cast(DateType))),
+      "ltz" -> viaT("orders", "ord_ltz",
+        base.withColumn("o_orderdate", col("o_orderdate").cast(TimestampType))))
+    assertInvariant("orders", variants, df => df.select(
+      col("o_orderkey"), unix_micros(col("o_orderdate").cast(TimestampType)),
+      col("o_totalprice")))
+  }
+
+  // ---- documents: count/key width drift ----
+
+  test("documents: int32 doc_id and n_chars normalize to the int64 contract") {
+    import spark.implicits._
+    val base = Seq((1L, "hello world", "en", "web", 11L),
+      (2L, "bonjour", "fr", "book", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val variants = Map(
+      "canonical" -> viaT("documents", "doc_base", base),
+      "narrow" -> viaT("documents", "doc_i32",
+        base.withColumn("doc_id", col("doc_id").cast(IntegerType))
+          .withColumn("n_chars", col("n_chars").cast(IntegerType))))
+    assertInvariant("documents", variants, df => df)
+  }
+
+  // ---- the live sfDir: contract == what the driver currently ships ----
+
+  test("every live sfDir table normalizes exactly to the canonical contract") {
+    T.tableNames.foreach { t =>
+      val got = T(spark, sfDir, t).schema
+      T.canonical(t).foreach { case (name, tpe) =>
+        withClue(s"$t.$name: ") {
+          got(name).dataType shouldBe tpe
+        }
       }
     }
-    val collected = variants.map { case (tag, df) =>
-      tag -> df.select(col("event_id"), unix_micros(col("ts")))
-        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
-    }
-    val expected = rows.map(r => (r._1, r._2)).sortBy(_._1)
-    collected.foreach { case (tag, got) =>
-      withClue(s"variant $tag: ") { got shouldBe expected }
-    }
-  }
-
-  test("the real sfDir events table normalizes and is unix_micros-queryable") {
-    // whatever physical type the CURRENT driver testdata carries, the
-    // normalized frame must answer the exact query family that broke
-    val ev = EventAnalytics.events(spark, sfDir)
-    ev.schema("ts").dataType shouldBe TimestampType
-    val n = ev.select(unix_micros(col("ts")).as("us"))
-      .filter(col("us") > 0L).count()
+    // and the normalized events table answers the query family that
+    // broke in round 10
+    val n = EventAnalytics.events(spark, sfDir)
+      .select(unix_micros(col("ts")).as("us")).filter(col("us") > 0L).count()
     n should be > 0L
   }
 
   override protected def afterAll(): Unit = {
-    Seq("nanos", "ntz", "ltz").foreach { tag =>
-      val p = java.nio.file.Paths.get(
-        s"${sys.props("java.io.tmpdir")}/graft_evdrift_$tag")
-      if (java.nio.file.Files.exists(p)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-      }
+    val p = java.nio.file.Paths.get(scratchRoot)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
     }
     super.afterAll()
   }

@@ -21,20 +21,21 @@ Exit code 0 always — this is a reporting tool, not a gate.
 """
 import json
 import math
+import os
 import subprocess
 import sys
 
 
 def load(spec: str) -> dict:
-    """File path if it exists, else `git show <spec>:BENCH_DETAIL.json`
-    (or `git show <spec>` verbatim if the spec already names a path)."""
-    try:
+    """Existing file path wins (even one containing ':'); anything else is
+    a git ref, resolved against <ref>:BENCH_DETAIL.json unless the spec
+    already names an object path."""
+    if os.path.exists(spec):
         with open(spec) as f:
             return json.load(f)
-    except FileNotFoundError:
-        ref = spec if ":" in spec else f"{spec}:BENCH_DETAIL.json"
-        out = subprocess.check_output(["git", "show", ref], text=True)
-        return json.loads(out)
+    ref = spec if ":" in spec else f"{spec}:BENCH_DETAIL.json"
+    out = subprocess.check_output(["git", "show", ref], text=True)
+    return json.loads(out)
 
 
 def main() -> None:
