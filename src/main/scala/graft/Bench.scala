@@ -21,7 +21,17 @@ object Bench {
     * benches measured 113.5s and 156.7s forty minutes apart in round 10)
     * it inflates by roughly the same contention factor as the query
     * times. Printed as calib_pre/calib_post so any cross-round total can
-    * be read against the machine speed that produced it. */
+    * be read against the machine speed that produced it.
+    *
+    * IDLE REFERENCE (how to read a bench line without archaeology): on
+    * this container's hardware the 32-thread/500M-iteration loop takes
+    * **≈ 0.85–0.9 s when the machine is idle** (measured repeatedly in
+    * rounds 10–11; a 7-thread run is the same, the loop is embarrassingly
+    * parallel up to the core count). calib ≈ 0.9 → trust the total;
+    * calib ≈ 1.8 → the machine was ~2× contended and the total is
+    * environment, not code; calib_pre ≈ 0.9 but calib_post ≫ 0.9 (or a
+    * lopsided pass_totals vector) → load arrived MID-run and only
+    * per-query isolates settle deltas. */
   private def calibrate(threads: Int): Double = {
     val t0 = System.nanoTime()
     val sink = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -86,9 +96,27 @@ object Bench {
     }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val samples = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
-    for (_ <- 1 to repeats) {
+    val queries = Registry.all.filter(q => nameFilter(q.name))
+    // DECORRELATED repeat passes: with a fixed per-pass order, a query
+    // sits at the same relative offset of every pass, so a sustained
+    // ambient-load window (the proven round-9/10 confounder — same-tree
+    // totals 113.5s vs 156.7s forty minutes apart; pass_totals
+    // [174.7, 97.2, 92.7] in the r10 driver run) inflates the same
+    // neighborhood of queries in all repeats and the per-query median
+    // cannot defend. Pass 1 keeps registry order (the cross-round
+    // comparison baseline — memoized-index build costs land on the same
+    // first consumer as in every prior round); passes 2+ run in
+    // seeded-shuffled order (constant seeds — bit-identical ordering
+    // across runs, no wall-clock nondeterminism) so each query's
+    // repeats sample different wall-clock windows of the run.
+    val passOrders: Seq[(String, Seq[GraftQuery])] =
+      (0 until repeats).map { p =>
+        if (p == 0) "registry" -> queries
+        else s"seeded$p" -> new scala.util.Random(0x5DEECE66DL * p).shuffle(queries)
+      }
+    for ((_, order) <- passOrders) {
       graft.SessionMemo.clear(spark)
-      Registry.all.filter(q => nameFilter(q.name)).foreach { q =>
+      order.foreach { q =>
         val t0 = System.nanoTime()
         try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
@@ -99,6 +127,7 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
       }
     }
+    val passOrderJson = passOrders.map(p => s""""${p._1}"""").mkString("[", ",", "]")
     val calibPost = calibrate(cpuCount)
     val results = samples.toSeq.map { case (k, v) =>
       k -> v.sorted.apply(v.size / 2) // median (upper for even sizes)
@@ -127,12 +156,12 @@ object Bench {
     // the COMPLETE per-query map goes to BENCH_DETAIL.json next to the repo.
     if (args.isEmpty)
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
-        s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${qsJson(results)},"errors":$errJson,"n_failed":${errors.size},"repeats":$repeats,"calib_pre":${r3(calibPre)},"calib_post":${r3(calibPost)},"pass_totals":${passTotals.map(r3).mkString("[", ",", "]")},"sf":"$sfDir"}""".getBytes("UTF-8"))
+        s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${qsJson(results)},"errors":$errJson,"n_failed":${errors.size},"repeats":$repeats,"calib_pre":${r3(calibPre)},"calib_post":${r3(calibPost)},"pass_totals":${passTotals.map(r3).mkString("[", ",", "]")},"pass_order":$passOrderJson,"sf":"$sfDir"}""".getBytes("UTF-8"))
     // failed-query NAMES only on the printed line (messages are in the
     // detail file) — a long stack-trace message must not evict the timings
     val errNames = errors.keys.take(8).map(k => s""""${esc(k)}"""").mkString("[", ",", "]")
     def line(nTop: Int): String =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${qsJson(results.sortBy(-_._2).take(nTop))},"failed":$errNames,"n_failed":${errors.size},"repeats":$repeats,"n_queries":${results.size},"calib_pre":${r3(calibPre)},"calib_post":${r3(calibPost)},"pass_totals":${passTotals.map(r3).mkString("[", ",", "]")},"detail":"BENCH_DETAIL.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${qsJson(results.sortBy(-_._2).take(nTop))},"failed":$errNames,"n_failed":${errors.size},"repeats":$repeats,"n_queries":${results.size},"calib_pre":${r3(calibPre)},"calib_post":${r3(calibPost)},"pass_totals":${passTotals.map(r3).mkString("[", ",", "]")},"pass_order":$passOrderJson,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}"""
     // even the nTop=0 line can exceed the cap in pathological configs
     // (huge repeats inflating pass_totals + 8 failed names) — print the
     // shortest line rather than throwing after a full run
