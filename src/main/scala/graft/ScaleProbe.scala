@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical 100×-posture probe: replicate the sf0.1 FACT tables N×
+  * with disjoint key spaces, run the most expensive registry queries on
+  * base and scaled dirs, and assert wall time grows ≲ N× — converting
+  * the repo's static "no scale-killers by plan inspection" claim into a
+  * measured regression gate.
+  *
+  * Replication model (what a real N× corpus looks like, not N copies):
+  *  - fact-internal keys (o_orderkey/l_orderkey, event_id, user_id,
+  *    doc_id, vec_id) are offset per replica by i·2^40, so per-key
+  *    cardinalities stay CONSTANT — an orderkey still has ~4 lineitems,
+  *    a user still has ~its events. Duplicating keys verbatim would
+  *    instead grow every self-join group N× (N² join pairs): a
+  *    pathological-input artifact, not a plan property.
+  *  - dimension tables (region/nation/customer/supplier/part) are
+  *    copied once and foreign keys into them are left unchanged: at
+  *    scale, facts grow and dims don't, so per-dim-key fanout grows N×
+  *    — exactly the broadcast-join shape the plans must survive.
+  *
+  * Probe set = the most expensive queries spanning the engine's
+  * distinct physical shapes: iterative graph (pagerank), full-scan
+  * commutative fingerprints, wide stats agg, event prefix-sum, PQ ANN,
+  * and the bounded-window decile query (the round-10 watch item). The
+  * llm_e2 near-dup family is EXCLUDED by design: under replication
+  * every document acquires N-1 near-identical twins, so candidate
+  * pairs grow quadratically as a property of the replicated corpus
+  * (the algorithms working as specified on a degenerate input), not of
+  * the plans — their scale posture is argued by bucket-cap analysis in
+  * their scaladoc instead.
+  *
+  * Usage: `runMain graft.ScaleProbe [N] [querySubstr…]` (N default 4).
+  * Prints one JSON line; exits 1 if any query's scaled/base ratio
+  * exceeds N × 1.5 (slack for shuffle N·logN terms and ambient drift —
+  * sub-second absolute deltas are reported but never gate). */
+object ScaleProbe {
+  private val OFF = 1L << 40
+
+  private val probeNames = Seq(
+    "q_pagerank_cosupply", "q_fingerprint_drilldown", "q_table_fingerprint",
+    "q_corr_matrix", "e5_peak_concurrency", "llm_e3_pq_topk",
+    "llm_e4_quality_deciles")
+
+  /** Per-replica key-offset recipe; tables not listed are dims (one copy). */
+  private val factKeys: Map[String, Seq[String]] = Map(
+    "orders" -> Seq("o_orderkey"),
+    "lineitem" -> Seq("l_orderkey"),
+    "events" -> Seq("event_id", "user_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  private def buildScaledDir(spark: SparkSession, baseDir: String, n: Int): String = {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_scale_${n}x_${T.scratchKey(baseDir)}"
+    val marker = java.nio.file.Paths.get(s"$dir/_SCALE_OK")
+    if (java.nio.file.Files.exists(marker)) return dir
+    T.tableNames.foreach { t =>
+      val base = T(spark, baseDir, t)
+      val scaled = factKeys.get(t) match {
+        case None => base
+        case Some(keys) =>
+          (0 until n).map { i =>
+            keys.foldLeft(base)((df, k) => df.withColumn(k, col(k) + lit(i * OFF)))
+          }.reduce(_.unionAll(_))
+      }
+      scaled.write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    java.nio.file.Files.write(marker, Array.emptyByteArray)
+    dir
+  }
+
+  private def medianOf(spark: SparkSession, q: GraftQuery, dir: String, reps: Int): Double = {
+    val ts = (1 to reps).map { _ =>
+      SessionMemo.clear(spark)
+      val t0 = System.nanoTime()
+      q.run(spark, dir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    ts.sorted.apply(ts.size / 2)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.flatMap(a => scala.util.Try(a.toInt).toOption).getOrElse(4)
+    val filters = args.drop(if (args.headOption.exists(a => scala.util.Try(a.toInt).isSuccess)) 1 else 0)
+    val names = if (filters.nonEmpty) probeNames.filter(p => filters.exists(p.contains)) else probeNames
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val slack = 1.5
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", T.warehouseDir)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    T.quietBoundedWindowWarnings()
+    val scaledDir = buildScaledDir(spark, baseDir, n)
+    val qs = Registry.all.filter(q => names.contains(q.name))
+    // warm both dirs (codegen/reader machinery, not data)
+    T.tableNames.foreach { t =>
+      Seq(baseDir, scaledDir).foreach { d =>
+        spark.read.parquet(s"$d/$t.parquet").write.format("noop").mode("overwrite").save()
+      }
+    }
+    val rows = qs.map { q =>
+      val t1 = medianOf(spark, q, baseDir, 3)
+      val tn = medianOf(spark, q, scaledDir, 3)
+      val ratio = tn / t1
+      (q.name, t1, tn, ratio, ratio <= n * slack)
+    }
+    def r3(v: Double) = f"$v%.3f"
+    val qJson = rows.map { case (name, t1, tn, ratio, ok) =>
+      s""""$name":{"t1":${r3(t1)},"tN":${r3(tn)},"ratio":${r3(ratio)},"linear_ok":$ok}"""
+    }.mkString("{", ",", "}")
+    val failed = rows.filterNot(_._5)
+    println(s"""{"metric":"scale_probe","n":$n,"slack":$slack,"queries":$qJson,"n_superlinear":${failed.size},"base":"$baseDir","scaled":"$scaledDir"}""")
+    spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
+  }
+}
