@@ -74,7 +74,16 @@ object T {
     * surfaces (verified green in CORRECTNESS_r10), so on undrifted data
     * every cast is a no-op and the frame is returned unchanged.
     * Drift-pinned by SchemaDriftSpec, which writes alternate physical
-    * encodings of the same rows and asserts identical engine output. */
+    * encodings of the same rows and asserts identical engine output.
+    *
+    * Pushdown tradeoff ON DRIFTED DATA ONLY: a cast projection over the
+    * scan can block parquet predicate pushdown for the cast column.
+    * Numeric width drift keeps pushdown (Catalyst's
+    * UnwrapCastInBinaryComparison rewrites `cast(i32 as bigint) = lit`
+    * back onto the scan column); timestamp-shape drift may not — a
+    * correctness-preserving, perf-degrading fallback that holds until
+    * the readers are re-pointed at the new physical schema. On
+    * undrifted data there is no cast and no tradeoff. */
   private[graft] val canonical: Map[String, Seq[(String, DataType)]] = Map(
     "region" -> Seq("r_regionkey" -> IntegerType, "r_name" -> StringType),
     "nation" -> Seq("n_nationkey" -> IntegerType, "n_name" -> StringType,

@@ -100,6 +100,8 @@ object ScaleProbe {
     T.quietBoundedWindowWarnings()
     val scaledDir = buildScaledDir(spark, baseDir, n)
     val qs = Registry.all.filter(q => names.contains(q.name))
+    require(qs.map(_.name).toSet == names.toSet,
+      s"probe names missing from the registry: ${names.toSet -- qs.map(_.name)}")
     // warm both dirs (codegen/reader machinery, not data)
     T.tableNames.foreach { t =>
       Seq(baseDir, scaledDir).foreach { d =>
