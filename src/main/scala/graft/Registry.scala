@@ -141,6 +141,16 @@ object T {
     out.as(f.name)
   }
 
+  /** Normalize an ALREADY-CONSTRUCTED frame of driver table `name` to
+    * the canonical contract — the streaming entry's version of [[apply]].
+    * A `readStream` needs a DECLARED schema, so a streaming caller
+    * probes the dir's current physical schema with a one-footer batch
+    * read, declares that on the stream, and routes the stream through
+    * this — absorbing driver-layout drift identically in both modes
+    * (the casts are plain projections, valid on streaming plans). */
+  def normalized(spark: SparkSession, name: String, df: DataFrame): DataFrame =
+    normalize(spark, name, df)
+
   private def normalize(spark: SparkSession, name: String, df: DataFrame): DataFrame = {
     val want = canonical.getOrElse(name, Seq.empty).toMap
     val drifted = df.schema.fields.exists(f => want.get(f.name).exists(_ != f.dataType))

@@ -29,12 +29,24 @@ object EventStreams {
     StructField("props", StringType)))
 
   /** Production entry: an unbounded stream over a growing parquet
-    * directory (each new file = one micro-batch of events). */
-  def readEventStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(eventSchema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(dir)
+    * directory (each new file = one micro-batch of events). A stream
+    * needs a DECLARED schema, and the driver-owned physical layout has
+    * drifted before (timestamp[ns] → timestamp[us]/NTZ in round 10), so
+    * the entry probes the dir's CURRENT physical schema with a
+    * one-footer batch read, declares that on the stream, and routes it
+    * through the same [[graft.T.canonical]] normalizer as the batch
+    * side — ns/NTZ/width drift is absorbed identically in both modes
+    * instead of silently mismatching a static schema declaration.
+    * [[eventSchema]] remains the canonical POST-normalization shape
+    * every downstream transform binds against. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    val physical = spark.read.parquet(dir).schema
+    graft.T.normalized(spark, "events",
+      spark.readStream
+        .schema(physical)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dir))
+  }
 
   /** Streaming twin of e5_hourly_event_stats: tumbling 1-hour windows,
     * late data admitted up to `watermark`. Append-mode-ready (watermarked

@@ -43,4 +43,31 @@ class FileStreamSpec extends SparkSpec {
       .as[(String, String, Long, Double)].collect().toSet
     streamed shouldBe expected
   }
+
+  test("file stream absorbs a drifted (NTZ) physical encoding like the batch side") {
+    import org.apache.spark.sql.types.TimestampNTZType
+    // the round-10 drift shape: timestamp[us] with isAdjustedToUTC=false
+    val driftDir = Files.createTempDirectory("graft_stream_ntz").toString
+    EventAnalytics.events(spark, sfDir)
+      .withColumn("ts", col("ts").cast(TimestampNTZType))
+      .coalesce(1).write.mode("overwrite").parquet(s"$driftDir/files")
+    val flat = Files.createTempDirectory("graft_stream_ntz_flat").toString
+    var n = 0
+    Files.list(java.nio.file.Paths.get(s"$driftDir/files")).forEach { f =>
+      if (f.toString.endsWith(".parquet")) {
+        Files.copy(f, java.nio.file.Paths.get(s"$flat/part$n.parquet")); n += 1
+      }
+    }
+    val stream = EventStreams.readEventStream(spark, flat)
+    stream.schema("ts").dataType shouldBe EventStreams.eventSchema("ts").dataType
+    val q = EventStreams.hourlyStats(stream)
+      .writeStream.format("memory").queryName("filestream_ntz_t")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("filestream_ntz_t")
+      .as[(String, String, Long, Double)].collect().toSet
+    val expected = Registry.byName("e5_hourly_event_stats").run(spark, sfDir)
+      .as[(String, String, Long, Double)].collect().toSet
+    streamed shouldBe expected
+  }
 }
