@@ -71,14 +71,35 @@ object ScaleProbe {
     dir
   }
 
-  private def medianOf(spark: SparkSession, q: GraftQuery, dir: String, reps: Int): Double = {
-    val ts = (1 to reps).map { _ =>
-      SessionMemo.clear(spark)
-      val t0 = System.nanoTime()
-      q.run(spark, dir).write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
-    }
-    ts.sorted.apply(ts.size / 2)
+  /** Wall time is load-sensitive; shuffle WRITE BYTES are deterministic
+    * for a fixed plan+data, so they are the sharper superlinearity
+    * signal — a quadratic candidate join shows up in bytes even when
+    * ambient noise hides it in seconds. Tallied with a stage listener;
+    * listener delivery is async, so the tally is read after a short
+    * grace wait (ratios with slack absorb a straggler stage). */
+  private class ShuffleTally extends org.apache.spark.scheduler.SparkListener {
+    val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+      bytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+  }
+
+  /** (median seconds over `reps` runs, shuffle bytes of the last run). */
+  private def medianOf(spark: SparkSession, q: GraftQuery, dir: String,
+      reps: Int): (Double, Long) = {
+    val tally = new ShuffleTally
+    spark.sparkContext.addSparkListener(tally)
+    try {
+      val ts = (1 to reps).map { i =>
+        SessionMemo.clear(spark)
+        if (i == reps) tally.bytes.set(0L)
+        val t0 = System.nanoTime()
+        q.run(spark, dir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      Thread.sleep(300) // let the listener bus drain the last stages
+      (ts.sorted.apply(ts.size / 2), tally.bytes.get())
+    } finally spark.sparkContext.removeSparkListener(tally)
   }
 
   def main(args: Array[String]): Unit = {
@@ -108,17 +129,24 @@ object ScaleProbe {
         spark.read.parquet(s"$d/$t.parquet").write.format("noop").mode("overwrite").save()
       }
     }
+    // bytes gate only engages above this floor: tiny shuffles (dimension
+    // broadcasts, 1-row aggregates) have constant overhead that can
+    // dominate the ratio without saying anything about scaling
+    val bytesFloor = 4L << 20
     val rows = qs.map { q =>
-      val t1 = medianOf(spark, q, baseDir, 3)
-      val tn = medianOf(spark, q, scaledDir, 3)
+      val (t1, b1) = medianOf(spark, q, baseDir, 3)
+      val (tn, bn) = medianOf(spark, q, scaledDir, 3)
       val ratio = tn / t1
-      (q.name, t1, tn, ratio, ratio <= n * slack)
+      val bytesRatio = if (b1 > 0) bn.toDouble / b1 else 0.0
+      val timeOk = ratio <= n * slack
+      val bytesOk = bn < bytesFloor || bytesRatio <= n * slack
+      (q.name, t1, tn, ratio, b1, bn, bytesRatio, timeOk && bytesOk)
     }
     def r3(v: Double) = f"$v%.3f"
-    val qJson = rows.map { case (name, t1, tn, ratio, ok) =>
-      s""""$name":{"t1":${r3(t1)},"tN":${r3(tn)},"ratio":${r3(ratio)},"linear_ok":$ok}"""
+    val qJson = rows.map { case (name, t1, tn, ratio, b1, bn, br, ok) =>
+      s""""$name":{"t1":${r3(t1)},"tN":${r3(tn)},"ratio":${r3(ratio)},"shuffle_b1":$b1,"shuffle_bN":$bn,"bytes_ratio":${r3(br)},"linear_ok":$ok}"""
     }.mkString("{", ",", "}")
-    val failed = rows.filterNot(_._5)
+    val failed = rows.filterNot(_._8)
     println(s"""{"metric":"scale_probe","n":$n,"slack":$slack,"queries":$qJson,"n_superlinear":${failed.size},"base":"$baseDir","scaled":"$scaledDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
