@@ -101,16 +101,25 @@ class SchemaDriftSpec extends SparkSpec {
 
   // ---- lineitem: decimal measures, date/NTZ/LTZ shipdate, key widths ----
 
-  test("lineitem: decimal measures, date/LTZ shipdate and int32 keys normalize") {
+  // midnight-aligned dates (matching the testdata) so the DateType
+  // variant round-trips to the identical NTZ midnight
+  private lazy val liBase = {
     import spark.implicits._
-    // midnight-aligned dates (matching the testdata) so the DateType
-    // variant round-trips to the identical NTZ midnight
-    val base = Seq(
+    Seq(
       (1L, 10L, 100L, 1, 17.0, 1200.50, 0.05, 0.02, "N", "O", "1997-03-05 00:00:00"),
       (1L, 11L, 101L, 2, 36.0, 890.25, 0.10, 0.04, "R", "F", "1998-11-29 00:00:00"))
       .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
         "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "ship")
       .withColumn("l_shipdate", col("ship").cast(TimestampNTZType)).drop("ship")
+  }
+
+  private def liProbe(df: DataFrame): DataFrame = df.select(
+    col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+    col("l_extendedprice"), T.money("l_extendedprice").cast("string"),
+    unix_micros(col("l_shipdate").cast(TimestampType)))
+
+  test("lineitem: decimal measures, date/LTZ shipdate and int32 keys normalize") {
+    val base = liBase
     val variants = Map(
       "canonical" -> viaT("lineitem", "li_base", base),
       "decimal_measures" -> viaT("lineitem", "li_dec",
@@ -125,10 +134,48 @@ class SchemaDriftSpec extends SparkSpec {
         Seq("l_orderkey", "l_partkey", "l_suppkey").foldLeft(base) {
           (df, c) => df.withColumn(c, col(c).cast(IntegerType))
         }))
-    assertInvariant("lineitem", variants, df => df.select(
-      col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
-      col("l_extendedprice"), T.money("l_extendedprice").cast("string"),
-      unix_micros(col("l_shipdate").cast(TimestampType))))
+    assertInvariant("lineitem", variants, liProbe)
+  }
+
+  test("lineitem: the full drift-combination matrix normalizes identically") {
+    // drift dimensions compose in real regenerations (a new writer can
+    // change measures AND dates AND widths at once); enumerate the full
+    // 2×3×2 cross product rather than trusting single-axis coverage
+    val measureShapes: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "md" -> identity,
+      "mdec" -> (df => Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(DecimalType(12, 2))))))
+    val dateShapes: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "sntz" -> identity,
+      "sltz" -> (_.withColumn("l_shipdate", col("l_shipdate").cast(TimestampType))),
+      "sdate" -> (_.withColumn("l_shipdate", col("l_shipdate").cast(DateType))))
+    val keyShapes: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "k64" -> identity,
+      "k32" -> (df => Seq("l_orderkey", "l_partkey", "l_suppkey")
+        .foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(IntegerType)))))
+    val variants = (for {
+      (mTag, m) <- measureShapes
+      (sTag, s) <- dateShapes
+      (kTag, k) <- keyShapes
+    } yield s"${mTag}_${sTag}_$kTag" ->
+      viaT("lineitem", s"limx_${mTag}_${sTag}_$kTag", k(s(m(liBase))))).toMap
+    variants should have size 12
+    assertInvariant("lineitem", variants, liProbe)
+  }
+
+  test("predicate pushdown survives key-width drift (UnwrapCastInBinaryComparison)") {
+    // T.canonical scaladoc claims numeric width drift keeps parquet
+    // pushdown because Catalyst unwraps `cast(i32 as bigint) = lit`
+    // back onto the scan column — pin that claim so a Spark upgrade or
+    // normalizer change that silently loses pushdown fails here
+    import spark.implicits._
+    val df = viaT("lineitem", "li_pushdown",
+      liBase.withColumn("l_orderkey", col("l_orderkey").cast(IntegerType)))
+      .filter(col("l_orderkey") === 1L)
+    df.count() shouldBe 2L
+    val plan = df.queryExecution.executedPlan.toString
+    plan should include("PushedFilters")
+    plan should include("EqualTo(l_orderkey,1)")
   }
 
   // ---- orders: the other shipped-timestamp table ----
