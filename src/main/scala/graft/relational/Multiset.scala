@@ -112,10 +112,21 @@ object Multiset {
     })
 
   /** Multiplicative Knuth hash of the order key: pseudo-uniform over
-    * [0, 2^32), identical arithmetic in Spark and DuckDB (BIGINT
-    * multiply + mod — orderkey·2654435761 < 2^63 at any plausible SF
-    * for a 32-bit-ish key, no overflow divergence). */
-  private val hashExpr = "(o_orderkey * 2654435761) % 4294967296"
+    * [0, 2^32), identical arithmetic in Spark and DuckDB. The naive
+    * spelling `(o_orderkey * 2654435761) % 4294967296` overflows a
+    * BIGINT once o_orderkey exceeds ~3.47e9 — keys a 100 TB orders
+    * table actually reaches, and ANSI Spark throws ARITHMETIC_OVERFLOW
+    * instead of wrapping (caught by the round-11 ScaleProbe full-
+    * registry sweep at 8×, where replica key offsets cross the line).
+    * So the multiplier is SPLIT at 2^16 (2654435761 = 40503·2^16 +
+    * 31153) and the product assembled mod 2^32 from two ≤2^48 partial
+    * products — value-identical to the naive spelling for EVERY key
+    * (a·b ≡ a·b0 + ((a·b1) mod 2^16)·2^16 (mod 2^32)), overflow-free
+    * for the whole BIGINT domain, and still one flat integer
+    * expression both engines evaluate bit-identically. */
+  private[relational] val hashExpr =
+    "((o_orderkey % 4294967296) * 31153 + " +
+      "((o_orderkey % 4294967296) * 40503 % 65536) * 65536) % 4294967296"
 
   /** Deterministic exact-count stratified sample, 10% per stratum
     * (o_orderpriority). The naive formulation ranks EVERY row per

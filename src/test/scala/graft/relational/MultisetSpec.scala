@@ -48,6 +48,25 @@ class MultisetSpec extends SparkSpec {
     // prefilter left at least k candidates per stratum at this SF
   }
 
+  test("stratified-sample hash: overflow-free over the whole BIGINT key domain") {
+    // the naive (key * 2654435761) % 2^32 overflows ANSI BIGINT for
+    // keys > ~3.47e9 — magnitudes a 100 TB orders table reaches (found
+    // by the round-11 ScaleProbe sweep at 8×). The shipped split-
+    // multiply spelling must (a) equal the mathematical product hash
+    // for every key and (b) never throw. Probe the corners and a
+    // spread of magnitudes including > 2^32 and Long.MaxValue.
+    import spark.implicits._
+    val keys = Seq(0L, 1L, 6000000L, 3470000000L, 4294967296L,
+      (1L << 40) + 12345L, (1L << 62) + 7L, Long.MaxValue)
+    val hashed = keys.toDF("o_orderkey")
+      .selectExpr("o_orderkey", s"${Multiset.hashExpr} AS h")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    keys.foreach { k =>
+      val expect = ((BigInt(k) % BigInt(2).pow(32)) * BigInt(2654435761L)) % BigInt(2).pow(32)
+      withClue(s"key $k: ") { BigInt(hashed(k)) shouldBe expect }
+    }
+  }
+
   test("q_approx_distinct_audit: HLL estimate within the configured rsd envelope") {
     val rows = run("q_approx_distinct_audit").collect()
     rows should not be empty
