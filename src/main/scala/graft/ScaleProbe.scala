@@ -69,7 +69,7 @@ object ScaleProbe {
         case Some(keys) =>
           (0 until n).map { i =>
             keys.foldLeft(base)((df, k) => df.withColumn(k, col(k) + lit(i * OFF)))
-          }.reduce(_.unionAll(_))
+          }.reduce(_ union _)
       }
       scaled.write.mode("overwrite").parquet(s"$dir/$t.parquet")
     }
