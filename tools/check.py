@@ -80,8 +80,24 @@ def main(sf_dir, out_dir):
         if sc != oc:
             results[name] = f"SCHEMA_MISMATCH spark={sc} oracle={oc}"
         elif st != ot:
+            # classify: schema-only divergence (identical values behind
+            # different physical widths — what int32/decimal testdata
+            # drift produces on raw passthrough columns, see PLANS.md
+            # round 11) vs a real divergence hiding behind a type skew
             pairs = [(c, a, b) for c, a, b in zip(sc, st, ot) if a != b]
-            results[name] = f"TYPE_MISMATCH {pairs}"
+            import decimal
+
+            def loose(rows):
+                def lv(v):
+                    if isinstance(v, decimal.Decimal):
+                        return float(v)
+                    if isinstance(v, tuple):
+                        return tuple(lv(x) for x in v)
+                    return v
+                return [tuple(lv(x) for x in r) for r in rows]
+            values = ("values_identical" if loose(sr) == loose(orr)
+                      else "VALUES_DIFFER")
+            results[name] = f"TYPE_MISMATCH({values}) {pairs}"
         elif len(sr) != len(orr):
             results[name] = f"ROWCOUNT_MISMATCH spark={len(sr)} oracle={len(orr)}"
         elif sr != orr:
