@@ -51,19 +51,11 @@ object DriftGen {
     case other => throw new IllegalArgumentException(s"unknown drift axis: $other")
   }
 
-  def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: DriftGen <srcSfDir> <outRoot> [axis…]")
-    val (src, outRoot) = (args(0), args(1))
-    val axes = if (args.length > 2) args.drop(2).toSeq
-      else Seq("ltz", "date", "i32", "dec", "f64")
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", 8)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.warehouse.dir", T.warehouseDir)
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+  val allAxes: Seq[String] = Seq("ltz", "date", "i32", "dec", "f64")
+
+  /** Write one drifted copy per axis under `outRoot/<axis>/`. */
+  def generate(spark: SparkSession, src: String, outRoot: String,
+      axes: Seq[String] = allAxes): Unit =
     axes.foreach { axis =>
       T.tableNames.foreach { t =>
         // RAW read (not T): the point is to re-encode the current
@@ -74,6 +66,19 @@ object DriftGen {
       }
       println(s"[driftgen] wrote $outRoot/$axis")
     }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: DriftGen <srcSfDir> <outRoot> [axis…]")
+    val axes = if (args.length > 2) args.drop(2).toSeq else allAxes
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", T.warehouseDir)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    generate(spark, args(0), args(1), axes)
     spark.stop()
   }
 }

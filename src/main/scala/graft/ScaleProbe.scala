@@ -58,7 +58,7 @@ object ScaleProbe {
     "documents" -> Seq("doc_id"),
     "embeddings" -> Seq("vec_id"))
 
-  private def buildScaledDir(spark: SparkSession, baseDir: String, n: Int): String = {
+  private[graft] def buildScaledDir(spark: SparkSession, baseDir: String, n: Int): String = {
     val dir = s"${sys.props("java.io.tmpdir")}/graft_scale_${n}x_${T.scratchKey(baseDir)}"
     val marker = java.nio.file.Paths.get(s"$dir/_SCALE_OK")
     if (java.nio.file.Files.exists(marker)) return dir

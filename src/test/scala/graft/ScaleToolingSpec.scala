@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Pins the round-11 scale/drift tooling so it cannot bitrot: the
+  * ScaleProbe replication model (disjoint key spaces, constant per-key
+  * cardinality, dims copied once) and DriftGen's axis re-encodings
+  * (which feed the gate-level drift matrix recorded in PLANS.md). Runs
+  * at sf0.001 to stay cheap. */
+class ScaleToolingSpec extends SparkSpec {
+
+  test("ScaleProbe replication: facts 2x with disjoint keys, dims 1x, per-key cardinality constant") {
+    // drop any cached 2x dir first: a driver testdata regeneration
+    // would otherwise leave a stale replica to compare against
+    val cached = java.nio.file.Paths.get(
+      s"${sys.props("java.io.tmpdir")}/graft_scale_2x_${T.scratchKey(sfDir)}")
+    if (java.nio.file.Files.exists(cached)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(cached).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    val dir = ScaleProbe.buildScaledDir(spark, sfDir, 2)
+    // facts doubled, dims copied once
+    T(spark, dir, "lineitem").count() shouldBe T(spark, sfDir, "lineitem").count() * 2
+    T(spark, dir, "events").count() shouldBe T(spark, sfDir, "events").count() * 2
+    T(spark, dir, "nation").count() shouldBe T(spark, sfDir, "nation").count()
+    T(spark, dir, "customer").count() shouldBe T(spark, sfDir, "customer").count()
+    // replica key spaces are disjoint: every key is either < 2^40 (replica 0)
+    // or >= 2^40 (replica 1), in equal counts
+    val buckets = T(spark, dir, "orders")
+      .groupBy((col("o_orderkey") >= (1L << 40)).as("hi")).count()
+      .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    buckets(false) shouldBe buckets(true)
+    // per-key cardinality constant: max lineitems per order unchanged
+    def maxPerOrder(d: String) = T(spark, d, "lineitem")
+      .groupBy("l_orderkey").count().agg(max("count")).collect()(0).getLong(0)
+    maxPerOrder(dir) shouldBe maxPerOrder(sfDir)
+    // per-DIM-key fanout doubled: orders per customer grows with the facts
+    def maxPerCust(d: String) = T(spark, d, "orders")
+      .groupBy("o_custkey").count().agg(max("count")).collect()(0).getLong(0)
+    maxPerCust(dir) shouldBe maxPerCust(sfDir) * 2
+  }
+
+  test("DriftGen axes re-encode the physical schema and T normalizes them back") {
+    val out = s"${sys.props("java.io.tmpdir")}/graft_driftgen_spec_${ProcessHandle.current().pid()}"
+    DriftGen.generate(spark, sfDir, out, Seq("i32", "dec"))
+    // the written physical schema IS drifted (raw read)…
+    spark.read.parquet(s"$out/i32/orders.parquet")
+      .schema("o_orderkey").dataType shouldBe IntegerType
+    spark.read.parquet(s"$out/dec/lineitem.parquet")
+      .schema("l_extendedprice").dataType shouldBe DecimalType(12, 2)
+    // …and T restores the canonical contract with identical values
+    val normed = T(spark, s"$out/i32", "orders")
+    normed.schema("o_orderkey").dataType shouldBe LongType
+    val a = normed.select("o_orderkey").as[Long](spark.implicits.newLongEncoder)
+      .collect().sorted.toSeq
+    val b = T(spark, sfDir, "orders").select("o_orderkey")
+      .as[Long](spark.implicits.newLongEncoder).collect().sorted.toSeq
+    a shouldBe b
+    val money = T(spark, s"$out/dec", "lineitem")
+    money.schema("l_extendedprice").dataType shouldBe DoubleType
+    val sumDrift = money.agg(sum(T.money("l_extendedprice"))).collect()(0).getDecimal(0)
+    val sumBase = T(spark, sfDir, "lineitem")
+      .agg(sum(T.money("l_extendedprice"))).collect()(0).getDecimal(0)
+    sumDrift shouldBe sumBase
+  }
+
+  override protected def afterAll(): Unit = {
+    val p = java.nio.file.Paths.get(
+      s"${sys.props("java.io.tmpdir")}/graft_driftgen_spec_${ProcessHandle.current().pid()}")
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    super.afterAll()
+  }
+}
