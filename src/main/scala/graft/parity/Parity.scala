@@ -420,6 +420,66 @@ object Parity {
     (s, dir) =>
       flat(s, dir).orderBy(col("doc_id"), col("issue_literal").asc_nulls_first))
 
+  /** C4 log-fatality sniffing. The reference GUI tails the worker's log
+    * stream and marks the whole run fatal when ANY line contains "error"
+    * or "fatal" case-insensitively — the run then fails even on exit
+    * code 0 (gui.py:79-82). Re-expressed as a data-path operator over a
+    * generated run log: each `source` is one run, each document one log
+    * line (a formatter emits an ok-line per doc, plus deterministic
+    * mixed-case `Error:`/`FATAL:` lines on fixed doc_id residues so both
+    * verdict branches are exercised — the testdata corpus itself never
+    * contains either word). Per run: line count, flagged-line count, the
+    * fatal verdict, and the first offending line id (what a triage UI
+    * surfaces). The formatter + substring scan are pure projections
+    * inside whole-stage codegen; only (source, partial counters) cross
+    * the single partial+final aggregate shuffle — at 100 TB of logs the
+    * data movement is one combined counter row per run. */
+  private def c4Line: Column =
+    when(col("doc_id") % 97 === 13,
+      concat(lit("Error: annotator failed on doc "), col("doc_id").cast("string")))
+      .when(col("doc_id") % 101 === 7,
+        concat(lit("FATAL: out-of-memory replaying doc "), col("doc_id").cast("string")))
+      .otherwise(concat(lit("ok doc "), col("doc_id").cast("string"),
+        lit(": "), col("text")))
+
+  /** The sniff itself — `lower(line)` contains "error" or "fatal"
+    * (gui.py:79). Exposed for the spec's mixed-case pins. */
+  private[parity] def c4Flagged(line: Column): Column =
+    lower(line).contains("error") || lower(line).contains("fatal")
+
+  private val c4 = GraftQuery(
+    "parity_c4_log_fatality_sniff",
+    "case-insensitive error/fatal log sniff -> per-run fatal verdict (C4)",
+    Some("""
+      WITH log AS (
+        SELECT source, doc_id,
+               CASE WHEN doc_id % 97 = 13
+                      THEN 'Error: annotator failed on doc ' || CAST(doc_id AS VARCHAR)
+                    WHEN doc_id % 101 = 7
+                      THEN 'FATAL: out-of-memory replaying doc ' || CAST(doc_id AS VARCHAR)
+                    ELSE 'ok doc ' || CAST(doc_id AS VARCHAR) || ': ' || text END AS line
+        FROM documents)
+      SELECT source,
+             count(*) AS n_lines,
+             count(*) FILTER (WHERE lower(line) LIKE '%error%' OR lower(line) LIKE '%fatal%') AS n_flagged,
+             count(*) FILTER (WHERE lower(line) LIKE '%error%' OR lower(line) LIKE '%fatal%') > 0 AS fatal,
+             min(CASE WHEN lower(line) LIKE '%error%' OR lower(line) LIKE '%fatal%' THEN doc_id END) AS first_flagged_doc
+      FROM log
+      GROUP BY source
+      ORDER BY source"""),
+    (s, dir) => {
+      val flagged = c4Flagged(col("line"))
+      docs(s, dir)
+        .select(col("source"), col("doc_id"), c4Line.as("line"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_lines"),
+          count(when(flagged, lit(1))).as("n_flagged"),
+          (count(when(flagged, lit(1))) > 0).as("fatal"),
+          min(when(flagged, col("doc_id"))).as("first_flagged_doc"))
+        .orderBy("source")
+    })
+
   def queries: Seq[GraftQuery] =
-    Seq(a1, a1Filtered, a2a3, a4, a5, a6, p2p6, p3, s1s3, s4s5, x1, f1)
+    Seq(a1, a1Filtered, a2a3, a4, a5, a6, p2p6, p3, s1s3, s4s5, x1, f1, c4)
 }

@@ -99,4 +99,37 @@ class ParitySpec extends SparkSpec {
     val flagged = df.filter(coalesce(functions.size($"tags"), lit(0)) > 0)
     flagged.select($"doc_id").as[Long].collect().toSeq shouldBe Seq(1L)
   }
+
+  test("C4 sniff: case-insensitive substring, whole-word not required (gui.py:79)") {
+    // the GUI lowers the LINE and substring-matches — so mixed case hits,
+    // embedded occurrences hit ("terror"), and split words do not
+    val lines = Seq(
+      ("ok doc 1: all good", false),
+      ("Error: annotator failed", true),
+      ("FATAL: out of memory", true),
+      ("eRRoR mixed case", true),
+      ("counter-terrorism corpus note", true), // substring, like the reference
+      ("err or split across words", false),
+      ("fat al split across words", false))
+    val got = lines.map(_._1).toDF("line")
+      .select($"line", Parity.c4Flagged($"line").as("f"))
+      .as[(String, Boolean)].collect().toMap
+    lines.foreach { case (l, want) => withClue(l) { got(l) shouldBe want } }
+  }
+
+  test("C4 verdict: one flagged line anywhere in a run makes the whole run fatal") {
+    // mirrors the GUI's any-line semantics: fatal sticks once set
+    val df = Seq(
+      (10L, "runA", "ok"), (11L, "runA", "Error: boom"), (12L, "runA", "ok"),
+      (20L, "runB", "ok"), (21L, "runB", "ok"))
+      .toDF("doc_id", "run", "line")
+    val f = Parity.c4Flagged($"line")
+    val verdicts = df.groupBy($"run")
+      .agg((count(when(f, lit(1))) > 0).as("fatal"),
+        min(when(f, $"doc_id")).as("first"))
+      .collect().map(r => r.getString(0) -> (r.getBoolean(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    verdicts("runA") shouldBe ((true, Some(11L)))
+    verdicts("runB") shouldBe ((false, None))
+  }
 }
