@@ -213,6 +213,47 @@ class SchemaDriftSpec extends SparkSpec {
     assertInvariant("documents", variants, df => df)
   }
 
+  // ---- the five dimension tables: key-width + decimal-money drift ----
+  // (completes the all-10-tables sweep; money values use .25/.50
+  // fractions so the decimal(12,2)->double cast is binary-exact)
+
+  test("dimension tables: key-width and decimal-money drift normalizes") {
+    import spark.implicits._
+    val cases: Seq[(String, DataFrame, DataFrame => DataFrame)] = Seq(
+      ("region",
+        Seq((0, "AFRICA"), (1, "ASIA")).toDF("r_regionkey", "r_name"),
+        df => df.withColumn("r_regionkey", col("r_regionkey").cast(LongType))),
+      ("nation",
+        Seq((0, "ALGERIA", 0), (5, "JAPAN", 2)).toDF("n_nationkey", "n_name", "n_regionkey"),
+        df => df.withColumn("n_nationkey", col("n_nationkey").cast(LongType))
+          .withColumn("n_regionkey", col("n_regionkey").cast(LongType))),
+      ("customer",
+        Seq((1L, "Customer#1", 3, 711.25, "BUILDING"),
+          (2L, "Customer#2", 7, -200.50, "MACHINERY"))
+          .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+        df => df.withColumn("c_custkey", col("c_custkey").cast(IntegerType))
+          .withColumn("c_nationkey", col("c_nationkey").cast(LongType))
+          .withColumn("c_acctbal", col("c_acctbal").cast(DecimalType(12, 2)))),
+      ("supplier",
+        Seq((1L, "Supplier#1", 4, 4032.75), (2L, "Supplier#2", 9, 0.25))
+          .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+        df => df.withColumn("s_suppkey", col("s_suppkey").cast(IntegerType))
+          .withColumn("s_acctbal", col("s_acctbal").cast(DecimalType(12, 2)))),
+      ("part",
+        Seq((1L, "ivory blue", "Brand#13", "SMALL PLATED", 7, 901.00),
+          (2L, "mint green", "Brand#42", "LARGE BRUSHED", 21, 1300.50))
+          .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"),
+        df => df.withColumn("p_partkey", col("p_partkey").cast(IntegerType))
+          .withColumn("p_size", col("p_size").cast(LongType))
+          .withColumn("p_retailprice", col("p_retailprice").cast(DecimalType(12, 2)))))
+    cases.foreach { case (table, base, drift) =>
+      val variants = Map(
+        "canonical" -> viaT(table, s"${table}_base", base),
+        "drifted" -> viaT(table, s"${table}_drift", drift(base)))
+      withClue(s"table $table: ") { assertInvariant(table, variants, df => df) }
+    }
+  }
+
   // ---- the live sfDir: contract == what the driver currently ships ----
 
   test("every live sfDir table normalizes exactly to the canonical contract") {
