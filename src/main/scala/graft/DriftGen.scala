@@ -37,9 +37,18 @@ object DriftGen {
     "customer" -> Seq("c_acctbal"), "supplier" -> Seq("s_acctbal"),
     "part" -> Seq("p_retailprice"))
 
-  private def recode(axis: String, t: String, df: DataFrame): DataFrame = axis match {
-    case "ltz" => tsCols.getOrElse(t, Nil).foldLeft(df)((d, c) =>
-      d.withColumn(c, col(c).cast(TimestampType)))
+  private[graft] def recode(axis: String, t: String, df: DataFrame): DataFrame = axis match {
+    case "ltz" => tsCols.getOrElse(t, Nil).foldLeft(df) { (d, c) =>
+      // a LongType source is parquet timestamp[ns] surfaced as raw nanos
+      // by nanosAsLong; cast(long AS timestamp) would read SECONDS, so
+      // route through micros explicitly (ns→µs truncation is lossless,
+      // the data is µs-aligned)
+      val src = d.schema(c).dataType match {
+        case LongType => timestamp_micros(expr(s"`$c` div 1000"))
+        case _ => col(c)
+      }
+      d.withColumn(c, src.cast(TimestampType))
+    }
     case "date" => dateCols.getOrElse(t, Nil).foldLeft(df)((d, c) =>
       d.withColumn(c, col(c).cast(DateType)))
     case "i32" => i32Cols.getOrElse(t, Nil).foldLeft(df)((d, c) =>

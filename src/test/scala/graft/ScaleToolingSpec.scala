@@ -66,6 +66,19 @@ class ScaleToolingSpec extends SparkSpec {
     sumDrift shouldBe sumBase
   }
 
+  test("DriftGen ltz axis: a long-nanos ts source re-encodes epoch-preserving") {
+    import spark.implicits._
+    // if the driver ever regenerates events.ts back to parquet
+    // timestamp[ns], the raw read surfaces LongType nanos (nanosAsLong);
+    // cast(long AS timestamp) would read SECONDS — the axis must route
+    // through micros instead
+    val us = Seq(1700000000000000L, 1700000000123456L)
+    val nanos = us.map(_ * 1000L).toDF("ts")
+    val drifted = DriftGen.recode("ltz", "events", nanos)
+    drifted.schema("ts").dataType shouldBe TimestampType
+    drifted.select(unix_micros(col("ts"))).as[Long].collect().sorted.toSeq shouldBe us
+  }
+
   override protected def afterAll(): Unit = {
     val p = java.nio.file.Paths.get(
       s"${sys.props("java.io.tmpdir")}/graft_driftgen_spec_${ProcessHandle.current().pid()}")
