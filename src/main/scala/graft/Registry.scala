@@ -261,7 +261,25 @@ object T {
 
   /** DuckDB-side equivalents of the helpers above (string templates). */
   def sqlMoney(c: String): String = s"CAST($c AS DECIMAL(18,2))"
-  def sqlDsum(c: String): String = s"CAST(SUM(${sqlMoney(c)}) AS DOUBLE)"
+
+  /** Correctly-rounded DECIMAL→DOUBLE for ORACLE SQL. DuckDB's direct
+    * `CAST(dec AS DOUBLE)` converts the int128 payload to double and
+    * then divides by 10^scale — TWO roundings, which can land one ulp
+    * off the nearest double once the scaled payload exceeds 2^53.
+    * Spark's cast (BigDecimal.doubleValue) is correctly rounded at any
+    * magnitude, so the engines can disagree in the last ulp on large
+    * exact-decimal sums: first observed on the sf0.001 corr-matrix
+    * gate, where group A's Σ(extendedprice²) = 7096786968835.8685
+    * (scaled payload 7.1e16 > 2^53) converts to …869 in DuckDB vs the
+    * correctly-rounded …868 in Spark. Routing through VARCHAR fixes
+    * the class: decimal→varchar emits the exact digits and DuckDB's
+    * string→double parse is correctly rounded, so the oracle double is
+    * bit-identical to Spark's BY CONSTRUCTION at every magnitude.
+    * Every decimal-sum→double conversion in oracle SQL must use this
+    * spelling; integer sums (counts) below 2^53 convert exactly either
+    * way and may keep the plain cast. Pinned by Dec2DblSpec. */
+  def sqlDec2Dbl(e: String): String = s"CAST(CAST(($e) AS VARCHAR) AS DOUBLE)"
+  def sqlDsum(c: String): String = sqlDec2Dbl(s"SUM(${sqlMoney(c)})")
   def sqlDiscPrice(p: String, d: String): String =
     s"CAST(${sqlMoney(p)} * (1 - ${sqlMoney(d)}) AS DECIMAL(18,4))"
   def sqlCharge(p: String, d: String, t: String): String =

@@ -44,7 +44,7 @@ object Attribution {
                     AS DECIMAL(20,0)) AS share_q
         FROM m)
       SELECT u AS user_id, c_id AS click_event_id,
-             CAST(SUM(share_q) AS DOUBLE) / 1e8 AS attributed,
+             CAST(CAST((SUM(share_q)) AS VARCHAR) AS DOUBLE) / 1e8 AS attributed,
              COUNT(DISTINCT p_id) AS n_purchases
       FROM shared
       GROUP BY u, c_id

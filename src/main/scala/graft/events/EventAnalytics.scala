@@ -452,7 +452,7 @@ object EventAnalytics {
       SELECT event_type,
              COUNT(DISTINCT user_id) AS n_users,
              COUNT(*) AS n_events,
-             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+             CAST(CAST((SUM(CAST(value AS DECIMAL(18,2)))) AS VARCHAR) AS DOUBLE) AS sum_value,
              MIN(value) AS min_value,
              MAX(value) AS max_value
       FROM events

@@ -113,7 +113,7 @@ object Rolling {
       SELECT strftime(w_start, '%Y-%m-%d %H:%M') AS window_start,
              COUNT(*) AS n_events,
              COUNT(DISTINCT user_id) AS n_users,
-             round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+             round(CAST(CAST((SUM(CAST(value AS DECIMAL(18,2)))) AS VARCHAR) AS DOUBLE), 2) AS sum_value
       FROM assigned
       GROUP BY w_start ORDER BY w_start"""),
     (s, dir) =>

@@ -1271,7 +1271,7 @@ object LlmOps {
         FROM (SELECT label, v, unnest(generate_series(1, len(v))) AS i FROM e))
       SELECT label, dim,
              COUNT(*) AS n_vecs,
-             CAST(SUM(q) AS DOUBLE) / (10000000.0 * COUNT(*)) AS centroid
+             CAST(CAST((SUM(q)) AS VARCHAR) AS DOUBLE) / (10000000.0 * COUNT(*)) AS centroid
       FROM d GROUP BY label, dim
       ORDER BY label, dim"""),
     (s, dir) => {

@@ -54,7 +54,7 @@ object Retrieval {
       dl AS (
         SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
       stats AS (
-        SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+        SELECT COUNT(*) AS n, CAST(CAST((SUM(dl)) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
       tf AS (
         SELECT doc_id, term, COUNT(*) AS tf FROM tok
         WHERE term IN (${bm25Terms.map(t => s"'$t'").mkString(", ")})
@@ -134,7 +134,7 @@ object Retrieval {
       uni AS (
         SELECT u.term, COUNT(*) AS n_x
         FROM (SELECT unnest(toks) AS term FROM tok) u GROUP BY u.term),
-      tot AS (SELECT CAST(SUM(n_x) AS DOUBLE) AS n_uni FROM uni),
+      tot AS (SELECT CAST(CAST((SUM(n_x)) AS VARCHAR) AS DOUBLE) AS n_uni FROM uni),
       idx AS (
         SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
         FROM tok WHERE len(toks) >= 2),
@@ -142,7 +142,7 @@ object Retrieval {
         SELECT toks[i] AS w1, toks[i+1] AS w2, COUNT(*) AS n_xy
         FROM idx GROUP BY 1, 2 HAVING COUNT(*) >= 5),
       btot AS (
-        SELECT CAST(SUM(n_xy) AS DOUBLE) AS n_bi FROM (
+        SELECT CAST(CAST((SUM(n_xy)) AS VARCHAR) AS DOUBLE) AS n_bi FROM (
           SELECT COUNT(*) AS n_xy
           FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
                 FROM tok WHERE len(toks) >= 2) z

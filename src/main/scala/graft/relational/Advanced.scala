@@ -211,10 +211,10 @@ object Advanced {
     "rolling 90-day spend per customer via RANGE frame (E6 §2.6)",
     Some(s"""
       SELECT o_custkey, o_orderkey,
-        CAST(SUM(${sqlMoney("o_totalprice")}) OVER (
+        ${sqlDec2Dbl(s"""SUM(${sqlMoney("o_totalprice")}) OVER (
           PARTITION BY o_custkey
           ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
-          RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_90d
+          RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW)""")} AS spend_90d
       FROM orders
       ORDER BY o_custkey, o_orderkey"""),
     (s, dir) => {

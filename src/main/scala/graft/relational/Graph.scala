@@ -90,7 +90,7 @@ object Graph {
       def step(prev: String): String =
         s"""SELECT e.dst AS node,
                CAST(${1 - damping} + $damping *
-                 (CAST(SUM(CAST(trunc(r.rank / d.outdeg * 1e12) AS DECIMAL(20,0))) AS DOUBLE)
+                 (${graft.T.sqlDec2Dbl("SUM(CAST(trunc(r.rank / d.outdeg * 1e12) AS DECIMAL(20,0)))")}
                   / 1e12) AS DOUBLE) AS rank
             FROM $prev r
             JOIN deg d ON d.src = r.node

@@ -87,9 +87,9 @@ object Multiset {
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name, n_name)
       SELECT r_name, n_name,
-        CAST(rev AS DOUBLE) AS revenue,
-        CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER (PARTITION BY r_name) AS DOUBLE) AS share_region,
-        CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER () AS DOUBLE) AS share_global
+        ${sqlDec2Dbl("rev")} AS revenue,
+        ${sqlDec2Dbl("rev")} / ${sqlDec2Dbl("SUM(rev) OVER (PARTITION BY r_name)")} AS share_region,
+        ${sqlDec2Dbl("rev")} / ${sqlDec2Dbl("SUM(rev) OVER ()")} AS share_global
       FROM nrev
       ORDER BY r_name, n_name"""),
     (s, dir) => {

@@ -1,7 +1,7 @@
 package graft.relational
 
 import graft.{GraftQuery, T}
-import graft.T.{money, sqlMoney}
+import graft.T.{money, sqlDec2Dbl, sqlMoney}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -35,9 +35,9 @@ object Olap {
     "native pivot (pinned values): per-nation order spend by status (§2.4/§2.9)",
     Some(s"""
       SELECT n_name,
-        CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN ${sqlMoney("o_totalprice")} ELSE 0 END) AS DOUBLE) AS f_spend,
-        CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN ${sqlMoney("o_totalprice")} ELSE 0 END) AS DOUBLE) AS o_spend,
-        CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN ${sqlMoney("o_totalprice")} ELSE 0 END) AS DOUBLE) AS p_spend
+        ${sqlDec2Dbl(s"SUM(CASE WHEN o_orderstatus = 'F' THEN ${sqlMoney("o_totalprice")} ELSE 0 END)")} AS f_spend,
+        ${sqlDec2Dbl(s"SUM(CASE WHEN o_orderstatus = 'O' THEN ${sqlMoney("o_totalprice")} ELSE 0 END)")} AS o_spend,
+        ${sqlDec2Dbl(s"SUM(CASE WHEN o_orderstatus = 'P' THEN ${sqlMoney("o_totalprice")} ELSE 0 END)")} AS p_spend
       FROM orders
       JOIN customer ON o_custkey = c_custkey
       JOIN nation ON c_nationkey = n_nationkey

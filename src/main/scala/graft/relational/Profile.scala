@@ -139,7 +139,11 @@ object Profile {
     * money/quantity values, so products at scale 4 are exact), then the
     * corr/cov formulas run on doubles derived from those exact sums —
     * every arithmetic step is deterministic IEEE with an identical
-    * expression tree on both engines, so results are bit-identical. The
+    * expression tree on both engines, so results are bit-identical.
+    * The decimal→double step itself must be correctly rounded on BOTH
+    * sides for that to hold — the oracle spells it [[T.sqlDec2Dbl]]
+    * (see there: DuckDB's direct cast double-rounds past 2^53, caught
+    * by this very query at the sf0.001 gate). The
     * constant-width aggregate is partial/final (no Expand), and adding
     * measures grows the row width, not the pass count — the same
     * one-scan posture as `q_profile_stats`.
@@ -165,15 +169,15 @@ object Profile {
       a AS (
         SELECT rf,
                CAST(COUNT(*) AS DOUBLE) AS n,
-               CAST(SUM(xq) AS DOUBLE) AS sq,
-               CAST(SUM(xp) AS DOUBLE) AS sp,
-               CAST(SUM(xd) AS DOUBLE) AS sd,
-               CAST(SUM(CAST(xq * xq AS DECIMAL(30,4))) AS DOUBLE) AS sqq,
-               CAST(SUM(CAST(xp * xp AS DECIMAL(30,4))) AS DOUBLE) AS spp,
-               CAST(SUM(CAST(xd * xd AS DECIMAL(30,4))) AS DOUBLE) AS sdd,
-               CAST(SUM(CAST(xq * xp AS DECIMAL(30,4))) AS DOUBLE) AS sqp,
-               CAST(SUM(CAST(xq * xd AS DECIMAL(30,4))) AS DOUBLE) AS sqd,
-               CAST(SUM(CAST(xp * xd AS DECIMAL(30,4))) AS DOUBLE) AS spd
+               ${T.sqlDec2Dbl("SUM(xq)")} AS sq,
+               ${T.sqlDec2Dbl("SUM(xp)")} AS sp,
+               ${T.sqlDec2Dbl("SUM(xd)")} AS sd,
+               ${T.sqlDec2Dbl("SUM(CAST(xq * xq AS DECIMAL(30,4)))")} AS sqq,
+               ${T.sqlDec2Dbl("SUM(CAST(xp * xp AS DECIMAL(30,4)))")} AS spp,
+               ${T.sqlDec2Dbl("SUM(CAST(xd * xd AS DECIMAL(30,4)))")} AS sdd,
+               ${T.sqlDec2Dbl("SUM(CAST(xq * xp AS DECIMAL(30,4)))")} AS sqp,
+               ${T.sqlDec2Dbl("SUM(CAST(xq * xd AS DECIMAL(30,4)))")} AS sqd,
+               ${T.sqlDec2Dbl("SUM(CAST(xp * xd AS DECIMAL(30,4)))")} AS spd
         FROM d GROUP BY rf)
       ${pairSel("extendedprice~discount", "sp", "sd", "spp", "sdd", "spd")}
       UNION ALL

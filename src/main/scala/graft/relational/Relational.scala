@@ -34,8 +34,8 @@ object Relational {
       SELECT l_returnflag, l_linestatus,
         ${sqlDsum("l_quantity")} AS sum_qty,
         ${sqlDsum("l_extendedprice")} AS sum_base_price,
-        CAST(SUM(${sqlDiscPrice("l_extendedprice", "l_discount")}) AS DOUBLE) AS sum_disc_price,
-        CAST(SUM(${sqlCharge("l_extendedprice", "l_discount", "l_tax")}) AS DOUBLE) AS sum_charge,
+        ${sqlDec2Dbl(s"SUM(${sqlDiscPrice("l_extendedprice", "l_discount")})")} AS sum_disc_price,
+        ${sqlDec2Dbl(s"SUM(${sqlCharge("l_extendedprice", "l_discount", "l_tax")})")} AS sum_charge,
         ${sqlDsum("l_quantity")} / COUNT(*) AS avg_qty,
         ${sqlDsum("l_extendedprice")} / COUNT(*) AS avg_price,
         COUNT(*) AS count_order
@@ -67,7 +67,7 @@ object Relational {
     "3-way join + group + global top-k with tiebreak (E6/O1)",
     Some(s"""
       SELECT o_orderkey,
-        CAST(SUM(${sqlDiscPrice("l_extendedprice", "l_discount")}) AS DOUBLE) AS revenue,
+        ${sqlDec2Dbl(s"SUM(${sqlDiscPrice("l_extendedprice", "l_discount")})")} AS revenue,
         CAST(o_orderdate AS DATE) AS order_date, o_orderpriority
       FROM customer
       JOIN orders ON c_custkey = o_custkey
@@ -105,7 +105,7 @@ object Relational {
     "6-way star join + agg + sort (E6); dims broadcast",
     Some(s"""
       SELECT n_name,
-        CAST(SUM(${sqlDiscPrice("l_extendedprice", "l_discount")}) AS DOUBLE) AS revenue
+        ${sqlDec2Dbl(s"SUM(${sqlDiscPrice("l_extendedprice", "l_discount")})")} AS revenue
       FROM customer
       JOIN orders ON c_custkey = o_custkey
       JOIN lineitem ON l_orderkey = o_orderkey
@@ -213,9 +213,9 @@ object Relational {
     "cumulative sum over rowsBetween frame (§2.6)",
     Some("""
       SELECT o_custkey, o_orderkey,
-        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        CAST(CAST((SUM(CAST(o_totalprice AS DECIMAL(18,2)))
           OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS VARCHAR) AS DOUBLE)
           AS running_spend
       FROM orders
       WHERE o_custkey < 100
@@ -356,10 +356,10 @@ object Relational {
     "sum(CASE WHEN...) manual pivot by market segment (§2.4/§2.9)",
     Some(s"""
       SELECT n_name,
-        CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING'
-          THEN CAST(c_acctbal AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS building_bal,
-        CAST(SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE'
-          THEN CAST(c_acctbal AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS automobile_bal,
+        ${sqlDec2Dbl("""SUM(CASE WHEN c_mktsegment = 'BUILDING'
+          THEN CAST(c_acctbal AS DECIMAL(18,2)) ELSE 0 END)""")} AS building_bal,
+        ${sqlDec2Dbl("""SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE'
+          THEN CAST(c_acctbal AS DECIMAL(18,2)) ELSE 0 END)""")} AS automobile_bal,
         COUNT(*) AS n_customers
       FROM customer JOIN nation ON c_nationkey = n_nationkey
       GROUP BY n_name

@@ -55,7 +55,7 @@ object Subqueries {
     "q_scalar_subquery",
     "correlated scalar subquery as agg-then-join (E6 §2.3)",
     Some(s"""
-      SELECT CAST(SUM(${sqlMoney("l_extendedprice")}) AS DOUBLE) AS total_price,
+      SELECT ${sqlDec2Dbl(s"SUM(${sqlMoney("l_extendedprice")})")} AS total_price,
              COUNT(*) AS n_items
       FROM lineitem l
       WHERE l_quantity < (
