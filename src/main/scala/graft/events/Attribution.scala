@@ -111,7 +111,7 @@ object Attribution {
         FROM m)
       SELECT COUNT(*) AS n_clicks,
              COUNT(delay_us) AS n_converted,
-             CAST(COUNT(delay_us) AS DOUBLE) / COUNT(*) AS conversion_rate,
+             CAST(COUNT(delay_us) AS DOUBLE) / NULLIF(COUNT(*), 0) AS conversion_rate,
              quantile_cont(delay_us, 0.25) AS p25_us,
              quantile_cont(delay_us, 0.50) AS p50_us,
              quantile_cont(delay_us, 0.75) AS p75_us,
@@ -133,7 +133,12 @@ object Attribution {
         .agg(
           count(lit(1)).as("n_clicks"),
           count(col("delay_us")).as("n_converted"),
-          (count(col("delay_us")).cast("double") / count(lit(1)))
+          // NULL on zero clicks (empty input) rather than ANSI 0/0 —
+          // NULLIF in the oracle keeps the engines aligned (safeDiv
+          // discipline); unreachable on non-empty events, load-bearing
+          // for the empty-input sweep
+          when(count(lit(1)) === 0, lit(null).cast("double"))
+            .otherwise(count(col("delay_us")).cast("double") / count(lit(1)))
             .as("conversion_rate"),
           expr("percentile(delay_us, 0.25)").as("p25_us"),
           expr("percentile(delay_us, 0.50)").as("p50_us"),

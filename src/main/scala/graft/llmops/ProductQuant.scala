@@ -85,6 +85,13 @@ object ProductQuant {
   private def lloyd(xs: Array[Array[Double]], k: Int = K,
       dim: Int = subDim): Array[Array[Double]] = {
     val n = xs.length
+    // empty training sample (an all-empty corpus — every 100 TB filter
+    // chain eventually hands some stage zero rows): return the k
+    // all-zero centers instead of indexing into nothing. Every
+    // downstream probe/ADC join runs against an empty corpus side, so
+    // the query result is empty regardless of the center values — the
+    // codebook just has to EXIST for the plan to build.
+    if (n == 0) return Array.fill(k, dim)(0.0)
     var centers = Array.tabulate(k)(c => xs(((c.toLong * n) / k).toInt).clone())
     for (_ <- 0 until 8) {
       val sums = Array.fill(k, dim)(0.0)
@@ -269,8 +276,21 @@ object ProductQuant {
       val (codes, cb) = codeIndex(s, dir)
       val queries = n.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val qvs = queryVecs(s, dir)
+      if (qvs.isEmpty) {
+        // empty corpus → empty query set → the search result is empty
+        // by definition. Emit the declared shape explicitly: the
+        // LUT-literal plan below spells the query fan-out as
+        // explode(array(<one struct per query>)), and a ZERO-column
+        // array types as VOID, which no downstream field extraction
+        // can bind against.
+        import org.apache.spark.sql.types._
+        s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          StructType(Seq(StructField("q_id", LongType), StructField("rn", IntegerType),
+            StructField("neighbor_id", LongType), StructField("d2", DoubleType))))
+      } else {
       // per-query ADC distance as LUT-literal lookups over the packed code
-      val perQuery = queryVecs(s, dir).map { case (qid, qv) =>
+      val perQuery = qvs.map { case (qid, qv) =>
         val adc = (0 until M).map { m =>
           val lut = cb(m).map(cw => subD2(qv, m * subDim, cw))
           element_at(array(lut.map(lit): _*),
@@ -308,6 +328,7 @@ object ProductQuant {
         .filter(col("rn") <= 3)
         .select(col("q_id"), col("rn"), col("neighbor_id"), col("d2"))
         .orderBy("q_id", "rn")
+      }
     },
     oracleGen = Some(pqOracleSql))
 

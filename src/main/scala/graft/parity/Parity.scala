@@ -327,7 +327,11 @@ object Parity {
       val blanks = d.select(col("lang")).distinct().withColumn("text", lit("  "))
       d.select(col("lang"), col("text")).unionByName(blanks)
         .write.mode("overwrite").partitionBy("lang").text(corpusDir)
-      s.read.text(s"$corpusDir/lang=*/part-*")
+      // read the ROOT, not a lang=*/part-* glob: text's schema is static
+      // (no inference), so partition discovery over zero written
+      // languages — an all-empty corpus — yields an empty frame where
+      // the glob would find no paths at all and throw
+      s.read.text(corpusDir)
         .withColumn("lang", regexp_extract(input_file_name(), "lang=([^/]+)/", 1))
         .filter(col("lang").isin(Lexicon.referenceLanguages: _*)) // S1 whitelist
         .filter(length(trim(col("value"))) > 0)                   // P1

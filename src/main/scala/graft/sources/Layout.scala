@@ -69,7 +69,11 @@ object Layout {
       FROM documents WHERE lang = 'de' GROUP BY lang"""),
     (s, dir) => {
       val path = partitionedDocs(s, dir)
-      s.read.parquet(path)
+      // DECLARED schema on the read-back (the contract shape we just
+      // wrote): skips the footer-sampling inference job, and — the
+      // empty-input case — an all-empty write emits no part files at
+      // all, where inference has nothing to read and throws
+      s.read.schema(T(s, dir, "documents").schema).parquet(path)
         .filter(col("lang") === "de")
         .groupBy(col("lang"))
         .agg(
@@ -109,7 +113,7 @@ object Layout {
           .write.mode("overwrite").parquet(p)
         p
       })
-      s.read.parquet(path).as("d")
+      s.read.schema(T(s, dir, "documents").schema).parquet(path).as("d")
         .join(s.read.parquet(dimPath).filter(col("family") === "romance").as("l"), "lang")
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"))
