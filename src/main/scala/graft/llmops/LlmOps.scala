@@ -1008,6 +1008,11 @@ object LlmOps {
   private def normed(s: SparkSession, dir: String): DataFrame = {
     val v = expr("transform(embedding, x -> CAST(x AS DOUBLE))")
     embeddings(s, dir)
+      // null vectors are UNINDEXABLE — no distance, no bucket, no code
+      // — so every vector op drops them at the read, mirrored by
+      // `WHERE embedding IS NOT NULL` in the paired oracles
+      // (sqlNormedCte + the inline e-CTEs). Pinned by NullInputSpec.
+      .filter(col("embedding").isNotNull)
       .select(col("vec_id"), v.as("v"))
       .withColumn("nrm", sqrt(graft.functions.VectorFunctions.dot(col("v"), col("v"))))
   }
@@ -1063,7 +1068,7 @@ object LlmOps {
     Some(s"""
       WITH e AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        FROM embeddings),
+        FROM embeddings WHERE embedding IS NOT NULL),
       n AS (
         SELECT vec_id, v,
                sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
@@ -1116,7 +1121,7 @@ object LlmOps {
     Some(s"""
       WITH e AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        FROM embeddings),
+        FROM embeddings WHERE embedding IS NOT NULL),
       n AS (
         SELECT vec_id, v,
                sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
@@ -1175,7 +1180,7 @@ object LlmOps {
     Some(s"""
       WITH e AS (
         SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        FROM embeddings),
+        FROM embeddings WHERE embedding IS NOT NULL),
       n AS (
         SELECT vec_id, label, v,
                sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
@@ -1264,7 +1269,7 @@ object LlmOps {
     Some("""
       WITH e AS (
         SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        FROM embeddings),
+        FROM embeddings WHERE embedding IS NOT NULL),
       d AS (
         SELECT label, CAST(i AS BIGINT) AS dim,
                CAST(trunc(v[i] * 10000000.0) AS BIGINT) AS q
@@ -1340,7 +1345,7 @@ object LlmOps {
   private[llmops] val sqlNormedCte = """
       WITH e AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        FROM embeddings),
+        FROM embeddings WHERE embedding IS NOT NULL),
       n AS (
         SELECT vec_id, v,
                sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
@@ -1921,17 +1926,25 @@ object LlmOps {
       val inLex = (x: Column) => x.isin(scrubLexicon: _*)
       docs(s, dir)
         .select(col("doc_id"), toks(col("text")).as("t"))
-        .select(col("doc_id"),
-          concat_ws(" ", transform(col("t"),
-            x => when(inLex(x), lit("<TERM>")).otherwise(x))).as("masked"),
+        // NULL-THROUGH on null text: every derived column is NULL, like
+        // the oracle's natural propagation (string_split(NULL) → NULL →
+        // NULL all the way down). Without the guard the engine mixes
+        // semantics — concat_ws treats a NULL array as '' (→ scrubbed
+        // '', counts 0) while size(NULL) is NULL (measured, round-11
+        // null-injection gate).
+        .select(col("doc_id"), col("t"),
+          when(col("t").isNotNull, concat_ws(" ", transform(col("t"),
+            x => when(inLex(x), lit("<TERM>")).otherwise(x)))).as("masked"),
           size(filter(col("t"), inLex)).cast("long").as("n_masked_terms"))
         .select(col("doc_id"),
           regexp_replace(regexp_replace(col("masked"), scrubEmailRe, "<EMAIL>"),
             scrubIpv4Re, "<IP>").as("scrubbed"),
           col("n_masked_terms"),
-          size(regexp_extract_all(col("masked"), lit(scrubEmailRe), lit(0)))
+          when(col("t").isNotNull,
+            size(regexp_extract_all(col("masked"), lit(scrubEmailRe), lit(0))))
             .cast("long").as("n_emails"),
-          size(regexp_extract_all(col("masked"), lit(scrubIpv4Re), lit(0)))
+          when(col("t").isNotNull,
+            size(regexp_extract_all(col("masked"), lit(scrubIpv4Re), lit(0))))
             .cast("long").as("n_ips"))
         .orderBy("doc_id")
     })

@@ -41,10 +41,15 @@ object Multimodal {
     (conv(substring(payloadMd5, 5, 4), 16, 10).cast("long") % 2048) + 16
 
   private def media(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "documents").select(
-      col("doc_id").as("media_id"),
-      col("text").cast(BinaryType).as("payload"),
-      col("lang"))
+    T(s, dir, "documents")
+      // a null text is a MISSING payload — no bytes to ingest, decode,
+      // frame, or shard — dropped at the read on both sides (`WHERE
+      // text IS NOT NULL` in every mm oracle). Pinned by NullInputSpec.
+      .filter(col("text").isNotNull)
+      .select(
+        col("doc_id").as("media_id"),
+        col("text").cast(BinaryType).as("payload"),
+        col("lang"))
 
   /** Binary ingestion + typed-metadata extraction: payload stays opaque;
     * md5/length are codegen'd builtins; width/height are the stubbed
@@ -58,7 +63,7 @@ object Multimodal {
              md5(text) AS content_md5,
              (CAST('0x' || substr(md5(text), 1, 4) AS BIGINT) % 2048) + 16 AS width,
              (CAST('0x' || substr(md5(text), 5, 4) AS BIGINT) % 2048) + 16 AS height
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
       ORDER BY media_id"""),
     (s, dir) => {
       val m = media(s, dir).withColumn("content_md5", md5(col("payload")))
@@ -84,7 +89,7 @@ object Multimodal {
       WITH m AS (
         SELECT doc_id AS media_id, text,
                CAST(ceil(octet_length(encode(text)) / $frameBytes.0) AS BIGINT) AS n_frames
-        FROM documents),
+        FROM documents WHERE text IS NOT NULL),
       f AS (
         SELECT media_id, text, unnest(generate_series(0, n_frames - 1)) AS frame_idx
         FROM m)
@@ -156,7 +161,7 @@ object Multimodal {
              (CAST('0x' || substr(md5(text), 1, 4) AS BIGINT) % 2048) + 16 AS width,
              (CAST('0x' || substr(md5(text), 5, 4) AS BIGINT) % 2048) + 16 AS height,
              octet_length(encode(text)) AS n_bytes
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
       ORDER BY media_id"""),
     (s, dir) => {
       import s.implicits._
@@ -181,7 +186,7 @@ object Multimodal {
         SELECT doc_id AS media_id,
                (CAST('0x' || substr(md5(text), 1, 4) AS BIGINT) % 2048) + 16 AS w,
                (CAST('0x' || substr(md5(text), 5, 4) AS BIGINT) % 2048) + 16 AS h
-        FROM documents)
+        FROM documents WHERE text IS NOT NULL)
       SELECT media_id, w, h,
         CASE WHEN w <= $fitBox AND h <= $fitBox THEN w
              WHEN w >= h THEN $fitBox
@@ -250,6 +255,7 @@ object Multimodal {
       out.mkdirs()
       val root = out.getAbsolutePath
       T(s, dir, "documents").select(col("doc_id"), col("text"))
+        .filter(col("text").isNotNull) // missing payload: nothing to write
         .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
           rows.foreach { r =>
             java.nio.file.Files.write(
@@ -282,7 +288,7 @@ object Multimodal {
       SELECT doc_id AS media_id,
              octet_length(encode(text)) AS n_bytes,
              md5(text) AS content_md5
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
       ORDER BY media_id"""),
     (s, dir) => {
       val bin = ensureBinFiles(s, dir)
@@ -323,7 +329,7 @@ object Multimodal {
         SELECT doc_id AS media_id,
                md5(CAST(doc_id AS VARCHAR)) AS sk,
                octet_length(encode(text)) AS n_bytes
-        FROM documents),
+        FROM documents WHERE text IS NOT NULL),
       p AS (
         SELECT media_id, sk, n_bytes,
                CAST(('0x' || substr(sk, 1, 4)) AS BIGINT) % $shardParts AS part
@@ -349,6 +355,7 @@ object Multimodal {
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
           org.apache.spark.sql.expressions.Window.currentRow)
       T(s, dir, "documents")
+        .filter(col("text").isNotNull) // missing payload — nothing to shard
         .select(col("doc_id").as("media_id"),
           md5(col("doc_id").cast("string")).as("sk"),
           octet_length(col("text").cast(BinaryType)).cast("long").as("n_bytes"))
@@ -419,7 +426,7 @@ object Multimodal {
         SELECT doc_id AS media_id,
                (CAST('0x' || substr(md5(text), 1, 4) AS BIGINT) % 2048) + 16 AS w,
                (CAST('0x' || substr(md5(text), 5, 4) AS BIGINT) % 2048) + 16 AS h
-        FROM documents),
+        FROM documents WHERE text IS NOT NULL),
       emb AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings),

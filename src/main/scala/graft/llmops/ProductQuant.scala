@@ -32,6 +32,10 @@ object ProductQuant {
 
   private def embeddings(s: SparkSession, dir: String): DataFrame =
     graft.T(s, dir, "embeddings")
+      // null vectors are unindexable — same read-side drop as
+      // LlmOps.normed(), mirrored in the generated oracles' shared
+      // sqlNormedCte; keeps the quantizer training sample null-free
+      .filter(col("embedding").isNotNull)
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
 
   private def dot(a: Column, b: Column): Column =

@@ -219,10 +219,12 @@ object Retrieval {
         .mkString("1 + ", " + ", "")
       s"""
       WITH q AS (
-        SELECT doc_id,
-               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-                 / len(string_split(text, ' ')) AS score
-        FROM documents),
+        SELECT * FROM (
+          SELECT doc_id,
+                 CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS score
+          FROM documents)
+        WHERE score IS NOT NULL),
       vals AS (SELECT score, count(*) AS c FROM q GROUP BY score),
       tot AS (SELECT count(*) AS n FROM q),
       cum AS (
@@ -242,6 +244,12 @@ object Retrieval {
         col("doc_id"),
         (size(array_distinct(toks(col("text")))).cast("double") /
           size(toks(col("text")))).as("score"))
+        // a null text has no score — UNRANKABLE, excluded from decile
+        // bucketing on both sides. Without the filter, NULL scores hit
+        // the cumulative window's null-ordering divergence (Spark ASC
+        // defaults NULLS FIRST, DuckDB NULLS LAST) and shift every
+        // boundary (measured, round-11 null-injection gate).
+        .filter(col("score").isNotNull)
       val vals = q.groupBy(col("score")).agg(count(lit(1)).as("c"))
       val w = org.apache.spark.sql.expressions.Window.orderBy(col("score"))
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,

@@ -71,7 +71,7 @@ object TextRanking {
     Some("""
       WITH r AS (
         SELECT doc_id, lang,
-          row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rk,
+          row_number() OVER (PARTITION BY lang ORDER BY md5(COALESCE(text, '')), doc_id) AS rk,
           COUNT(*) OVER (PARTITION BY lang) AS n
         FROM documents)
       SELECT doc_id, lang FROM r
@@ -81,7 +81,11 @@ object TextRanking {
       val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
       val cw = Window.partitionBy(col("lang"))
       docs(s, dir)
-        .withColumn("h", md5(col("text")))
+        // hash the COALESCEd text: a null doc still occupies a sample
+        // slot, and an un-coalesced md5(NULL) rank key would hit the
+        // engines' opposite null-ordering defaults (Spark NULLS FIRST,
+        // DuckDB NULLS LAST — measured, round-11 null-injection gate)
+        .withColumn("h", md5(coalesce(col("text"), lit(""))))
         .withColumn("rk", row_number().over(w))
         .withColumn("n", count(lit(1)).over(cw))
         .filter(col("rk") <= ceil(col("n") / 10.0))

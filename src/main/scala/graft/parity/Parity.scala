@@ -283,7 +283,7 @@ object Parity {
     "first-comma-only split; no-comma => empty remainder (P3/C1/C2/C5)",
     Some("""
       WITH lines AS (
-        SELECT doc_id, CAST(doc_id AS VARCHAR) || ', ' || text AS line, text
+        SELECT doc_id, CAST(doc_id AS VARCHAR) || ', ' || COALESCE(text, '') AS line, text
         FROM documents)
       SELECT doc_id,
              trim(split_part(line, ',', 1)) AS record_num,
@@ -297,7 +297,13 @@ object Parity {
       ORDER BY doc_id"""),
     (s, dir) =>
       docs(s, dir)
-        .withColumn("line", concat(col("doc_id").cast("string"), lit(", "), col("text")))
+        // null-text docs still produce a line (missing field → empty):
+        // an un-coalesced concat nulls the WHOLE line, and the engines
+        // then disagree downstream — DuckDB's split_part(NULL) returns
+        // '' where Spark's substring_index(NULL) is NULL (measured,
+        // round 11 null-injection gate)
+        .withColumn("line", concat(col("doc_id").cast("string"), lit(", "),
+          coalesce(col("text"), lit(""))))
         .select(col("doc_id"),
           recordNum(col("line")).as("record_num"),
           literalText(col("line"), "line").as("literal_text"),
