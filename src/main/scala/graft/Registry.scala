@@ -212,9 +212,43 @@ object T {
       org.apache.logging.log4j.Level.ERROR)
   }
 
-  /** Exact 2-decimal view of a double measure column (prices, discounts). */
-  def money(c: Column): Column = c.cast(DecimalType(18, 2))
+  /** TRUE iff `c` (viewed as double) is a finite number; NULL yields
+    * NULL, which `when()` routes to the otherwise branch — so guards
+    * built on this treat NULL and non-finite alike, as MISSING. */
+  def finite(c: Column): Column = {
+    val d = c.cast("double")
+    !isnan(d) && abs(d) =!= lit(Double.PositiveInfinity)
+  }
+
+  /** The DuckDB spelling of [[finite]]. */
+  def sqlFinite(e: String): String = s"isfinite(CAST(($e) AS DOUBLE))"
+
+  /** Exact 2-decimal view of a double measure column (prices, discounts).
+    *
+    * NON-FINITE inputs (NaN/±Inf — a fact of any 100 TB metric column)
+    * are MISSING by contract: there is no exact-decimal reading of NaN,
+    * and the two engines disagree at the cast (Spark nulls, DuckDB
+    * throws), so both sides guard explicitly — [[sqlMoney]] mirrors
+    * with `CASE WHEN isfinite`. Identity on finite data. Raw
+    * double-typed stats (min/max/avg) are NOT guarded: IEEE propagation
+    * is engine-identical and faithful there. Pinned by NonFiniteInputSpec. */
+  def money(c: Column): Column = when(finite(c), c).cast(DecimalType(18, 2))
   def money(name: String): Column = money(col(name))
+
+  /** A vector is INDEXABLE iff present with every element finite: a
+    * NaN/Inf slot poisons every distance, norm, bucket and code built
+    * from it — and the engines diverge on poisoned comparisons (DuckDB
+    * orders NaN above +Inf even in `>=`, Spark follows IEEE false) —
+    * so every vector-op read drops non-indexable vectors, mirrored by
+    * [[sqlIndexable]] in the paired oracles. Pinned by
+    * NonFiniteInputSpec + NullInputSpec. */
+  val indexableEmbedding: Column =
+    col("embedding").isNotNull &&
+      !expr("exists(embedding, x -> isnan(x) OR abs(x) = CAST('Infinity' AS DOUBLE))")
+
+  /** The DuckDB spelling of [[indexableEmbedding]] (a WHERE predicate). */
+  val sqlIndexable: String =
+    "embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0"
 
   /** Tie-free quantization of a COMPUTED double to 1/`scale` steps:
     * with y = x·scale + 0.5, emit (y − (y % 1)) / scale — the same
@@ -259,8 +293,11 @@ object T {
     (discPrice(price, discount) * (lit(1).cast(DecimalType(18, 2)) + money(tax)))
       .cast(DecimalType(27, 6))
 
-  /** DuckDB-side equivalents of the helpers above (string templates). */
-  def sqlMoney(c: String): String = s"CAST($c AS DECIMAL(18,2))"
+  /** DuckDB-side equivalents of the helpers above (string templates).
+    * The finite guard mirrors [[money]]: without it DuckDB throws on
+    * `CAST(NaN AS DECIMAL)` where Spark nulls. */
+  def sqlMoney(c: String): String =
+    s"CAST(CASE WHEN ${sqlFinite(c)} THEN ($c) END AS DECIMAL(18,2))"
 
   /** Correctly-rounded DECIMAL→DOUBLE for ORACLE SQL. DuckDB's direct
     * `CAST(dec AS DOUBLE)` converts the int128 payload to double and

@@ -40,7 +40,8 @@ object Attribution {
          AND c.c_ts > p.p_ts - INTERVAL 7 DAY),
       shared AS (
         SELECT u, c_id, p_id,
-               CAST(trunc(value / (COUNT(*) OVER (PARTITION BY p_id)) * 1e8)
+               CAST(trunc(CASE WHEN isfinite(value) THEN value END
+                          / (COUNT(*) OVER (PARTITION BY p_id)) * 1e8)
                     AS DECIMAL(20,0)) AS share_q
         FROM m)
       SELECT u AS user_id, c_id AS click_event_id,
@@ -61,9 +62,14 @@ object Attribution {
           col("cu") === col("u") &&
             col("c_ts") <= col("p_ts") &&
             col("c_ts") > col("p_ts") - expr("INTERVAL 7 DAY"))
-        // double->long cast truncates toward zero, matching trunc()
+        // double->long cast truncates toward zero, matching trunc().
+        // A non-finite purchase value carries no attributable revenue
+        // (NULL share, skipped by the sum) but the purchase still
+        // counts toward n_purchases — without the guard an Inf share
+        // overflowed the ANSI BIGINT cast (round-11 non-finite gate)
         .withColumn("share_q",
-          (col("value") / count(lit(1)).over(Window.partitionBy(col("p_id"))) * 1e8)
+          (when(graft.T.finite(col("value")), col("value"))
+            / count(lit(1)).over(Window.partitionBy(col("p_id"))) * 1e8)
             .cast("long").cast(DecimalType(20, 0)))
         .groupBy(col("u"), col("c_id"))
         .agg(

@@ -448,11 +448,11 @@ object EventAnalytics {
   private val sketchExactTwin = GraftQuery(
     "e5_sketch_exact_twin",
     "exact distinct users / counts / decimal sums per event type — the sketch family's hash-checked companion",
-    Some("""
+    Some(s"""
       SELECT event_type,
              COUNT(DISTINCT user_id) AS n_users,
              COUNT(*) AS n_events,
-             CAST(CAST((SUM(CAST(value AS DECIMAL(18,2)))) AS VARCHAR) AS DOUBLE) AS sum_value,
+             ${sqlDsum("value")} AS sum_value,
              MIN(value) AS min_value,
              MAX(value) AS max_value
       FROM events
@@ -464,7 +464,7 @@ object EventAnalytics {
         .agg(
           countDistinct(col("user_id")).as("n_users"),
           count(lit(1)).as("n_events"),
-          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"),
+          dsum(col("value")).as("sum_value"),
           min(col("value")).as("min_value"),
           max(col("value")).as("max_value"))
         .orderBy("event_type"))
@@ -535,7 +535,8 @@ object EventAnalytics {
         SELECT user_id,
                date_diff('day', max(CAST(ts AS DATE)), (SELECT dmax FROM mx)) AS recency_days,
                count(*) AS frequency,
-               CAST(round(sum(value) * 100, 0) AS BIGINT) AS monetary_cents
+               CAST(round(sum(CASE WHEN isfinite(value) THEN value END) * 100, 0)
+                    AS BIGINT) AS monetary_cents
         FROM events GROUP BY user_id),
       q AS (
         SELECT quantile_cont(recency_days, 0.25) AS r1, quantile_cont(recency_days, 0.5) AS r2,
@@ -575,7 +576,11 @@ object EventAnalytics {
         val base = ev.groupBy(col("user_id"))
           .agg(max(col("day")).as("last_day"),
             count(lit(1)).as("frequency"),
-            round(sum(col("value")) * 100, 0).cast("long").as("monetary_cents"))
+            // non-finite values carry no monetary reading (T.money
+            // contract); without the guard a NaN sum overflowed the
+            // ANSI BIGINT cast (measured, round-11 non-finite gate)
+            round(sum(when(T.finite(col("value")), col("value"))) * 100, 0)
+              .cast("long").as("monetary_cents"))
           .persist()
         try {
           val mx = base.agg(max(col("last_day")).as("dmax"))

@@ -104,7 +104,7 @@ object Rolling {
   private val slidingCounts = GraftQuery(
     "e5_sliding_window_counts",
     "1h windows sliding 15min: counts + distinct users per overlapping window (E5)",
-    Some("""
+    Some(s"""
       WITH assigned AS (
         SELECT time_bucket(INTERVAL '15 minutes', ts)
                  - k * (INTERVAL '15 minutes') AS w_start,
@@ -113,7 +113,7 @@ object Rolling {
       SELECT strftime(w_start, '%Y-%m-%d %H:%M') AS window_start,
              COUNT(*) AS n_events,
              COUNT(DISTINCT user_id) AS n_users,
-             round(CAST(CAST((SUM(CAST(value AS DECIMAL(18,2)))) AS VARCHAR) AS DOUBLE), 2) AS sum_value
+             round(${graft.T.sqlDsum("value")}, 2) AS sum_value
       FROM assigned
       GROUP BY w_start ORDER BY w_start"""),
     (s, dir) =>
@@ -122,8 +122,7 @@ object Rolling {
         .agg(
           count(lit(1)).as("n_events"),
           countDistinct(col("user_id")).as("n_users"),
-          round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2)
-            .as("sum_value"))
+          round(graft.T.dsum(col("value")), 2).as("sum_value"))
         .select(
           date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("window_start"),
           col("n_events"), col("n_users"), col("sum_value"))

@@ -29,7 +29,12 @@ import org.apache.spark.sql.functions._
 object LlmOps {
 
   private def docs(s: SparkSession, dir: String): DataFrame = T(s, dir, "documents")
-  private def embeddings(s: SparkSession, dir: String): DataFrame = T(s, dir, "embeddings")
+  /** Vector-op view of the embeddings table: non-INDEXABLE vectors
+    * (null, or carrying a NaN/±Inf slot) are dropped at the read — see
+    * [[graft.T.indexableEmbedding]] for the contract; every paired
+    * oracle mirrors with `WHERE ${T.sqlIndexable}`. */
+  private def embeddings(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "embeddings").filter(T.indexableEmbedding)
 
   /** Whitespace tokens. The corpus is whitespace-delimited words (see
     * TESTDATA.md); a BPE-ish regex tokenizer is exercised in e4_quality. */
@@ -1007,12 +1012,9 @@ object LlmOps {
     * higher-order-function formulation. */
   private def normed(s: SparkSession, dir: String): DataFrame = {
     val v = expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+    // non-indexable (null / non-finite) vectors already dropped by the
+    // shared embeddings() read — see T.indexableEmbedding
     embeddings(s, dir)
-      // null vectors are UNINDEXABLE — no distance, no bucket, no code
-      // — so every vector op drops them at the read, mirrored by
-      // `WHERE embedding IS NOT NULL` in the paired oracles
-      // (sqlNormedCte + the inline e-CTEs). Pinned by NullInputSpec.
-      .filter(col("embedding").isNotNull)
       .select(col("vec_id"), v.as("v"))
       .withColumn("nrm", sqrt(graft.functions.VectorFunctions.dot(col("v"), col("v"))))
   }
@@ -1068,7 +1070,7 @@ object LlmOps {
     Some(s"""
       WITH e AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        FROM embeddings WHERE embedding IS NOT NULL),
+        FROM embeddings WHERE ${graft.T.sqlIndexable}),
       n AS (
         SELECT vec_id, v,
                sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
@@ -1121,7 +1123,7 @@ object LlmOps {
     Some(s"""
       WITH e AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        FROM embeddings WHERE embedding IS NOT NULL),
+        FROM embeddings WHERE ${graft.T.sqlIndexable}),
       n AS (
         SELECT vec_id, v,
                sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
@@ -1180,7 +1182,7 @@ object LlmOps {
     Some(s"""
       WITH e AS (
         SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        FROM embeddings WHERE embedding IS NOT NULL),
+        FROM embeddings WHERE ${graft.T.sqlIndexable}),
       n AS (
         SELECT vec_id, label, v,
                sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
@@ -1266,10 +1268,10 @@ object LlmOps {
   private val e3Centroids = GraftQuery(
     "llm_e3_label_centroids",
     "per-label mean embedding (class prototypes), 1e-7-quantized exact means (E3)",
-    Some("""
+    Some(s"""
       WITH e AS (
         SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        FROM embeddings WHERE embedding IS NOT NULL),
+        FROM embeddings WHERE ${graft.T.sqlIndexable}),
       d AS (
         SELECT label, CAST(i AS BIGINT) AS dim,
                CAST(trunc(v[i] * 10000000.0) AS BIGINT) AS q
@@ -1342,10 +1344,10 @@ object LlmOps {
   private[llmops] def sqlDotCols(a: String, b: String): String =
     s"list_reduce(list_transform(list_zip($a, $b), p -> p[1] * p[2]), (a, b) -> a + b)"
 
-  private[llmops] val sqlNormedCte = """
+  private[llmops] val sqlNormedCte = s"""
       WITH e AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        FROM embeddings WHERE embedding IS NOT NULL),
+        FROM embeddings WHERE ${graft.T.sqlIndexable}),
       n AS (
         SELECT vec_id, v,
                sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm

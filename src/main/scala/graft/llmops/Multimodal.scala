@@ -421,7 +421,7 @@ object Multimodal {
   private val mmPairCuration = GraftQuery(
     "mm_pair_curation",
     "CLIP-style image-text pair curation: gates + caption dedup + quantized embedding preview",
-    Some("""
+    Some(s"""
       WITH dims AS (
         SELECT doc_id AS media_id,
                (CAST('0x' || substr(md5(text), 1, 4) AS BIGINT) % 2048) + 16 AS w,
@@ -429,7 +429,7 @@ object Multimodal {
         FROM documents WHERE text IS NOT NULL),
       emb AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        FROM embeddings),
+        FROM embeddings WHERE ${graft.T.sqlIndexable}),
       gated AS (
         SELECT d.doc_id AS media_id, md5(d.text) AS caption_md5,
                dims.w, dims.h,
@@ -456,8 +456,12 @@ object Multimodal {
       val dims = m.select(col("media_id"),
         fakeDecodeWidth(col("content_md5")).as("w"),
         fakeDecodeHeight(col("content_md5")).as("h"))
-      val emb = T(s, dir, "embeddings").select(col("vec_id"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      // pair preview quantizes embedding slots to int8: a non-indexable
+      // vector (NaN/Inf slot) has no preview — Inf*127 overflowed the
+      // INT cast before this filter (measured, round-11 gate)
+      val emb = T(s, dir, "embeddings").filter(T.indexableEmbedding)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       curatePairs(
         T(s, dir, "documents").select(col("doc_id"), col("text"), col("n_chars")),
         dims, emb)

@@ -32,10 +32,13 @@ object ProductQuant {
 
   private def embeddings(s: SparkSession, dir: String): DataFrame =
     graft.T(s, dir, "embeddings")
-      // null vectors are unindexable — same read-side drop as
-      // LlmOps.normed(), mirrored in the generated oracles' shared
-      // sqlNormedCte; keeps the quantizer training sample null-free
-      .filter(col("embedding").isNotNull)
+      // non-indexable (null / non-finite) vectors dropped — same
+      // read-side contract as LlmOps.embeddings(), mirrored in the
+      // generated oracles' shared sqlNormedCte. Keeps the quantizer
+      // training sample clean: a single NaN slot would poison every
+      // Lloyd mean and leak bare `NaN` literals into the generated
+      // LUT SQL (measured — DuckDB binder error, round-11 gate).
+      .filter(graft.T.indexableEmbedding)
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
 
   private def dot(a: Column, b: Column): Column =

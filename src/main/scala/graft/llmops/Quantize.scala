@@ -29,11 +29,11 @@ object Quantize {
   private val audit = GraftQuery(
     "llm_e3_quantize_audit",
     "symmetric int8 embedding quantization error envelope per label (E3)",
-    Some("""
+    Some(s"""
       WITH v AS (
         SELECT vec_id, label,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        FROM embeddings),
+        FROM embeddings WHERE ${T.sqlIndexable}),
       m AS (
         SELECT vec_id, label, v,
                list_max(list_transform(v, x -> abs(x))) AS maxabs
@@ -55,6 +55,10 @@ object Quantize {
       FROM e GROUP BY label ORDER BY label"""),
     (s, dir) => {
       T(s, dir, "embeddings")
+        // quantization is a vector op: non-indexable vectors have no
+        // scale or reconstruction error — same read contract as
+        // LlmOps.embeddings() (T.indexableEmbedding)
+        .filter(T.indexableEmbedding)
         .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
         // max|x| via an exact fold (greatest/abs — no summation)
         .withColumn("maxabs",

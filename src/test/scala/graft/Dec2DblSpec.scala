@@ -40,8 +40,12 @@ class Dec2DblSpec extends SparkSpec {
 
   test("sqlDec2Dbl emits the varchar-route spelling") {
     T.sqlDec2Dbl("SUM(x)") shouldBe "CAST(CAST((SUM(x)) AS VARCHAR) AS DOUBLE)"
+    // the inner money cast carries the non-finite guard (NaN/Inf are
+    // MISSING in exact aggregation — NonFiniteInputSpec) and the outer
+    // conversion keeps the varchar route
     T.sqlDsum("v") shouldBe
-      "CAST(CAST((SUM(CAST(v AS DECIMAL(18,2)))) AS VARCHAR) AS DOUBLE)"
+      ("CAST(CAST((SUM(CAST(CASE WHEN isfinite(CAST((v) AS DOUBLE)) THEN (v) END" +
+        " AS DECIMAL(18,2)))) AS VARCHAR) AS DOUBLE)")
   }
 
   /** Find `CAST(SUM(<args containing DECIMAL>)[ OVER (…)] AS DOUBLE)` in
