@@ -250,6 +250,41 @@ object T {
   val sqlIndexable: String =
     "embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0"
 
+  /** The Unicode White_Space property set — the reference's Python
+    * `.strip()` semantics (str.isspace minus the non-White_Space
+    * C1 separators 1C–1F, which no engine treats as space). Spark's
+    * `trim` strips ONLY ASCII 0x20 while DuckDB's `trim` strips only
+    * category Zs (measured: neither touches \t, and only DuckDB eats
+    * NBSP/U+3000) — so real multilingual text diverges in BOTH
+    * directions unless the class is spelled explicitly. `\x{h..h}`
+    * escapes parse identically in Java regex and RE2, so one pattern
+    * string serves both engines. Pinned by UnicodeTextSpec. */
+  private val wsCodepoints: Seq[Int] =
+    Seq(0x09, 0x0A, 0x0B, 0x0C, 0x0D, 0x20, 0x85, 0xA0, 0x1680) ++
+      (0x2000 to 0x200A) ++ Seq(0x2028, 0x2029, 0x202F, 0x205F, 0x3000)
+  val wsClass: String =
+    wsCodepoints.map(cp => "\\x{%04X}".format(cp)).mkString("[", "", "]")
+
+  /** Reference-parity strip: remove leading/trailing Unicode
+    * White_Space (Python `.strip()`), identically in both engines. */
+  def ustrip(c: Column): Column =
+    regexp_replace(c, s"^$wsClass+|$wsClass+$$", "")
+
+  /** The DuckDB spelling of [[ustrip]] (same pattern text, RE2). */
+  def sqlUstrip(e: String): String =
+    s"regexp_replace($e, '^$wsClass+|$wsClass+$$', '', 'g')"
+
+  /** Line-break normalization for line-oriented text export: a
+    * one-record-per-line corpus cannot carry embedded terminators
+    * (Hadoop's LineReader splits on \n, \r and \r\n — a 100 TB corpus
+    * always contains some), so the WRITER maps each break to one
+    * space. [[sqlNormLines]] mirrors for oracles that model the
+    * written file. Pinned by UnicodeTextSpec. */
+  def normLines(c: Column): Column =
+    regexp_replace(c, "\\r\\n|[\\r\\n]", " ")
+  def sqlNormLines(e: String): String =
+    s"regexp_replace($e, '\\r\\n|[\\r\\n]', ' ', 'g')"
+
   /** Tie-free quantization of a COMPUTED double to 1/`scale` steps:
     * with y = x·scale + 0.5, emit (y − (y % 1)) / scale — the same
     * `q - (q % 1.0)` exact-truncation discipline PageRank uses, spelled

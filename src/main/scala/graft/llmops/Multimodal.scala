@@ -81,7 +81,17 @@ object Multimodal {
   /** Frame sampling: fan each payload out into fixed-size "frames"
     * (sequence + posexplode generator — no shuffle), fingerprint each
     * frame. The video-decode analog of mapInPandas batch processing; a
-    * real codec would replace the substring with a frame extractor. */
+    * real codec would replace the substring with a frame extractor.
+    *
+    * Frames are BYTE windows of the payload (codecs window bytes, not
+    * characters), and the fingerprint is md5 of the window's HEX
+    * encoding: DuckDB can neither slice nor md5 a BLOB, but both
+    * engines hex identically (uppercase), and a hex-string slice at
+    * 2× the byte offsets IS the byte slice — so the fingerprint stays
+    * byte-true AND oracle-pairable. md5-of-raw-bytes vs
+    * md5(substring(text)) only agreed while every payload was pure
+    * ASCII; the round-11 unicode gate broke that (char windows ≠ byte
+    * windows on multibyte text). */
   private val mmFrames = GraftQuery(
     "mm_frame_sample",
     "binary payload -> fixed-size frame fan-out + per-frame fingerprint",
@@ -91,10 +101,11 @@ object Multimodal {
                CAST(ceil(octet_length(encode(text)) / $frameBytes.0) AS BIGINT) AS n_frames
         FROM documents WHERE text IS NOT NULL),
       f AS (
-        SELECT media_id, text, unnest(generate_series(0, n_frames - 1)) AS frame_idx
+        SELECT media_id, hex(encode(text)) AS hx,
+               unnest(generate_series(0, n_frames - 1)) AS frame_idx
         FROM m)
       SELECT media_id, frame_idx,
-             md5(substring(text, CAST(frame_idx * $frameBytes + 1 AS INT), $frameBytes)) AS frame_md5
+             md5(substring(hx, CAST(frame_idx * ${2 * frameBytes} + 1 AS INT), ${2 * frameBytes})) AS frame_md5
       FROM f
       ORDER BY media_id, frame_idx"""),
     (s, dir) =>
@@ -105,7 +116,7 @@ object Multimodal {
         .select(col("media_id"), col("payload"),
           posexplode(expr("sequence(0, n_frames - 1)")).as(Seq("p", "frame_idx")))
         .select(col("media_id"), col("frame_idx"),
-          md5(expr(s"substring(payload, cast(frame_idx * $frameBytes + 1 as int), $frameBytes)"))
+          md5(hex(expr(s"substring(payload, cast(frame_idx * $frameBytes + 1 as int), $frameBytes)")))
             .as("frame_md5"))
         .orderBy("media_id", "frame_idx"))
 

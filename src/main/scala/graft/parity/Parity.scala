@@ -64,10 +64,14 @@ object Parity {
   private def flat(s: SparkSession, dir: String): DataFrame = flatten(annotated(s, dir))
 
   /** P3: split on the FIRST comma only; no comma ⇒ remainder ""
-    * (reference call-debias.py:93-96, SURVEY.md §7.4.3). */
-  def recordNum(c: Column): Column = trim(substring_index(c, ",", 1))
+    * (reference call-debias.py:93-96, SURVEY.md §7.4.3). The strip is
+    * [[graft.T.ustrip]] — the reference's Python `.strip()` removes
+    * Unicode White_Space, which Spark's `trim` (ASCII space only) and
+    * DuckDB's `trim` (Zs only) each under- or over-shoot on real
+    * multilingual text (measured, round-11 unicode gate). */
+  def recordNum(c: Column): Column = graft.T.ustrip(substring_index(c, ",", 1))
   def literalText(c: Column, name: String): Column =
-    when(instr(c, ",") > 0, trim(expr(s"substring($name, instr($name, ',') + 1)")))
+    when(instr(c, ",") > 0, graft.T.ustrip(expr(s"substring($name, instr($name, ',') + 1)")))
       .otherwise("")
 
   // ---------------------------------------------------------------------
@@ -221,9 +225,9 @@ object Parity {
     Some(s"""
       WITH $flatSql
       SELECT t.doc_id,
-             trim(split_part(t.text, ',', 1)) AS record_num,
+             ${graft.T.sqlUstrip("split_part(t.text, ',', 1)")} AS record_num,
              CASE WHEN strpos(t.text, ',') > 0
-                  THEN trim(substring(t.text, strpos(t.text, ',') + 1))
+                  THEN ${graft.T.sqlUstrip("substring(t.text, strpos(t.text, ',') + 1)")}
                   ELSE '' END AS literal_text,
              CAST(row_number() OVER (PARTITION BY t.doc_id ORDER BY t.ord) - 1 AS INT) AS tag_pos,
              t.term AS tag_literal, t.issue AS tag_issue,
@@ -281,17 +285,17 @@ object Parity {
   private val p3 = GraftQuery(
     "parity_p3_first_comma_split",
     "first-comma-only split; no-comma => empty remainder (P3/C1/C2/C5)",
-    Some("""
+    Some(s"""
       WITH lines AS (
         SELECT doc_id, CAST(doc_id AS VARCHAR) || ', ' || COALESCE(text, '') AS line, text
         FROM documents)
       SELECT doc_id,
-             trim(split_part(line, ',', 1)) AS record_num,
+             ${graft.T.sqlUstrip("split_part(line, ',', 1)")} AS record_num,
              CASE WHEN strpos(line, ',') > 0
-                  THEN trim(substring(line, strpos(line, ',') + 1))
+                  THEN ${graft.T.sqlUstrip("substring(line, strpos(line, ',') + 1)")}
                   ELSE '' END AS literal_text,
              CASE WHEN strpos(text, ',') > 0
-                  THEN trim(substring(text, strpos(text, ',') + 1))
+                  THEN ${graft.T.sqlUstrip("substring(text, strpos(text, ',') + 1)")}
                   ELSE '' END AS no_comma_remainder
       FROM lines
       ORDER BY doc_id"""),
@@ -323,7 +327,7 @@ object Parity {
       SELECT lang, count(*) AS n_lines
       FROM documents
       WHERE lang IN (${Lexicon.referenceLanguages.map(l => s"'$l'").mkString(", ")})
-        AND length(trim(text)) > 0
+        AND length(${graft.T.sqlUstrip("text")}) > 0
       GROUP BY lang
       ORDER BY lang"""),
     (s, dir) => {
@@ -332,6 +336,10 @@ object Parity {
       // one blank line per language exercises the P1 drop
       val blanks = d.select(col("lang")).distinct().withColumn("text", lit("  "))
       d.select(col("lang"), col("text")).unionByName(blanks)
+        // one record = one physical line: embedded \r\n / \r / \n would
+        // silently multiply the read-back line count (T.normLines —
+        // measured +12 lines/lang on the round-11 unicode fixture)
+        .withColumn("text", graft.T.normLines(col("text")))
         .write.mode("overwrite").partitionBy("lang").text(corpusDir)
       // read the ROOT, not a lang=*/part-* glob: text's schema is static
       // (no inference), so partition discovery over zero written
@@ -340,7 +348,7 @@ object Parity {
       s.read.text(corpusDir)
         .withColumn("lang", regexp_extract(input_file_name(), "lang=([^/]+)/", 1))
         .filter(col("lang").isin(Lexicon.referenceLanguages: _*)) // S1 whitelist
-        .filter(length(trim(col("value"))) > 0)                   // P1
+        .filter(length(graft.T.ustrip(col("value"))) > 0)         // P1 (Unicode blank)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_lines"))
         .orderBy("lang")
