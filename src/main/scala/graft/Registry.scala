@@ -223,6 +223,18 @@ object T {
   /** The DuckDB spelling of [[finite]]. */
   def sqlFinite(e: String): String = s"isfinite(CAST(($e) AS DOUBLE))"
 
+  /** TRUE iff `c` has an exact DECIMAL(18,2) money reading: finite AND
+    * |v| < 10^16 (the 18,2 integer capacity). Beyond-range magnitudes
+    * (a corrupt sensor emitting 1e20) are as unaggregatable as NaN —
+    * and the engines disagree at the cast (Spark nulls, DuckDB throws
+    * even under an isfinite guard — measured). */
+  def moneyRange(c: Column): Column =
+    finite(c) && abs(c.cast("double")) < lit(1e16)
+
+  /** The DuckDB spelling of [[moneyRange]]. */
+  def sqlMoneyRange(e: String): String =
+    s"(${sqlFinite(e)} AND abs(CAST(($e) AS DOUBLE)) < 1e16)"
+
   /** Exact 2-decimal view of a double measure column (prices, discounts).
     *
     * NON-FINITE inputs (NaN/±Inf — a fact of any 100 TB metric column)
@@ -232,7 +244,7 @@ object T {
     * with `CASE WHEN isfinite`. Identity on finite data. Raw
     * double-typed stats (min/max/avg) are NOT guarded: IEEE propagation
     * is engine-identical and faithful there. Pinned by NonFiniteInputSpec. */
-  def money(c: Column): Column = when(finite(c), c).cast(DecimalType(18, 2))
+  def money(c: Column): Column = when(moneyRange(c), c).cast(DecimalType(18, 2))
   def money(name: String): Column = money(col(name))
 
   /** A vector is INDEXABLE iff present with every element finite: a
@@ -332,7 +344,7 @@ object T {
     * The finite guard mirrors [[money]]: without it DuckDB throws on
     * `CAST(NaN AS DECIMAL)` where Spark nulls. */
   def sqlMoney(c: String): String =
-    s"CAST(CASE WHEN ${sqlFinite(c)} THEN ($c) END AS DECIMAL(18,2))"
+    s"CAST(CASE WHEN ${sqlMoneyRange(c)} THEN ($c) END AS DECIMAL(18,2))"
 
   /** Correctly-rounded DECIMAL→DOUBLE for ORACLE SQL. DuckDB's direct
     * `CAST(dec AS DOUBLE)` converts the int128 payload to double and

@@ -26,7 +26,7 @@ object Attribution {
   private val linearAttribution = GraftQuery(
     "e5_linear_attribution",
     "linear multi-touch revenue attribution: purchase value split over prior-7d clicks (E5)",
-    Some("""
+    Some(s"""
       WITH p AS (
         SELECT user_id AS u, event_id AS p_id, ts AS p_ts, value
         FROM events WHERE event_type = 'purchase'),
@@ -40,14 +40,17 @@ object Attribution {
          AND c.c_ts > p.p_ts - INTERVAL 7 DAY),
       shared AS (
         SELECT u, c_id, p_id,
-               CAST(trunc(CASE WHEN isfinite(value) THEN value END
-                          / (COUNT(*) OVER (PARTITION BY p_id)) * 1e8)
-                    AS DECIMAL(20,0)) AS share_q
-        FROM m)
+               CASE WHEN ${graft.T.sqlMoneyRange("value")} THEN value END
+                 / (COUNT(*) OVER (PARTITION BY p_id)) * 1e8 AS s
+        FROM m),
+      q AS (
+        SELECT u, c_id, p_id,
+               CAST((s - (s % 1.0)) AS DECIMAL(38,0)) AS share_q
+        FROM shared)
       SELECT u AS user_id, c_id AS click_event_id,
              CAST(CAST((SUM(share_q)) AS VARCHAR) AS DOUBLE) / 1e8 AS attributed,
              COUNT(DISTINCT p_id) AS n_purchases
-      FROM shared
+      FROM q
       GROUP BY u, c_id
       ORDER BY user_id, click_event_id"""),
     (s, dir) => {
@@ -62,15 +65,20 @@ object Attribution {
           col("cu") === col("u") &&
             col("c_ts") <= col("p_ts") &&
             col("c_ts") > col("p_ts") - expr("INTERVAL 7 DAY"))
-        // double->long cast truncates toward zero, matching trunc().
-        // A non-finite purchase value carries no attributable revenue
-        // (NULL share, skipped by the sum) but the purchase still
-        // counts toward n_purchases — without the guard an Inf share
-        // overflowed the ANSI BIGINT cast (round-11 non-finite gate)
-        .withColumn("share_q",
-          (when(graft.T.finite(col("value")), col("value"))
+        // `s - (s % 1.0)` truncates toward zero in identical double ops
+        // on both engines (the T.quantize discipline), and the result is
+        // an INTEGRAL double, so the DECIMAL(38,0) cast is exact — the
+        // previous long-quantization overflowed for money-range values
+        // past 9.2e10 (9.2e18 / 1e8). A value outside T.moneyRange
+        // (non-finite, or magnitude past the decimal money capacity)
+        // carries no attributable revenue: NULL share, skipped by the
+        // sum, while the purchase still counts toward n_purchases
+        // (measured crashes: Inf and finite 1e20 both, round-11 gates)
+        .withColumn("s",
+          when(graft.T.moneyRange(col("value")), col("value"))
             / count(lit(1)).over(Window.partitionBy(col("p_id"))) * 1e8)
-            .cast("long").cast(DecimalType(20, 0)))
+        .withColumn("share_q",
+          (col("s") - (col("s") % lit(1.0))).cast(DecimalType(38, 0)))
         .groupBy(col("u"), col("c_id"))
         .agg(
           (sum(col("share_q")).cast("double") / 1e8).as("attributed"),

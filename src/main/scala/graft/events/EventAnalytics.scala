@@ -529,13 +529,13 @@ object EventAnalytics {
   private val rfm = GraftQuery(
     "e5_rfm_segments",
     "RFM quartile segmentation via broadcast exact-percentile thresholds",
-    Some("""
+    Some(s"""
       WITH mx AS (SELECT max(CAST(ts AS DATE)) AS dmax FROM events),
       u AS (
         SELECT user_id,
                date_diff('day', max(CAST(ts AS DATE)), (SELECT dmax FROM mx)) AS recency_days,
                count(*) AS frequency,
-               CAST(round(sum(CASE WHEN isfinite(value) THEN value END) * 100, 0)
+               CAST(round(sum(CASE WHEN ${T.sqlMoneyRange("value")} THEN value END) * 100, 0)
                     AS BIGINT) AS monetary_cents
         FROM events GROUP BY user_id),
       q AS (
@@ -576,10 +576,11 @@ object EventAnalytics {
         val base = ev.groupBy(col("user_id"))
           .agg(max(col("day")).as("last_day"),
             count(lit(1)).as("frequency"),
-            // non-finite values carry no monetary reading (T.money
-            // contract); without the guard a NaN sum overflowed the
-            // ANSI BIGINT cast (measured, round-11 non-finite gate)
-            round(sum(when(T.finite(col("value")), col("value"))) * 100, 0)
+            // only money-representable values (T.moneyRange: finite,
+            // |v| < 1e16) carry a monetary reading; without the guard a
+            // NaN sum overflowed the ANSI BIGINT cast, and a finite
+            // 1e20 would too (measured, round-11 degenerate gates)
+            round(sum(when(T.moneyRange(col("value")), col("value"))) * 100, 0)
               .cast("long").as("monetary_cents"))
           .persist()
         try {

@@ -40,11 +40,13 @@ class Dec2DblSpec extends SparkSpec {
 
   test("sqlDec2Dbl emits the varchar-route spelling") {
     T.sqlDec2Dbl("SUM(x)") shouldBe "CAST(CAST((SUM(x)) AS VARCHAR) AS DOUBLE)"
-    // the inner money cast carries the non-finite guard (NaN/Inf are
-    // MISSING in exact aggregation — NonFiniteInputSpec) and the outer
-    // conversion keeps the varchar route
+    // the inner money cast carries the representability guard (NaN/Inf
+    // and beyond-DECIMAL(18,2) magnitudes are MISSING in exact
+    // aggregation — NonFiniteInputSpec) and the outer conversion keeps
+    // the varchar route
     T.sqlDsum("v") shouldBe
-      ("CAST(CAST((SUM(CAST(CASE WHEN isfinite(CAST((v) AS DOUBLE)) THEN (v) END" +
+      ("CAST(CAST((SUM(CAST(CASE WHEN (isfinite(CAST((v) AS DOUBLE))" +
+        " AND abs(CAST((v) AS DOUBLE)) < 1e16) THEN (v) END" +
         " AS DECIMAL(18,2)))) AS VARCHAR) AS DOUBLE)")
   }
 

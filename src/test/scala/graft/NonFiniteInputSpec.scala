@@ -53,6 +53,14 @@ class NonFiniteInputSpec extends SparkSpec {
           when(col("event_id") % 19 === 4, nan)
             .when(col("event_id") % 23 === 7, pinf)
             .when(col("event_id") % 29 === 11, ninf)
+            // finite but beyond the DECIMAL(18,2) money capacity —
+            // DuckDB throws at the cast even under an isfinite guard,
+            // and the old long-grid share quantization overflowed, so
+            // T.moneyRange bounds magnitude too (1e16 is the first
+            // non-representable value; 1e20 crashed the gate)
+            .when(col("event_id") % 37 === 5, lit(1e20))
+            .when(col("event_id") % 41 === 7, lit(-3.7e18))
+            .when(col("event_id") % 43 === 13, lit(1e16))
             .otherwise(col("value")))
         case "embeddings" => base.withColumn("embedding",
           when(col("vec_id") % 19 === 4,
@@ -96,7 +104,7 @@ class NonFiniteInputSpec extends SparkSpec {
 
   test("exact decimal aggregation treats non-finite as missing; raw stats propagate IEEE") {
     val expected = T(spark, nfDir, "events")
-      .filter(T.finite(col("value")))
+      .filter(T.moneyRange(col("value")))
       .groupBy("event_type")
       .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("s"))
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
