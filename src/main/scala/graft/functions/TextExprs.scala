@@ -171,10 +171,54 @@ final case class RollingHashes(child: Expression, window: Int, base: Long, mod: 
     copy(child = newChild)
 }
 
+/** Unicode White_Space strip (the reference's Python `.strip()`
+  * semantics — see [[graft.T.wsClass]] for the codepoint set and the
+  * cross-engine rationale) as one codegen'd two-pointer scan. The
+  * regexp_replace spelling is semantically identical but costs a
+  * regex-NFA walk per row — measured +2.6s on the sf0.1 flagged-report
+  * query alone when it briefly shipped that way (round 11); this
+  * expression restores the trim-era cost. The oracle keeps the RE2
+  * spelling ([[graft.T.sqlUstrip]]): correctness-only, never hot.
+  * Every White_Space codepoint is BMP (no surrogates), so a char-level
+  * scan is codepoint-correct. */
+object UStripImpl {
+  def isWs(c: Char): Boolean =
+    (c >= 0x09 && c <= 0x0D) || c == 0x20 || c == 0x85 || c == 0xA0 ||
+      c == 0x1680 || (c >= 0x2000 && c <= 0x200A) ||
+      c == 0x2028 || c == 0x2029 || c == 0x202F || c == 0x205F || c == 0x3000
+  def strip(s: UTF8String): UTF8String = {
+    val str = s.toString
+    var i = 0
+    var j = str.length
+    while (i < j && isWs(str.charAt(i))) i += 1
+    while (j > i && isWs(str.charAt(j - 1))) j -= 1
+    if (i == 0 && j == str.length) s else UTF8String.fromString(str.substring(i, j))
+  }
+}
+
+final case class UStrip(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "ustrip"
+
+  override protected def nullSafeEval(v: Any): Any =
+    UStripImpl.strip(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.UStripImpl.strip($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   /** 64-bit SimHash of an array<string> token column. */
   def simhash64(tokens: Column): Column =
     GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(tokens)))
+
+  /** Unicode White_Space strip ([[UStrip]]). */
+  def ustrip(c: Column): Column =
+    GraftColumnBridge.column(UStrip(GraftColumnBridge.expression(c)))
 
   /** Rolling polynomial hashes of every `window`-char substring. */
   def rollingHashes(text: Column, window: Int, base: Long, mod: Long): Column =
