@@ -255,12 +255,15 @@ object T {
     * [[sqlIndexable]] in the paired oracles. Pinned by
     * NonFiniteInputSpec + NullInputSpec. */
   val indexableEmbedding: Column =
-    col("embedding").isNotNull &&
-      !expr("exists(embedding, x -> isnan(x) OR abs(x) = CAST('Infinity' AS DOUBLE))")
+    functions.VectorFunctions.vecIndexable(col("embedding"))
 
-  /** The DuckDB spelling of [[indexableEmbedding]] (a WHERE predicate). */
+  /** The DuckDB spelling of [[indexableEmbedding]] (a WHERE predicate).
+    * The `x IS NULL` arm matters: list_filter EXCLUDES null elements,
+    * so without it a slot-nulled vector filters to len 0 and is KEPT
+    * here while [[graft.functions.VecIndexable]] rejects it. */
   val sqlIndexable: String =
-    "embedding IS NOT NULL AND len(list_filter(embedding, x -> NOT isfinite(CAST(x AS DOUBLE)))) = 0"
+    "embedding IS NOT NULL AND len(list_filter(embedding, " +
+      "x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0"
 
   /** The Unicode White_Space property set — the reference's Python
     * `.strip()` semantics (str.isspace minus the non-White_Space

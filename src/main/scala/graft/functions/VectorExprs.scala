@@ -220,11 +220,89 @@ final case class LshBuckets(child: Expression, planes: Array[Array[Double]],
     copy(child = newChild)
 }
 
+/** TRUE iff a raw embedding column holds an INDEXABLE vector: non-null
+  * array, every slot non-null and finite (see [[graft.T.sqlIndexable]]
+  * for the DuckDB mirror and T.indexableEmbedding for the contract).
+  * Never NULL itself — a missing vector is simply not indexable.
+  *
+  * Exists for two reasons over the `exists(embedding, …)` HOF
+  * spelling: (1) HOFs are CodegenFallback, so the filter put one
+  * interpreted expression on EVERY vector-op scan; (2) the HOF's
+  * three-valued logic silently mapped a null SLOT to a null predicate
+  * (dropped by filter) while DuckDB's list_filter EXCLUDES null
+  * elements from the filtered list (len 0 → kept) — opposite verdicts
+  * on slot-nulled vectors. This expression makes the slot-null case an
+  * explicit `false` and the oracle spells `x IS NULL OR NOT
+  * isfinite(x)` to match. */
+final case class VecIndexable(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def prettyName: String = "vec_indexable"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float> or array<double>, got ${t.catalogString}")
+  }
+
+  private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return false
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return false
+      val d = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) return false
+      i += 1
+    }
+    true
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val c = child.genCode(ctx)
+    val arr = ctx.freshName("arr")
+    val n = ctx.freshName("n")
+    val i = ctx.freshName("i")
+    val d = ctx.freshName("d")
+    val get = if (isFloat) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+    ev.copy(code = code"""
+      ${c.code}
+      boolean ${ev.value} = false;
+      if (!${c.isNull}) {
+        org.apache.spark.sql.catalyst.util.ArrayData $arr = ${c.value};
+        int $n = $arr.numElements();
+        boolean ${ev.value}_ok = true;
+        for (int $i = 0; $i < $n; $i++) {
+          if ($arr.isNullAt($i)) { ${ev.value}_ok = false; break; }
+          double $d = $get;
+          if (Double.isNaN($d) || Double.isInfinite($d)) { ${ev.value}_ok = false; break; }
+        }
+        ${ev.value} = ${ev.value}_ok;
+      }
+      """,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Sequential-fold dot product of two array<double> columns. */
   def dot(a: Column, b: Column): Column =
     GraftColumnBridge.column(DotProduct(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** TRUE iff the vector is indexable (non-null, all slots finite). */
+  def vecIndexable(c: Column): Column =
+    GraftColumnBridge.column(VecIndexable(GraftColumnBridge.expression(c)))
 
   /** array<int> of LSH bucket ids, one per table. */
   def lshBuckets(v: Column, planes: Seq[Array[Double]], tables: Int, bits: Int): Column =

@@ -67,6 +67,12 @@ class NonFiniteInputSpec extends SparkSpec {
             expr("transform(embedding, (x, i) -> IF(i = 0, CAST('NaN' AS FLOAT), x))"))
             .when(col("vec_id") % 23 === 7,
               expr("transform(embedding, (x, i) -> IF(i = 1, CAST('Infinity' AS FLOAT), x))"))
+            // a null SLOT (not a null vector): the case where the exists()
+            // HOF and DuckDB's list_filter used to reach OPPOSITE
+            // indexability verdicts — VecIndexable + the `x IS NULL` oracle
+            // arm pin it to NOT INDEXABLE on both sides
+            .when(col("vec_id") % 29 === 3,
+              expr("transform(embedding, (x, i) -> IF(i = 2, CAST(NULL AS FLOAT), x))"))
             .otherwise(col("embedding")))
         case _ => base
       }
