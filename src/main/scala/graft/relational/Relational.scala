@@ -306,13 +306,13 @@ object Relational {
   private val qScalarFuncs = GraftQuery(
     "q_scalar_string_funcs",
     "trim/upper/substring/concat/length/split_part (§2.9)",
-    Some("""
+    Some(s"""
       SELECT p_partkey,
         upper(p_name) AS name_upper,
         length(p_name) AS name_len,
         split_part(p_name, ' ', 1) AS first_word,
         CASE WHEN strpos(p_name, ' ') > 0
-             THEN trim(substring(p_name, strpos(p_name, ' ') + 1))
+             THEN ${T.sqlUstrip("substring(p_name, strpos(p_name, ' ') + 1)")}
              ELSE '' END AS rest_words,
         p_brand || '/' || p_type AS brand_type
       FROM part
@@ -325,7 +325,9 @@ object Relational {
           length(col("p_name")).cast("long").as("name_len"), // DuckDB length() is BIGINT
           substring_index(col("p_name"), " ", 1).as("first_word"),
           when(instr(col("p_name"), " ") > 0,
-            trim(expr("substring(p_name, instr(p_name, ' ') + 1)")))
+            // T.ustrip for contract consistency with the parity record
+            // splits — identity on this ASCII column, robust otherwise
+            T.ustrip(expr("substring(p_name, instr(p_name, ' ') + 1)")))
             .otherwise("").as("rest_words"),
           concat(col("p_brand"), lit("/"), col("p_type")).as("brand_type"))
         .orderBy("p_partkey"))
