@@ -156,7 +156,8 @@ object Profile {
           sxx: String, syy: String, sxy: String): String =
         s"""SELECT rf AS l_returnflag, '$label' AS pair,
                (n * $sxy - $sx * $sy)
-                 / NULLIF(sqrt((n * $sxx - $sx * $sx) * (n * $syy - $sy * $sy)), 0) AS corr_val,
+                 / NULLIF(sqrt(GREATEST(n * $sxx - $sx * $sx, 0)
+                             * GREATEST(n * $syy - $sy * $sy, 0)), 0) AS corr_val,
                (n * $sxy - $sx * $sy) / NULLIF(n * (n - 1), 0) AS cov_val
             FROM a"""
       s"""
@@ -213,10 +214,17 @@ object Profile {
         // groups that current fixtures happen to avoid
         def safeDiv(d: Column): Column =
           num / when(d === 0d, lit(null)).otherwise(d)
+        // variance terms clamp at 0 on BOTH sides (GREATEST in the
+        // oracle): a single-row group's n·Σx² − (Σx)² is 0 in exact
+        // arithmetic but can land one ulp NEGATIVE after the two
+        // decimal→double conversions, and sqrt(−ε) is NaN in Spark but
+        // an ERROR in DuckDB (measured, round-11 one-row gate).
+        // Identity for any group with real variance.
+        def varc(sxx: String, sx: String): Column =
+          greatest(n * col(sxx) - col(sx) * col(sx), lit(0d))
         struct(
           lit(label).as("pair"),
-          safeDiv(sqrt((n * col(sxx) - col(sx) * col(sx)) *
-            (n * col(syy) - col(sy) * col(sy)))).as("corr_val"),
+          safeDiv(sqrt(varc(sxx, sx) * varc(syy, sy))).as("corr_val"),
           safeDiv(n * (n - lit(1))).as("cov_val"))
       }
       a.select(col("rf").as("l_returnflag"), inline(array(

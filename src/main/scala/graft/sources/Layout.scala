@@ -163,8 +163,10 @@ object Layout {
                MIN(epoch_us(ts)) AS ymin, MAX(epoch_us(ts)) AS ymax
         FROM events),
       g AS (
-        SELECT CAST(floor((user_id - xmin) * CAST(65535.0 AS DOUBLE) / (xmax - xmin)) AS BIGINT) AS xn,
-               CAST(floor((epoch_us(ts) - ymin) * CAST(65535.0 AS DOUBLE) / (ymax - ymin)) AS BIGINT) AS yn
+        SELECT COALESCE(CAST(floor((user_id - xmin) * CAST(65535.0 AS DOUBLE)
+                 / NULLIF(xmax - xmin, 0)) AS BIGINT), 0) AS xn,
+               COALESCE(CAST(floor((epoch_us(ts) - ymin) * CAST(65535.0 AS DOUBLE)
+                 / NULLIF(ymax - ymin, 0)) AS BIGINT), 0) AS yn
         FROM events CROSS JOIN b),
       z AS (
         SELECT xn, yn, (${zValueSql("xn", "yn")}) AS zval FROM g)
@@ -179,13 +181,21 @@ object Layout {
       val bounds = ev.agg(
         min(col("x")).as("xmin"), max(col("x")).as("xmax"),
         min(col("y")).as("ymin"), max(col("y")).as("ymax"))
+      // a zero-extent axis (all rows share one user or one timestamp —
+      // the one-row corpus is the degenerate case) maps every point to
+      // grid 0 instead of dividing by zero (NULLIF + COALESCE in the
+      // oracle; ANSI Spark THREW here, DuckDB would NaN — measured,
+      // round-11 one-row gate)
+      def axis(v: org.apache.spark.sql.Column, lo: String, hi: String): org.apache.spark.sql.Column =
+        coalesce(
+          floor((v - col(lo)) * lit(65535.0) /
+            when(col(hi) =!= col(lo), col(hi) - col(lo))).cast("long"),
+          lit(0L))
       val grid = ev
         .crossJoin(broadcast(bounds)) // 1-row bounds
         .select(
-          floor((col("x") - col("xmin")) * lit(65535.0) / (col("xmax") - col("xmin")))
-            .cast("long").as("xn"),
-          floor((col("y") - col("ymin")) * lit(65535.0) / (col("ymax") - col("ymin")))
-            .cast("long").as("yn"))
+          axis(col("x"), "xmin", "xmax").as("xn"),
+          axis(col("y"), "ymin", "ymax").as("yn"))
       grid
         .withColumn("zval", zValue(col("xn"), col("yn")))
         .groupBy(shiftright(col("zval"), 26).as("zbucket"))
