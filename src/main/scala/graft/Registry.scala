@@ -291,6 +291,17 @@ object T {
   def sqlUstrip(e: String): String =
     s"regexp_replace($e, '^$wsClass+|$wsClass+$$', '', 'g')"
 
+  /** ASCII-only case fold via translate — exact cross-engine parity by
+    * construction on ANY input. Locale-full upper()/lower() diverge
+    * between the engines off the ASCII range (Java upper('ß') = "SS"
+    * where DuckDB emits 'ẞ'; Java lower('İ') = "i̇" — two codepoints —
+    * where DuckDB emits 'i'), so code-like dimension columns case-fold
+    * ASCII letters only and pass everything else through unchanged. */
+  private val azLower = "abcdefghijklmnopqrstuvwxyz"
+  private val azUpper = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+  def asciiUpper(c: Column): Column = translate(c, azLower, azUpper)
+  def sqlAsciiUpper(e: String): String = s"translate($e, '$azLower', '$azUpper')"
+
   /** Line-break normalization for line-oriented text export: a
     * one-record-per-line corpus cannot carry embedded terminators
     * (Hadoop's LineReader splits on \n, \r and \r\n — a 100 TB corpus

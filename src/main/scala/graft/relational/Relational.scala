@@ -308,7 +308,7 @@ object Relational {
     "trim/upper/substring/concat/length/split_part (§2.9)",
     Some(s"""
       SELECT p_partkey,
-        upper(p_name) AS name_upper,
+        ${T.sqlAsciiUpper("p_name")} AS name_upper,
         length(p_name) AS name_len,
         split_part(p_name, ' ', 1) AS first_word,
         CASE WHEN strpos(p_name, ' ') > 0
@@ -321,7 +321,9 @@ object Relational {
       T(s, dir, "part")
         .select(
           col("p_partkey"),
-          upper(col("p_name")).as("name_upper"),
+          // ASCII case-fold (T.asciiUpper): locale-full upper() diverges
+          // cross-engine off the ASCII range (ß → SS vs ẞ)
+          T.asciiUpper(col("p_name")).as("name_upper"),
           length(col("p_name")).cast("long").as("name_len"), // DuckDB length() is BIGINT
           substring_index(col("p_name"), " ", 1).as("first_word"),
           when(instr(col("p_name"), " ") > 0,
