@@ -45,7 +45,8 @@ object Attribution {
         FROM m),
       q AS (
         SELECT u, c_id, p_id,
-               CAST((s - (s % 1.0)) AS DECIMAL(38,0)) AS share_q
+               CASE WHEN abs(s) < 9007199254740992
+                    THEN CAST((s - (s % 1.0)) AS DECIMAL(38,0)) END AS share_q
         FROM shared)
       SELECT u AS user_id, c_id AS click_event_id,
              CAST(CAST((SUM(share_q)) AS VARCHAR) AS DOUBLE) / 1e8 AS attributed,
@@ -67,18 +68,26 @@ object Attribution {
             col("c_ts") > col("p_ts") - expr("INTERVAL 7 DAY"))
         // `s - (s % 1.0)` truncates toward zero in identical double ops
         // on both engines (the T.quantize discipline), and the result is
-        // an INTEGRAL double, so the DECIMAL(38,0) cast is exact — the
-        // previous long-quantization overflowed for money-range values
-        // past 9.2e10 (9.2e18 / 1e8). A value outside T.moneyRange
-        // (non-finite, or magnitude past the decimal money capacity)
-        // carries no attributable revenue: NULL share, skipped by the
-        // sum, while the purchase still counts toward n_purchases
-        // (measured crashes: Inf and finite 1e20 both, round-11 gates)
+        // an INTEGRAL double. The decimal cast of that double is exact
+        // on both engines ONLY below 2^53: integral doubles < 2^53
+        // round-trip through decimal digits uniquely, while past 2^53
+        // Spark's cast routes through Double.toString (shortest
+        // round-trip digits) where DuckDB expands the exact binary
+        // value — e.g. 2^60 renders 1152921504606847000 in Spark vs
+        // 1152921504606846976 in DuckDB. So the quantized-share domain
+        // is |s| < 2^53 (share magnitude < ~9e7 after the 1e8 scale);
+        // a share beyond it is MISSING exactly like a value outside
+        // T.moneyRange (non-finite / past decimal money capacity):
+        // NULL share, skipped by the sum, while the purchase still
+        // counts toward n_purchases. The previous long-quantization
+        // overflowed past 9.2e10; the bare decimal cast diverged past
+        // 9e7 — this bound closes the whole ladder (NonFiniteInputSpec).
         .withColumn("s",
           when(graft.T.moneyRange(col("value")), col("value"))
             / count(lit(1)).over(Window.partitionBy(col("p_id"))) * 1e8)
         .withColumn("share_q",
-          (col("s") - (col("s") % lit(1.0))).cast(DecimalType(38, 0)))
+          when(abs(col("s")) < lit(9007199254740992d),
+            (col("s") - (col("s") % lit(1.0))).cast(DecimalType(38, 0))))
         .groupBy(col("u"), col("c_id"))
         .agg(
           (sum(col("share_q")).cast("double") / 1e8).as("attributed"),

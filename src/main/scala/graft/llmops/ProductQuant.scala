@@ -151,6 +151,17 @@ object ProductQuant {
         .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
     }
 
+  /** UNION ALL of per-query `scored` branches — with a typed empty
+    * branch when there are none: an empty corpus yields zero query
+    * vectors, and zero branches would render `scored AS ()`, a DuckDB
+    * PARSE error where the engine side returns an empty frame (the
+    * empty-corpus gate compares empty-vs-empty instead). */
+  private def scoredUnion(branches: Seq[String]): String =
+    if (branches.isEmpty)
+      "SELECT CAST(NULL AS BIGINT) AS q_id, CAST(NULL AS BIGINT) AS neighbor_id, " +
+        "CAST(NULL AS DOUBLE) AS approx_d2 WHERE FALSE"
+    else branches.mkString("\n        UNION ALL ")
+
   /** ||a − b||² over a subvector range, driver-side (LUT entries). */
   private def subD2(a: Array[Double], off: Int, b: Array[Double]): Double = {
     var d = 0.0; var i = 0
@@ -184,7 +195,7 @@ object ProductQuant {
     val cb = graft.SessionMemo.value(s, dir, "pq_codebooks") {
       trainCodebooks(s, dir)
     }
-    val branches = queryVecs(s, dir).map { case (qid, qv) =>
+    val queryBranches = queryVecs(s, dir).map { case (qid, qv) =>
       val adc = (0 until M).map { m =>
         val lut = cb(m).map(cw => subD2(qv, m * subDim, cw))
           .map(java.lang.Double.toString).mkString("[", ", ", "]")
@@ -192,7 +203,8 @@ object ProductQuant {
       }.mkString("(", "\n                 + ", ")")
       s"SELECT CAST($qid AS BIGINT) AS q_id, vec_id AS neighbor_id, ${LlmOps.q4Sql(adc)} AS approx_d2\n" +
         s"        FROM codes WHERE vec_id <> $qid"
-    }.mkString("\n        UNION ALL ")
+    }
+    val branches = scoredUnion(queryBranches)
     s"""${LlmOps.sqlNormedCte},
       codes AS (
         SELECT vec_id, ${sqlCodeCols(cb)}
@@ -648,7 +660,7 @@ object ProductQuant {
     val cb = residualCodebooks(s, dir, cs)
     val centroidList = cs.map(_.map(java.lang.Double.toString)
       .mkString("[", ", ", "]")).mkString("[", ",\n          ", "]")
-    val branches = queryVecs(s, dir).flatMap { case (qid, qv) =>
+    val branches = scoredUnion(queryVecs(s, dir).flatMap { case (qid, qv) =>
       nearestCells(cs, qv).map { cell =>
         val rq = Array.tabulate(qv.length)(i => qv(i) - cs(cell)(i))
         val adc = (0 until M).map { m =>
@@ -660,7 +672,7 @@ object ProductQuant {
           s"${LlmOps.q4Sql(adc)} AS approx_d2\n" +
           s"        FROM rcodes WHERE cell = $cell AND vec_id <> $qid"
       }
-    }.mkString("\n        UNION ALL ")
+    })
     s"""${LlmOps.sqlNormedCte},
       asgn AS (
         SELECT vec_id, v,

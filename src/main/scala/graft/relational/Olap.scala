@@ -131,9 +131,9 @@ object Olap {
       col("l_shipdate").cast("date").cast("string"))
     conv(substring(md5(canonical), 1, 15), 16, 10).cast(DecimalType(38, 0))
   }
-  private val liRowHashSql = """CAST(CAST(('0x' || substr(md5(
+  private val liRowHashSql = s"""CAST(CAST(('0x' || substr(md5(
               concat_ws('|', l_orderkey, l_linenumber, l_linestatus,
-                CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR),
+                CAST(${sqlMoney("l_extendedprice")} AS VARCHAR),
                 CAST(CAST(l_shipdate AS DATE) AS VARCHAR))),
             1, 15)) AS BIGINT) AS DECIMAL(38,0))"""
 

@@ -32,14 +32,19 @@ object Profile {
     * "9.00" above "50.00") and a post-aggregate rendering that turns
     * the typed extreme into an engine-identical string. Numerics order
     * as DECIMAL(18,2) and render fixed-scale ("1.00"), never
-    * shortest-round-trip doubles; strings order and render as-is. */
+    * shortest-round-trip doubles; strings order and render as-is.
+    * The decimal view is [[T.money]]-guarded on BOTH sides: a
+    * non-finite or beyond-capacity measure has no exact-decimal
+    * reading (Spark's raw cast nulls where DuckDB's throws), so such
+    * values are MISSING from min/max by the moneyRange contract —
+    * n_null still counts only genuine NULLs of the raw column. */
   private case class Prof(name: String, ord: Column, render: Column => Column,
       ordSql: String, renderSql: String => String)
 
   private val profiled: Seq[Prof] =
     numericCols.map(c =>
-      Prof(c, col(c).cast("decimal(18,2)"), _.cast("string"),
-        s"CAST($c AS DECIMAL(18,2))", e => s"CAST($e AS VARCHAR)")) ++
+      Prof(c, T.money(col(c)), _.cast("string"),
+        T.sqlMoney(c), e => s"CAST($e AS VARCHAR)")) ++
       Seq(
         Prof("l_returnflag", col("l_returnflag"), identity, "l_returnflag", identity),
         Prof("l_linestatus", col("l_linestatus"), identity, "l_linestatus", identity))
@@ -166,7 +171,10 @@ object Profile {
                CAST(l_quantity AS DECIMAL(18,2)) AS xq,
                CAST(l_extendedprice AS DECIMAL(18,2)) AS xp,
                CAST(l_discount AS DECIMAL(18,2)) AS xd
-        FROM lineitem),
+        FROM lineitem
+        WHERE ${T.sqlMoneyRange("l_quantity")}
+          AND ${T.sqlMoneyRange("l_extendedprice")}
+          AND ${T.sqlMoneyRange("l_discount")}),
       a AS (
         SELECT rf,
                CAST(COUNT(*) AS DOUBLE) AS n,
@@ -192,7 +200,15 @@ object Profile {
       def dec(c: String): Column = col(c).cast(DecimalType(18, 2))
       def prod(x: String, y: String): Column =
         (dec(x) * dec(y)).cast(DecimalType(30, 4))
-      val a = lineitem(s, dir).groupBy(col("l_returnflag").as("rf")).agg(
+      // ROW-level moneyRange guard (WHERE in the oracle): correlation
+      // needs PAIRED observations, so a row with any non-representable
+      // measure is dropped whole — per-cell nulling would skew Σxy
+      // against Σx/Σy. Identity on representable data; keeps the raw
+      // cast below exact (inputs are guaranteed in-range past the
+      // filter), where Spark nulls and DuckDB throws on poison.
+      val a = lineitem(s, dir)
+        .filter(numericCols.map(c => T.moneyRange(col(c))).reduce(_ && _))
+        .groupBy(col("l_returnflag").as("rf")).agg(
         count(lit(1)).cast("double").as("n"),
         sum(dec("l_quantity")).cast("double").as("sq"),
         sum(dec("l_extendedprice")).cast("double").as("sp"),

@@ -211,9 +211,9 @@ object Relational {
   private val qWindowRunning = GraftQuery(
     "q_window_running_sum",
     "cumulative sum over rowsBetween frame (§2.6)",
-    Some("""
+    Some(s"""
       SELECT o_custkey, o_orderkey,
-        CAST(CAST((SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        CAST(CAST((SUM(${sqlMoney("o_totalprice")})
           OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS VARCHAR) AS DOUBLE)
           AS running_spend
@@ -360,10 +360,10 @@ object Relational {
     "sum(CASE WHEN...) manual pivot by market segment (§2.4/§2.9)",
     Some(s"""
       SELECT n_name,
-        ${sqlDec2Dbl("""SUM(CASE WHEN c_mktsegment = 'BUILDING'
-          THEN CAST(c_acctbal AS DECIMAL(18,2)) ELSE 0 END)""")} AS building_bal,
-        ${sqlDec2Dbl("""SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE'
-          THEN CAST(c_acctbal AS DECIMAL(18,2)) ELSE 0 END)""")} AS automobile_bal,
+        ${sqlDec2Dbl(s"""SUM(CASE WHEN c_mktsegment = 'BUILDING'
+          THEN ${sqlMoney("c_acctbal")} ELSE 0 END)""")} AS building_bal,
+        ${sqlDec2Dbl(s"""SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE'
+          THEN ${sqlMoney("c_acctbal")} ELSE 0 END)""")} AS automobile_bal,
         COUNT(*) AS n_customers
       FROM customer JOIN nation ON c_nationkey = n_nationkey
       GROUP BY n_name

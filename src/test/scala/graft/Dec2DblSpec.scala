@@ -96,6 +96,77 @@ class Dec2DblSpec extends SparkSpec {
     directDecimalSumCasts("CAST(SUM(n) AS DOUBLE)") shouldBe empty // integer sum: exact
   }
 
+  /** Find raw `CAST(<expr> AS DECIMAL(18,2))` money casts in `sql` that
+    * carry no representability guard. On NaN/Inf or beyond-capacity
+    * magnitudes Spark's cast NULLs where DuckDB's THROWS — the
+    * divergence class [[T.sqlMoney]] exists to close. A cast is
+    * allowed when: (a) its argument IS the guard (`CASE WHEN
+    * (isfinite…` — the sqlMoney spelling); (b) the argument is a bare
+    * numeric literal (always representable); or (c) the SQL carries a
+    * row-level [[T.sqlMoneyRange]] guard on the same expression
+    * (q_corr_matrix's WHERE — rows are pre-filtered representable, so
+    * the downstream cast is exact by construction). */
+  private def unguardedMoneyCasts(sql: String): Seq[String] = {
+    val marker = "CAST("
+    def balancedEnd(s: String, open: Int): Int = {
+      var depth = 1; var i = open + 1
+      while (depth > 0 && i < s.length) {
+        if (s(i) == '(') depth += 1 else if (s(i) == ')') depth -= 1
+        i += 1
+      }
+      i
+    }
+    // last depth-0 " AS " inside the cast body splits arg from target
+    def splitCastBody(body: String): Option[(String, String)] = {
+      var depth = 0; var last = -1; var i = 0
+      while (i < body.length) {
+        if (body(i) == '(') depth += 1
+        else if (body(i) == ')') depth -= 1
+        else if (depth == 0 && body.regionMatches(true, i, " AS ", 0, 4)) last = i
+        i += 1
+      }
+      if (last < 0) None
+      else Some((body.substring(0, last), body.substring(last + 4)))
+    }
+    Iterator.iterate(sql.indexOf(marker))(i => sql.indexOf(marker, i + 1))
+      .takeWhile(_ >= 0)
+      .flatMap { i =>
+        val open = i + marker.length - 1
+        val end = balancedEnd(sql, open)
+        val body = sql.substring(open + 1, end - 1)
+        splitCastBody(body) match {
+          case Some((arg, target))
+              if target.replaceAll("\\s+", "").equalsIgnoreCase("DECIMAL(18,2)") =>
+            val a = arg.trim
+            val guarded = a.replaceAll("\\s+", " ").toUpperCase.startsWith("CASE WHEN (ISFINITE") ||
+              a.matches("[-+]?[0-9.eE]+") ||
+              sql.contains(T.sqlMoneyRange(a))
+            if (guarded) None else Some(sql.substring(i, end))
+          case _ => None
+        }
+      }
+      .toSeq
+  }
+
+  test("lint scaffolding: the money-cast scanner flags raw casts and passes guarded ones") {
+    unguardedMoneyCasts("SUM(CAST(o_totalprice AS DECIMAL(18,2)))") should have size 1
+    unguardedMoneyCasts(s"SUM(${T.sqlMoney("o_totalprice")})") shouldBe empty
+    unguardedMoneyCasts("CASE WHEN x THEN CAST(0 AS DECIMAL(18,2)) END") shouldBe empty
+    unguardedMoneyCasts(
+      s"SELECT CAST(l_quantity AS DECIMAL(18,2)) FROM t WHERE ${T.sqlMoneyRange("l_quantity")}"
+    ) shouldBe empty
+    unguardedMoneyCasts("CAST(x AS DECIMAL(18,4))") shouldBe empty // other scales out of scope
+  }
+
+  test("no registry oracle raw-casts a money column to DECIMAL(18,2) without a guard") {
+    val offenders = Registry.all.flatMap { q =>
+      val sqls = q.oracle.toSeq ++
+        q.oracleGen.map(gen => gen(spark, sfDir)).toSeq
+      sqls.flatMap(unguardedMoneyCasts).map(m => s"${q.name}: $m")
+    }
+    withClue(offenders.mkString("\n")) { offenders shouldBe empty }
+  }
+
   test("no registry oracle direct-casts a decimal SUM to DOUBLE (static + generated)") {
     val offenders = Registry.all.flatMap { q =>
       val sqls = q.oracle.toSeq ++

@@ -61,6 +61,12 @@ class NonFiniteInputSpec extends SparkSpec {
             .when(col("event_id") % 37 === 5, lit(1e20))
             .when(col("event_id") % 41 === 7, lit(-3.7e18))
             .when(col("event_id") % 43 === 13, lit(1e16))
+            // IN money range but beyond the attribution share-quant
+            // domain (value*1e8 >= 2^53): exact-decimal sums keep it,
+            // the quantized share treats it as missing — past 2^53 the
+            // integral-double→decimal cast diverges cross-engine
+            // (Spark shortest-round-trip digits vs DuckDB exact binary)
+            .when(col("event_id") % 47 === 9, lit(5.4321e9))
             .otherwise(col("value")))
         case "embeddings" => base.withColumn("embedding",
           when(col("vec_id") % 19 === 4,
