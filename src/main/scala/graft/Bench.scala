@@ -47,6 +47,42 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** I/O-side machine probe, beside the CPU loop: the LCG calibration
+    * is blind to disk/page-cache contention, which is what actually
+    * moves the I/O-bound queries (`q_orc_roundtrip`,
+    * `mm_binary_ingest` were the top movers of a rejected round-11
+    * run whose CPU calib looked fine). Writes 64 MiB of deterministic
+    * bytes to the bench tmpdir, fsyncs, reads it back, deletes —
+    * exercising the same write-flush-read path the scratch round-trip
+    * queries use. IDLE REFERENCE: ≈ 0.10–0.25 s on this container;
+    * a multiple of that during a run means the I/O-bound query deltas
+    * are environment. Printed as calib_io_pre/calib_io_post. */
+  private def calibrateIo(): Double = {
+    val path = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_bench_ioprobe_${sys.props("user.name")}.bin")
+    val block = new Array[Byte](1 << 20)
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < block.length) { x = x * 6364136223846793005L + 1L; block(i) = (x >>> 56).toByte; i += 1 }
+    val t0 = System.nanoTime()
+    val ch = java.nio.channels.FileChannel.open(path,
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE,
+      java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+    try {
+      var j = 0
+      while (j < 64) { ch.write(java.nio.ByteBuffer.wrap(block)); j += 1 }
+      ch.force(false)
+    } finally ch.close()
+    val in = java.nio.channels.FileChannel.open(path, java.nio.file.StandardOpenOption.READ)
+    try {
+      val buf = java.nio.ByteBuffer.allocate(1 << 20)
+      var n = 0
+      while (n >= 0) { buf.clear(); n = in.read(buf) }
+    } finally in.close()
+    java.nio.file.Files.deleteIfExists(path)
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     // Builder-local isolate mode: `runMain graft.Bench [sfDir] [substr…]`
     // — an ABSOLUTE path naming an existing directory overrides
@@ -88,6 +124,7 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     T.quietBoundedWindowWarnings()
     val calibPre = calibrate(cpuCount)
+    val calibIoPre = calibrateIo()
     // Warm the session before timing: JVM/codegen/parquet-reader costs land
     // here instead of inflating whichever query happens to run first. One
     // scan per input table — no data is cached, only the machinery warms.
@@ -116,6 +153,7 @@ object Bench {
       }
     for ((_, order) <- passOrders) {
       graft.SessionMemo.clear(spark)
+      graft.SessionMemo.drainBuildLog() // discard pre-pass stragglers
       order.foreach { q =>
         val t0 = System.nanoTime()
         try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -123,12 +161,25 @@ object Bench {
           errors.getOrElseUpdate(q.name,
             Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
         }
+        val wall = (System.nanoTime() - t0) / 1e9
+        // Attribute shared-index builds to their OWN `memo:<key>` lines
+        // and keep only the query's marginal cost on its line: without
+        // this, builds land on whichever family member runs first in
+        // each (shuffled) pass and per-query numbers redistribute with
+        // pass order (round-11 llm_e2). Totals are conserved: the sum
+        // over query + memo lines equals the old all-on-queries sum.
+        val builds = graft.SessionMemo.drainBuildLog()
+        builds.foreach { case (key, secs) =>
+          val n = s"memo:$key"
+          samples(n) = samples.getOrElse(n, Vector.empty) :+ secs
+        }
         samples(q.name) = samples.getOrElse(q.name, Vector.empty) :+
-          (System.nanoTime() - t0) / 1e9
+          math.max(wall - builds.map(_._2).sum, 0.0)
       }
     }
     val passOrderJson = passOrders.map(p => s""""${p._1}"""").mkString("[", ",", "]")
     val calibPost = calibrate(cpuCount)
+    val calibIoPost = calibrateIo()
     val results = samples.toSeq.map { case (k, v) =>
       k -> v.sorted.apply(v.size / 2) // median (upper for even sizes)
     }
@@ -154,14 +205,20 @@ object Bench {
     // the line arrives truncated → unparseable. So: the PRINTED line carries
     // the total plus the 15 most expensive queries (3-decimal seconds), and
     // the COMPLETE per-query map goes to BENCH_DETAIL.json next to the repo.
+    // `queries` carries query AND memo:<key> lines (the total is their
+    // sum — conserved vs pre-r12 all-on-queries accounting); n_queries
+    // counts only real registry queries so the driver's per-round
+    // query-count check is unaffected.
+    val nQueries = results.count(!_._1.startsWith("memo:"))
+    val nMemo = results.size - nQueries
     if (args.isEmpty)
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
-        s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${qsJson(results)},"errors":$errJson,"n_failed":${errors.size},"repeats":$repeats,"calib_pre":${r3(calibPre)},"calib_post":${r3(calibPost)},"pass_totals":${passTotals.map(r3).mkString("[", ",", "]")},"pass_order":$passOrderJson,"sf":"$sfDir"}""".getBytes("UTF-8"))
+        s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":$nQueries,"n_memo":$nMemo,"queries":${qsJson(results)},"errors":$errJson,"n_failed":${errors.size},"repeats":$repeats,"calib_pre":${r3(calibPre)},"calib_post":${r3(calibPost)},"calib_io_pre":${r3(calibIoPre)},"calib_io_post":${r3(calibIoPost)},"pass_totals":${passTotals.map(r3).mkString("[", ",", "]")},"pass_order":$passOrderJson,"sf":"$sfDir"}""".getBytes("UTF-8"))
     // failed-query NAMES only on the printed line (messages are in the
     // detail file) — a long stack-trace message must not evict the timings
     val errNames = errors.keys.take(8).map(k => s""""${esc(k)}"""").mkString("[", ",", "]")
     def line(nTop: Int): String =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${qsJson(results.sortBy(-_._2).take(nTop))},"failed":$errNames,"n_failed":${errors.size},"repeats":$repeats,"n_queries":${results.size},"calib_pre":${r3(calibPre)},"calib_post":${r3(calibPost)},"pass_totals":${passTotals.map(r3).mkString("[", ",", "]")},"pass_order":$passOrderJson,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${qsJson(results.sortBy(-_._2).take(nTop))},"failed":$errNames,"n_failed":${errors.size},"repeats":$repeats,"n_queries":$nQueries,"n_memo":$nMemo,"calib_pre":${r3(calibPre)},"calib_post":${r3(calibPost)},"calib_io_pre":${r3(calibIoPre)},"calib_io_post":${r3(calibIoPost)},"pass_totals":${passTotals.map(r3).mkString("[", ",", "]")},"pass_order":$passOrderJson,"detail":"BENCH_DETAIL.json","sf":"$sfDir"}"""
     // even the nTop=0 line can exceed the cap in pathological configs
     // (huge repeats inflating pass_totals + 8 failed names) — print the
     // shortest line rather than throwing after a full run

@@ -33,6 +33,51 @@ object SessionMemo {
   private val lock = new Object
   private var epoch = 0L
 
+  /** Build-time audit log: every memo/value build that actually RAN
+    * appends (key, seconds). Bench drains it after each query to (a)
+    * emit the build as its own `memo:<key>` line and (b) subtract it
+    * from the triggering query's wall time — without this, shared-index
+    * build costs land on whichever family member runs FIRST in each
+    * (shuffled) pass, making per-query numbers redistribute with pass
+    * order and cross-round trajectories unreadable (round-11 llm_e2).
+    * Table-frame reads (`table:` keys, footer-only) are excluded as
+    * noise. Bounded: a handful of entries per pass; harmless if never
+    * drained (Verify/tests). */
+  private val buildLog =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]()
+
+  private[graft] def drainBuildLog(): Seq[(String, Double)] = {
+    val out = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    var e = buildLog.poll()
+    while (e != null) { out += e; e = buildLog.poll() }
+    out.toSeq
+  }
+
+  // Per-thread nesting stack: a build that pulls ANOTHER memo (span
+  // index atop the shingle index) must log only its SELF time, or the
+  // drain-side subtraction double-counts the inner build. Time moved
+  // to a child's own line is removed from the parent; unlogged
+  // (`table:`) children stay inside the parent's time.
+  private val nesting = new ThreadLocal[java.util.ArrayDeque[java.lang.Double]] {
+    override def initialValue() = new java.util.ArrayDeque[java.lang.Double]()
+  }
+
+  private def logged[A](key: String)(build: => A): A = {
+    val stack = nesting.get()
+    stack.push(0.0)
+    val t0 = System.nanoTime()
+    try build
+    finally {
+      val total = (System.nanoTime() - t0) / 1e9
+      val childLogged = stack.pop().doubleValue()
+      if (!key.startsWith("table:")) {
+        buildLog.add((key, math.max(total - childLogged, 0.0)))
+        if (!stack.isEmpty) stack.push(stack.pop().doubleValue() + total)
+      } else if (!stack.isEmpty && childLogged > 0)
+        stack.push(stack.pop().doubleValue() + childLogged)
+    }
+  }
+
   /** The memoized frame for (s, dir, key), building (and thereby
     * persisting) it on first access. `build` must return an
     * already-materialized frame — persist + an action — so the loser of
@@ -42,7 +87,7 @@ object SessionMemo {
     val k = (s, dir, key)
     memo.get(k).getOrElse {
       val e0 = lock.synchronized(epoch)
-      val built = build // outside the lock: builds stay concurrent
+      val built = logged(key)(build) // outside the lock: builds stay concurrent
       lock.synchronized {
         if (epoch != e0) { built.unpersist(); built } // clear() won: don't re-pin
         else memo.putIfAbsent(k, built) match {
@@ -76,7 +121,7 @@ object SessionMemo {
     * clear removes, and a lost first-access race just discards the
     * loser's value. */
   def value[T](s: SparkSession, dir: String, key: String)(build: => T): T =
-    values.getOrElseUpdate((s, dir, key), build).asInstanceOf[T]
+    values.getOrElseUpdate((s, dir, key), logged(key)(build)).asInstanceOf[T]
 
   /** Unpersist and drop every memoized frame belonging to `s`. Builds
     * in flight when this runs will NOT register afterwards (epoch
