@@ -32,10 +32,18 @@ import org.apache.spark.sql.functions._
   * the plans — their scale posture is argued by bucket-cap analysis in
   * their scaladoc instead.
   *
-  * Usage: `runMain graft.ScaleProbe [N] [querySubstr…]` (N default 4).
-  * Prints one JSON line; exits 1 if any query's scaled/base ratio
-  * exceeds N × 1.5 (slack for shuffle N·logN terms and ambient drift —
-  * sub-second absolute deltas are reported but never gate). */
+  * A second axis (round 12): `hot` mode replicates EVENTS ONLY onto
+  * the SAME user_id space — per-key growth N× with a fixed user
+  * population — because the disjoint axis holds per-key cardinality
+  * constant, which never stresses the per-user window sorts or the
+  * salted skew shapes. Its probe set is the user-keyed queries
+  * ([[hotProbeNames]]); same time + bytes-slope gates.
+  *
+  * Usage: `runMain graft.ScaleProbe [hot] [N] [querySubstr…]` (N
+  * default 4). Prints one JSON line; exits 1 if any query's
+  * scaled/base ratio exceeds N × 1.5 (slack for shuffle N·logN terms
+  * and ambient drift — sub-second absolute deltas are reported but
+  * never gate). */
 object ScaleProbe {
   private val OFF = 1L << 40
 
@@ -50,6 +58,19 @@ object ScaleProbe {
     "q3_top_unshipped_orders", "e5_sessionization",
     "e5_asof_purchase_last_click", "e5_skew_salted_join")
 
+  /** HOT-KEY axis probe set: the queries whose shuffles key on user_id
+    * (or a low-cardinality derivative) and therefore live or die by
+    * per-key growth — sessionization's stacked per-user windows, the
+    * as-of union-window, per-user interval prefix-sums, and both salted
+    * skew shapes. `e5_linear_attribution` is EXCLUDED by design: per-key
+    * replication grows each user's purchases AND clicks N×, so the
+    * purchase×click-within-7d match grows N² as a property of the
+    * replicated corpus (the same reason the near-dup family is excluded
+    * from the disjoint axis), not of the plan. */
+  private val hotProbeNames = Seq(
+    "e5_sessionization", "e5_skew_salted_join", "e5_hourly_salted_agg",
+    "e5_asof_purchase_last_click", "e5_peak_concurrency")
+
   /** Per-replica key-offset recipe; tables not listed are dims (one copy). */
   private val factKeys: Map[String, Seq[String]] = Map(
     "orders" -> Seq("o_orderkey"),
@@ -58,13 +79,25 @@ object ScaleProbe {
     "documents" -> Seq("doc_id"),
     "embeddings" -> Seq("vec_id"))
 
-  private[graft] def buildScaledDir(spark: SparkSession, baseDir: String, n: Int): String = {
-    val dir = s"${sys.props("java.io.tmpdir")}/graft_scale_${n}x_${T.scratchKey(baseDir)}"
+  /** Hot-key replication: events only, event_id offset per replica but
+    * user_id (and ts) REUSED — every user's event count grows N× while
+    * the user population stays fixed. The disjoint axis holds per-key
+    * cardinality constant (the easy direction); this one grows it,
+    * which is what actually stresses the per-user window sorts and the
+    * salted shapes. Non-event tables are copied once. */
+  private val hotFactKeys: Map[String, Seq[String]] = Map(
+    "events" -> Seq("event_id"))
+
+  private[graft] def buildScaledDir(spark: SparkSession, baseDir: String, n: Int,
+      hot: Boolean = false): String = {
+    val tag = if (hot) "hotkey" else "scale"
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_${tag}_${n}x_${T.scratchKey(baseDir)}"
     val marker = java.nio.file.Paths.get(s"$dir/_SCALE_OK")
     if (java.nio.file.Files.exists(marker)) return dir
+    val recipe = if (hot) hotFactKeys else factKeys
     T.tableNames.foreach { t =>
       val base = T(spark, baseDir, t)
-      val scaled = factKeys.get(t) match {
+      val scaled = recipe.get(t) match {
         case None => base
         case Some(keys) =>
           (0 until n).map { i =>
@@ -109,9 +142,15 @@ object ScaleProbe {
   }
 
   def main(args: Array[String]): Unit = {
-    val n = args.headOption.flatMap(a => scala.util.Try(a.toInt).toOption).getOrElse(4)
-    val filters = args.drop(if (args.headOption.exists(a => scala.util.Try(a.toInt).isSuccess)) 1 else 0)
-    val names = if (filters.nonEmpty) probeNames.filter(p => filters.exists(p.contains)) else probeNames
+    // `runMain graft.ScaleProbe [hot] [N] [querySubstr…]` — leading
+    // "hot" selects the hot-key axis (events replicated onto the SAME
+    // user_id space, per-key growth N×) with its own probe set.
+    val hot = args.headOption.contains("hot")
+    val rest = if (hot) args.tail else args
+    val n = rest.headOption.flatMap(a => scala.util.Try(a.toInt).toOption).getOrElse(4)
+    val filters = rest.drop(if (rest.headOption.exists(a => scala.util.Try(a.toInt).isSuccess)) 1 else 0)
+    val pool = if (hot) hotProbeNames else probeNames
+    val names = if (filters.nonEmpty) pool.filter(p => filters.exists(p.contains)) else pool
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val slack = 1.5
     val spark = SparkSession.builder()
@@ -137,8 +176,8 @@ object ScaleProbe {
     // slope is the regime a 100 TB job lives in; quadratic growth
     // shows up there regardless of the flip.
     val mid = (n / 2).max(1)
-    val scaledDir = buildScaledDir(spark, baseDir, n)
-    val midDir = if (mid > 1) buildScaledDir(spark, baseDir, mid) else baseDir
+    val scaledDir = buildScaledDir(spark, baseDir, n, hot)
+    val midDir = if (mid > 1) buildScaledDir(spark, baseDir, mid, hot) else baseDir
     val qs = Registry.all.filter(q => names.contains(q.name))
     require(qs.map(_.name).toSet == names.toSet,
       s"probe names missing from the registry: ${names.toSet -- qs.map(_.name)}")
@@ -176,7 +215,7 @@ object ScaleProbe {
     // (2× bytes for 2× data); a genuinely quadratic query doubles its
     // slope again and still fails.
     val rows = if (firstPass.forall(_.ok)) firstPass else {
-      val dir2n = buildScaledDir(spark, baseDir, 2 * n)
+      val dir2n = buildScaledDir(spark, baseDir, 2 * n, hot)
       firstPass.map { p =>
         if (p.ok) p else {
           val q = qs.find(_.name == p.name).get
@@ -194,7 +233,8 @@ object ScaleProbe {
       s""""${p.name}":{"t1":${r3(p.t1)},"tN":${r3(p.tn)},"ratio":${r3(p.ratio)},"shuffle_b1":${p.b1},"shuffle_bMid":${p.bm},"shuffle_bN":${p.bn},"bytes_slope":${r3(p.slope)}$esc,"linear_ok":${p.ok}}"""
     }.mkString("{", ",", "}")
     val failed = rows.filterNot(_.ok)
-    println(s"""{"metric":"scale_probe","n":$n,"mid":$mid,"slack":$slack,"queries":$qJson,"n_superlinear":${failed.size},"base":"$baseDir","scaled":"$scaledDir"}""")
+    val metric = if (hot) "scale_probe_hotkey" else "scale_probe"
+    println(s"""{"metric":"$metric","n":$n,"mid":$mid,"slack":$slack,"queries":$qJson,"n_superlinear":${failed.size},"base":"$baseDir","scaled":"$scaledDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

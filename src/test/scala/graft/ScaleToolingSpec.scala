@@ -42,6 +42,29 @@ class ScaleToolingSpec extends SparkSpec {
     maxPerCust(dir) shouldBe maxPerCust(sfDir) * 2
   }
 
+  test("ScaleProbe hot-key replication: events 2x onto the SAME user space, per-user count 2x") {
+    val cached = java.nio.file.Paths.get(
+      s"${sys.props("java.io.tmpdir")}/graft_hotkey_2x_${T.scratchKey(sfDir)}")
+    if (java.nio.file.Files.exists(cached)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(cached).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    val dir = ScaleProbe.buildScaledDir(spark, sfDir, 2, hot = true)
+    // events doubled with unique event_ids; every OTHER table one copy
+    T(spark, dir, "events").count() shouldBe T(spark, sfDir, "events").count() * 2
+    T(spark, dir, "events").select("event_id").distinct().count() shouldBe
+      T(spark, sfDir, "events").count() * 2
+    T(spark, dir, "lineitem").count() shouldBe T(spark, sfDir, "lineitem").count()
+    // user POPULATION fixed, per-user event count exactly doubled —
+    // the per-key growth axis the disjoint mode cannot produce
+    def users(d: String) = T(spark, d, "events").select("user_id").distinct().count()
+    users(dir) shouldBe users(sfDir)
+    def maxPerUser(d: String) = T(spark, d, "events")
+      .groupBy("user_id").count().agg(max("count")).collect()(0).getLong(0)
+    maxPerUser(dir) shouldBe maxPerUser(sfDir) * 2
+  }
+
   test("DriftGen axes re-encode the physical schema and T normalizes them back") {
     val out = s"${sys.props("java.io.tmpdir")}/graft_driftgen_spec_${ProcessHandle.current().pid()}"
     DriftGen.generate(spark, sfDir, out, Seq("i32", "dec"))
