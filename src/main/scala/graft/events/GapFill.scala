@@ -27,7 +27,18 @@ object GapFill {
     * SF-scaled, so the grid side broadcasts at any scale; the SF-scaled
     * work (the hourly counts) is one partial+final aggregate shuffling
     * on (type, hour). Value sums use the exact-decimal discipline so
-    * zero-fill and real sums hash identically in both engines. */
+    * zero-fill and real sums hash identically in both engines.
+    *
+    * OPERATIONAL BOUND: "calendar-bounded" is a property of the DATA
+    * WINDOW, not the plan — the spine spans MIN(ts)..MAX(ts), so one
+    * wild-clock row widens it to centuries (measured on the round-12
+    * extreme-timestamp gate: a 1677/2262 pair exploded the grid from
+    * 17k to 25.6M rows; both engines still agreed, so this is a cost
+    * hazard, not a correctness one). The declared defense is upstream:
+    * the streaming quality gate's `ts_in_retention` rule
+    * ([[graft.streaming.EventStreams.eventRules]]) quarantines
+    * out-of-window clocks at ingest; spine operators consume gated
+    * data by contract. */
   private val timeSpine = GraftQuery(
     "e5_time_spine_gapfill",
     "dense hour×type spine via sequence + left join, zero-filled (E5 §2.6)",

@@ -99,7 +99,21 @@ object EventStreams {
       col("event_type").isin("click", "error", "purchase", "signup", "view"),
       "event_type IN ('click', 'error', 'purchase', 'signup', 'view')"),
     ("user_present", col("user_id").isNotNull, "user_id IS NOT NULL"),
-    ("ts_present", col("ts").isNotNull, "ts IS NOT NULL"))
+    ("ts_present", col("ts").isNotNull, "ts IS NOT NULL"),
+    // Wild-clock defense: a single corrupt timestamp (epoch 0 from an
+    // uninitialized field, 2262 from a ns-int64 boundary) makes every
+    // MIN/MAX-derived time spine span centuries — measured on the
+    // round-12 extreme-timestamp gate, where one such row exploded the
+    // dense hour grid from 17k to 25.6M rows. Spine/window operators
+    // are DOWNSTREAM of this gate by contract (like vector ops are
+    // downstream of indexability), so the retention window is the
+    // bound that keeps their output calendar-sized. Fixed literals
+    // keep the oracle closed-form; both engines compare µs timestamps
+    // under the UTC session.
+    ("ts_in_retention",
+      col("ts") >= lit("2000-01-01").cast("timestamp") &&
+        col("ts") < lit("2100-01-01").cast("timestamp"),
+      "ts >= TIMESTAMP '2000-01-01' AND ts < TIMESTAMP '2100-01-01'"))
 
   /** Append a `violations: array<string>` column naming every failed
     * rule. Pure projection — binds identically in batch and streaming. */

@@ -24,6 +24,22 @@ class QualityGatePropSpec extends SparkSpec {
 
   private val known = Set("click", "error", "purchase", "signup", "view")
   private val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+  // retention-window boundary cases (rule window [2000, 2100), UTC):
+  // epoch 0 (uninitialized clock), pre-epoch, window edges, far future
+  private val utc = java.util.TimeZone.getTimeZone("UTC")
+  private def ts(s: String): java.sql.Timestamp = {
+    val f = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+    f.setTimeZone(utc)
+    new java.sql.Timestamp(f.parse(s).getTime)
+  }
+  private val tEpoch = new java.sql.Timestamp(0L)
+  private val tPre = ts("1969-07-20 20:17:40")
+  private val tLowEdge = ts("2000-01-01 00:00:00")  // inclusive: clean
+  private val tHighEdge = ts("2100-01-01 00:00:00") // exclusive: violation
+  private val tFuture = ts("2150-01-01 00:00:00")
+
+  private def inRetention(t: java.sql.Timestamp): Boolean =
+    t.getTime >= tLowEdge.getTime && t.getTime < tHighEdge.getTime
 
   /** The rule set, restated independently in plain Scala. */
   private def expected(e: Ev): Set[String] = {
@@ -32,11 +48,12 @@ class QualityGatePropSpec extends SparkSpec {
     if (!known(e.event_type)) v += "known_event_type"
     if (e.user_id.isEmpty) v += "user_present"
     if (e.ts.isEmpty) v += "ts_present"
+    if (!e.ts.exists(inRetention)) v += "ts_in_retention"
     v.toSet
   }
 
   private val evGen = for {
-    ts <- Gen.option(Gen.const(t0))
+    ts <- Gen.option(Gen.oneOf(t0, tEpoch, tPre, tLowEdge, tHighEdge, tFuture))
     uid <- Gen.option(Gen.choose(1L, 5L))
     et <- Gen.oneOf("click", "view", "purchase", "hover", "weird", "")
     value <- Gen.option(Gen.oneOf(-3.0, -0.001, 0.0, 0.5, 9.0))
