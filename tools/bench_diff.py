@@ -62,8 +62,25 @@ def main() -> None:
             parts.append("passes=[" + ",".join(f"{p:.0f}" for p in d["pass_totals"]) + "]")
         return ("  " + "  ".join(parts)) if parts else ""
 
-    print(f"old: {old_spec}  total={old.get('value')}s  n={len(oq)}{probes(old)}")
-    print(f"new: {new_spec}  total={new.get('value')}s  n={len(nq)}{probes(new)}")
+    def split_totals(q: dict) -> str:
+        """Since round 12 shared memoized builds are their own `memo:<key>`
+        lines and query lines carry marginal cost only — totals are
+        conserved but per-line values are NOT comparable to pre-r12
+        details unless memo lines are folded back in. Show the split so a
+        cross-era total comparison stays honest."""
+        memo = sum(v for k, v in q.items() if k.startswith("memo:"))
+        if memo == 0:
+            return ""
+        return f"  (queries {sum(q.values()) - memo:.1f} + memo {memo:.1f})"
+
+    print(f"old: {old_spec}  total={old.get('value')}s  n={len(oq)}{probes(old)}{split_totals(oq)}")
+    print(f"new: {new_spec}  total={new.get('value')}s  n={len(nq)}{probes(new)}{split_totals(nq)}")
+    one_sided_memo = (any(k.startswith('memo:') for k in oq)
+                      != any(k.startswith('memo:') for k in nq))
+    if one_sided_memo:
+        print("NOTE: only one side carries memo:<key> lines — per-query ratios for"
+              " memo-consuming families are accounting artifacts; compare totals"
+              " or query+memo sums.")
     print(f"common={len(common)}  median_ratio={med:.2f}x  "
           f"(>1.2x: {sum(r > 1.2 for r in ratios)}, <0.83x: {sum(r < 1/1.2 for r in ratios)})")
 
