@@ -347,6 +347,38 @@ object T {
   /** Order-insensitive exact sum of a 2-decimal measure, returned as double. */
   def dsum(c: Column): Column = sum(money(c)).cast("double")
 
+  /** In-plan backstop for MIN/MAX-derived time spines. A dense spine's
+    * cardinality is clock-range-proportional, so ONE wild-clock row
+    * (epoch 0 from an uninitialized field, 1677/2262 from ns-int64
+    * reinterpretation) widens it to centuries — measured on the
+    * round-12 extreme-timestamp gate, where a single 1677/2262 pair
+    * exploded the hour×type grid from 17k to 25.6M rows (~1h oracle
+    * compare). The declared defense is upstream (the streaming quality
+    * gate's `ts_in_retention` rule quarantines out-of-window clocks at
+    * ingest; spine operators consume gated data by contract), but a
+    * contract this sharp must fail LOUDLY when violated: this guard
+    * wraps the sequence() expression inside the existing 1-row bounds
+    * frame and raises a descriptive error once the span exceeds
+    * `graft.spine.maxHours` (default 200000 ≈ 22.8 years — far above
+    * any plausible gated data window, far below the centuries a wild
+    * clock produces), so a gate bypass is an immediate error, not an
+    * hour-long hang. Zero extra scans, zero shuffles: the predicate
+    * rides the bounds row the spine already computes. NULL span (empty
+    * input) passes through — sequence(null, null) stays null and
+    * explode() drops it, preserving the empty-input contract. */
+  def spineGuard(s: SparkSession, op: String, spanHours: Column,
+      lo: Column, hi: Column, seq: Column): Column = {
+    val cap = s.conf.get("graft.spine.maxHours", "200000").toLong
+    when(coalesce(spanHours <= lit(cap), lit(true)), seq)
+      .otherwise(raise_error(format_string(
+        s"$op: dense time spine spans %s hours, over graft.spine.maxHours=$cap " +
+          "(bounds %s .. %s). Wild-clock rows are present upstream: spine " +
+          "operators consume ts_in_retention-gated data by contract " +
+          "(graft.streaming.EventStreams.eventRules); quarantine the " +
+          "out-of-window rows or raise graft.spine.maxHours explicitly.",
+        spanHours, lo.cast("string"), hi.cast("string"))))
+  }
+
   /** price * (1 - discount) with exact decimal arithmetic, scale 4. */
   def discPrice(price: Column, discount: Column): Column =
     (money(price) * (lit(1).cast(DecimalType(18, 2)) - money(discount)))

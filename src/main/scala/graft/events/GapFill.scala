@@ -38,7 +38,11 @@ object GapFill {
     * the streaming quality gate's `ts_in_retention` rule
     * ([[graft.streaming.EventStreams.eventRules]]) quarantines
     * out-of-window clocks at ingest; spine operators consume gated
-    * data by contract. */
+    * data by contract — and since round 13 the contract is loud
+    * in-plan: [[graft.T.spineGuard]] raises a descriptive error from
+    * the same 1-row bounds frame once the span exceeds
+    * `graft.spine.maxHours`, so ungated wild-clock input fails fast
+    * instead of silently materializing the grid (TimeExtremeSpec). */
   private val timeSpine = GraftQuery(
     "e5_time_spine_gapfill",
     "dense hour×type spine via sequence + left join, zero-filled (E5 §2.6)",
@@ -69,7 +73,10 @@ object GapFill {
       val spine = events
         .agg(date_trunc("hour", min(col("ts"))).as("lo"),
           date_trunc("hour", max(col("ts"))).as("hi"))
-        .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 hour")))
+        .select(explode(T.spineGuard(s, "e5_time_spine_gapfill",
+          (unix_micros(col("hi")) - unix_micros(col("lo"))) / lit(3600000000L) + lit(1L),
+          col("lo"), col("hi"),
+          sequence(col("lo"), col("hi"), expr("interval 1 hour"))))
           .as("hour"))
       val grid = events.select(col("event_type")).distinct().crossJoin(spine)
       // hint the BUILD side: Spark cannot broadcast the preserved

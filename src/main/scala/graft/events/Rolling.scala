@@ -170,9 +170,16 @@ object Rolling {
     (s, dir) => {
       val ud = events(s, dir)
         .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      // day spine: same MIN/MAX-derived shape as e5_time_spine_gapfill,
+      // same wild-clock hazard (one epoch-0 row widens it by decades),
+      // same in-plan backstop — span expressed in hours so one conf
+      // (graft.spine.maxHours) bounds every spine-shaped op
       val spine = ud
         .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
-        .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+        .select(explode(graft.T.spineGuard(s, "e5_rolling_dau_wau",
+          (datediff(col("d1"), col("d0")).cast("long") + lit(1L)) * lit(24L),
+          col("d0"), col("d1"),
+          expr("sequence(d0, d1, interval 1 day)"))).as("day"))
       val wau = ud
         .select(col("user_id"),
           explode(expr("sequence(day, date_add(day, 6))")).as("bucket"))

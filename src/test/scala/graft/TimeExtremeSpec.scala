@@ -88,10 +88,11 @@ class TimeExtremeSpec extends SparkSpec {
     dir
   }
 
-  // MIN/MAX-spine op: output cardinality is clock-range-proportional, so
-  // the raw-fixture sweep would pay a 25M-row grid (93s measured). Its
-  // contract input is gated data; it runs on gatedDir below.
-  private val spineOps = Set("e5_time_spine_gapfill")
+  // MIN/MAX-spine ops: output cardinality is clock-range-proportional.
+  // Since round 13 the contract is enforced in-plan (T.spineGuard):
+  // on the raw fixture these RAISE by design (proven below), so the
+  // no-throw sweep runs them on their contract input, the gated twin.
+  private val spineOps = Set("e5_time_spine_gapfill", "e5_rolling_dau_wau")
 
   test("all registry queries execute on the extreme-timestamp corpus (spine ops on the gated twin)") {
     val failures = Registry.all.flatMap { q =>
@@ -126,5 +127,34 @@ class TimeExtremeSpec extends SparkSpec {
     val gated = Registry.byName("e5_time_spine_gapfill").run(spark, gatedDir)
     val n = gated.count()
     assert(n > 0 && n < 200000L, s"gated spine rows = $n — expected a calendar-sized grid")
+  }
+
+  test("spine ops FAIL FAST on ungated wild-clock data with the contract named in-plan") {
+    // the round-12 hazard (one boundary pair -> 25.6M-row grid, ~1h
+    // oracle compare) must now be an immediate, descriptive error:
+    // T.spineGuard raises from the 1-row bounds frame before any grid
+    // row materializes, so the cost is one events scan, not the grid
+    for (op <- Seq("e5_time_spine_gapfill", "e5_rolling_dau_wau")) {
+      val e = intercept[Exception] {
+        Registry.byName(op).run(spark, txDir)
+          .write.format("noop").mode("overwrite").save()
+      }
+      val msg = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+        .take(8).flatMap(t => Option(t.getMessage)).mkString("\n")
+      withClue(s"$op raised but without the contract message: $msg") {
+        assert(msg.contains("graft.spine.maxHours") && msg.contains(op) &&
+          msg.contains("ts_in_retention"))
+      }
+    }
+  }
+
+  test("graft.spine.maxHours is an explicit override, not a hard wall") {
+    // a deployment that KNOWS its window is wide (backfill over an
+    // archive) raises the cap explicitly; the guard respects it
+    spark.conf.set("graft.spine.maxHours", Long.MaxValue.toString)
+    try {
+      val n = Registry.byName("e5_rolling_dau_wau").run(spark, txDir).count()
+      assert(n > 100000L, s"uncapped day spine rows = $n — expected the wide grid")
+    } finally spark.conf.unset("graft.spine.maxHours")
   }
 }
