@@ -58,28 +58,33 @@ object Bench {
     * a multiple of that during a run means the I/O-bound query deltas
     * are environment. Printed as calib_io_pre/calib_io_post. */
   private def calibrateIo(): Double = {
-    val path = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), s"graft_bench_ioprobe_${sys.props("user.name")}.bin")
+    // pid in the name: two concurrent bench processes (a full run and a
+    // builder isolate) must not interleave writes/deletes on one probe
+    // file and corrupt each other's timings; delete in finally so the
+    // 64 MiB probe never leaks past a throwing write/read
+    val path = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_bench_ioprobe_${sys.props("user.name")}_${ProcessHandle.current.pid}.bin")
     val block = new Array[Byte](1 << 20)
     var x = 0x9E3779B97F4A7C15L
     var i = 0
     while (i < block.length) { x = x * 6364136223846793005L + 1L; block(i) = (x >>> 56).toByte; i += 1 }
     val t0 = System.nanoTime()
-    val ch = java.nio.channels.FileChannel.open(path,
-      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE,
-      java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
     try {
-      var j = 0
-      while (j < 64) { ch.write(java.nio.ByteBuffer.wrap(block)); j += 1 }
-      ch.force(false)
-    } finally ch.close()
-    val in = java.nio.channels.FileChannel.open(path, java.nio.file.StandardOpenOption.READ)
-    try {
-      val buf = java.nio.ByteBuffer.allocate(1 << 20)
-      var n = 0
-      while (n >= 0) { buf.clear(); n = in.read(buf) }
-    } finally in.close()
-    java.nio.file.Files.deleteIfExists(path)
+      val ch = java.nio.channels.FileChannel.open(path,
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE,
+        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+      try {
+        var j = 0
+        while (j < 64) { ch.write(java.nio.ByteBuffer.wrap(block)); j += 1 }
+        ch.force(false)
+      } finally ch.close()
+      val in = java.nio.channels.FileChannel.open(path, java.nio.file.StandardOpenOption.READ)
+      try {
+        val buf = java.nio.ByteBuffer.allocate(1 << 20)
+        var n = 0
+        while (n >= 0) { buf.clear(); n = in.read(buf) }
+      } finally in.close()
+    } finally java.nio.file.Files.deleteIfExists(path)
     (System.nanoTime() - t0) / 1e9
   }
 
@@ -166,8 +171,14 @@ object Bench {
         // and keep only the query's marginal cost on its line: without
         // this, builds land on whichever family member runs first in
         // each (shuffled) pass and per-query numbers redistribute with
-        // pass order (round-11 llm_e2). Totals are conserved: the sum
-        // over query + memo lines equals the old all-on-queries sum.
+        // pass order (round-11 llm_e2). Conservation is PER-SAMPLE:
+        // within one pass, (wall − builds) + builds = wall exactly.
+        // The REPORTED lines are per-line medians across passes, and
+        // median(wall−build) + median(build) ≠ median(wall) when build
+        // time varies by pass — so summed-median totals can shift a
+        // shade beyond pure accounting across eras; cross-era total
+        // comparisons should lean on pass_totals (true per-pass wall
+        // sums) when the margin matters.
         val builds = graft.SessionMemo.drainBuildLog()
         builds.foreach { case (key, secs) =>
           val n = s"memo:$key"
@@ -206,7 +217,8 @@ object Bench {
     // the total plus the 15 most expensive queries (3-decimal seconds), and
     // the COMPLETE per-query map goes to BENCH_DETAIL.json next to the repo.
     // `queries` carries query AND memo:<key> lines (the total is their
-    // sum — conserved vs pre-r12 all-on-queries accounting); n_queries
+    // sum — per-sample-conserved vs pre-r12 all-on-queries accounting,
+    // modulo the median-of-passes caveat noted above); n_queries
     // counts only real registry queries so the driver's per-round
     // query-count check is unaffected.
     val nQueries = results.count(!_._1.startsWith("memo:"))

@@ -107,13 +107,18 @@ object EventStreams {
     // dense hour grid from 17k to 25.6M rows. Spine/window operators
     // are DOWNSTREAM of this gate by contract (like vector ops are
     // downstream of indexability), so the retention window is the
-    // bound that keeps their output calendar-sized. Fixed literals
-    // keep the oracle closed-form; both engines compare µs timestamps
-    // under the UTC session.
+    // bound that keeps their output calendar-sized. The boundary is
+    // spelled as fixed EPOCH-MICROSECOND integers on both engines —
+    // a string-literal cast is interpreted in the SESSION timezone on
+    // the Spark side, so a production stream that doesn't pin
+    // spark.sql.session.timeZone=UTC would shift the window by the TZ
+    // offset and diverge from the (naive-timestamp) batch oracle;
+    // unix_micros vs epoch_us compare the same integers regardless of
+    // session TZ (round-13 advisory).
     ("ts_in_retention",
-      col("ts") >= lit("2000-01-01").cast("timestamp") &&
-        col("ts") < lit("2100-01-01").cast("timestamp"),
-      "ts >= TIMESTAMP '2000-01-01' AND ts < TIMESTAMP '2100-01-01'"))
+      unix_micros(col("ts")) >= lit(946684800000000L) && // 2000-01-01T00:00Z
+        unix_micros(col("ts")) < lit(4102444800000000L), // 2100-01-01T00:00Z
+      "epoch_us(ts) >= 946684800000000 AND epoch_us(ts) < 4102444800000000"))
 
   /** Append a `violations: array<string>` column naming every failed
     * rule. Pure projection — binds identically in batch and streaming. */

@@ -128,6 +128,29 @@ class Dec2DblSpec extends SparkSpec {
       if (last < 0) None
       else Some((body.substring(0, last), body.substring(last + 4)))
     }
+    // WHERE-guard escape hatch, scoped: a range guard excuses a raw cast
+    // only when it appears in the cast's own SELECT/CTE block — the
+    // smallest balanced-paren region containing the cast (whole query if
+    // none). Without the scoping, a WHERE guard on the same column in an
+    // UNRELATED CTE of the same query would excuse a future unguarded
+    // cast (round-13 advisory). Residual limitation, by construction:
+    // sibling branches of an unparenthesized top-level UNION still share
+    // one block and can excuse each other.
+    def enclosingBlock(pos: Int): String = {
+      var best = sql
+      val stack = scala.collection.mutable.Stack[Int]()
+      var i = 0
+      while (i < sql.length) {
+        if (sql(i) == '(') stack.push(i)
+        else if (sql(i) == ')' && stack.nonEmpty) {
+          val o = stack.pop()
+          if (o <= pos && pos < i && (i + 1 - o) < best.length)
+            best = sql.substring(o, i + 1)
+        }
+        i += 1
+      }
+      best
+    }
     Iterator.iterate(sql.indexOf(marker))(i => sql.indexOf(marker, i + 1))
       .takeWhile(_ >= 0)
       .flatMap { i =>
@@ -140,7 +163,7 @@ class Dec2DblSpec extends SparkSpec {
             val a = arg.trim
             val guarded = a.replaceAll("\\s+", " ").toUpperCase.startsWith("CASE WHEN (ISFINITE") ||
               a.matches("[-+]?[0-9.eE]+") ||
-              sql.contains(T.sqlMoneyRange(a))
+              enclosingBlock(i).contains(T.sqlMoneyRange(a))
             if (guarded) None else Some(sql.substring(i, end))
           case _ => None
         }
@@ -156,6 +179,16 @@ class Dec2DblSpec extends SparkSpec {
       s"SELECT CAST(l_quantity AS DECIMAL(18,2)) FROM t WHERE ${T.sqlMoneyRange("l_quantity")}"
     ) shouldBe empty
     unguardedMoneyCasts("CAST(x AS DECIMAL(18,4))") shouldBe empty // other scales out of scope
+    // guard scoping: a WHERE guard in an UNRELATED CTE must not excuse
+    // a raw cast in a sibling CTE, but one in the SAME block must
+    unguardedMoneyCasts(
+      s"""WITH a AS (SELECT x FROM t WHERE ${T.sqlMoneyRange("l_quantity")}),
+          b AS (SELECT CAST(l_quantity AS DECIMAL(18,2)) FROM t)
+          SELECT * FROM a, b""") should have size 1
+    unguardedMoneyCasts(
+      s"""WITH b AS (SELECT CAST(l_quantity AS DECIMAL(18,2)) FROM t
+                     WHERE ${T.sqlMoneyRange("l_quantity")})
+          SELECT * FROM b""") shouldBe empty
   }
 
   test("no registry oracle raw-casts a money column to DECIMAL(18,2) without a guard") {
