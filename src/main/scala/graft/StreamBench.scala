@@ -86,7 +86,16 @@ object StreamBench {
     def r1(v: Double) = f"$v%.1f"
     def line(name: String, sec: Double): String =
       s""""$name":{"sec":${f"$sec%.3f"},"rows_per_sec":${r1(nRows / sec)},"sec_per_batch":${f"${sec / chunks}%.3f"}}"""
-    println(s"""{"metric":"stream_throughput","rows":$nRows,"chunks":$chunks,"pipelines":{${line("quality_gate", gateSec)},${line("hourly_stats", aggSec)}},"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"stream_throughput","rows":$nRows,"chunks":$chunks,"pipelines":{${line("quality_gate", gateSec)},${line("hourly_stats", aggSec)}},"sf":"$sfDir"}"""
+    println(json)
+    // Bench's recording rule: only the ARGLESS (canonical sf0.1, 16
+    // chunks) invocation writes the recorded detail, so an off-scale or
+    // off-chunk exploration can never clobber the line that
+    // tools/stream_diff.py gates the per-batch floor against.
+    if (args.isEmpty)
+      java.nio.file.Files.write(java.nio.file.Paths.get("STREAM_DETAIL.json"),
+        (json + "\n").getBytes("UTF-8"))
     org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)
     spark.stop()
   }
