@@ -78,9 +78,12 @@ def main() -> None:
     one_sided_memo = (any(k.startswith('memo:') for k in oq)
                       != any(k.startswith('memo:') for k in nq))
     if one_sided_memo:
-        print("NOTE: only one side carries memo:<key> lines — per-query ratios for"
-              " memo-consuming families are accounting artifacts; compare totals"
-              " or query+memo sums.")
+        print("NOTE: only one side carries memo:<key> lines — the runs straddle"
+              " the ROUND-12 memo-attribution boundary (builds moved off the"
+              " first family consumer onto their own lines; canonical re-based"
+              " trajectory: BASELINE.md round-13 block, r12 closing 111.460s)."
+              " Per-query ratios for memo-consuming families are accounting"
+              " artifacts; compare totals or query+memo sums.")
     print(f"common={len(common)}  median_ratio={med:.2f}x  "
           f"(>1.2x: {sum(r > 1.2 for r in ratios)}, <0.83x: {sum(r < 1/1.2 for r in ratios)})")
 
