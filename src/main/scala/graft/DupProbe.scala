@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Duplicate-heavy-corpus probe for the near-dup family's df-cap
+  * (round-13 mandate #3): both ScaleProbe axes EXCLUDE `llm_e2_*`
+  * because replication makes candidate-pair counts quadratic as a
+  * corpus property, which left the shingle df-cap's 100 TB bounding
+  * claim argued from code. This main measures it: re-encode the
+  * sfDir's documents so K% of them share one template text (half
+  * byte-identical, half near-identical — template + a unique suffix
+  * token), then record candidate-pair counts and wall time vs K.
+  *
+  * What the cap (`shinglesCapped`, maxDf = 1000) should do: a clique
+  * of D duplicated docs gives every template shingle df ≈ D, so the
+  * UNCAPPED inverted-index join materializes Θ(D²) candidate pairs
+  * per shingle — at K = 90% of a 5000-doc corpus that is ~10M pairs
+  * from ~50 shingles (≈ 500M join rows). With the cap, any shingle
+  * with df > 1000 is dropped from candidate generation entirely
+  * (both engines, identically), so once the clique outgrows the cap
+  * its template shingles vanish from the index and capped candidate
+  * counts FALL back to the suffix-shingle residue — bounded, never
+  * quadratic. Exact duplicates remain catchable by design via E1
+  * (sha256 exact dedup), which is cap-free and linear.
+  *
+  * Measured per K: wall time of the full `llm_e2_ngram_jaccard_pairs`
+  * query (memo cleared first, so the shingle-index build is paid
+  * inside), capped candidate pairs (≥1 shared surviving shingle —
+  * the join's output cardinality before any threshold), LSH candidate
+  * pairs (the `llm_e2_minhash_lsh_candidates` result), and the
+  * analytic clique-pair count C(D,2) that an uncapped join would pay
+  * at minimum. The uncapped join is MEASURED only where it is safely
+  * small (df < cap, i.e. the clique below the cap) — past the cap the
+  * analytic count documents what the cap saved without burning an
+  * hour materializing it; pass `uncapped` as a trailing arg to force
+  * the measurement at every K.
+  *
+  * Usage: `runMain graft.DupProbe [sfDir] [K…] [uncapped]`
+  * (defaults: sf0.1, K ∈ {10, 50, 90}). Dirs are cached under
+  * /tmp/graft_dup_<K>pct_<key> and are full sfDirs (non-document
+  * tables copied verbatim), so they double as Verify/check.py gate
+  * inputs — the round-13 mandate's "oracle gate green on the
+  * duplicate-heavy dir". */
+object DupProbe {
+
+  /** Build (or reuse) the K%-duplicate re-encoding of `baseDir`. */
+  private[graft] def buildDupDir(spark: SparkSession, baseDir: String, k: Int): String = {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_dup_${k}pct_${T.scratchKey(baseDir)}"
+    val marker = java.nio.file.Paths.get(s"$dir/_DUP_OK")
+    if (java.nio.file.Files.exists(marker)) return dir
+    T.tableNames.foreach { t =>
+      val base = T(spark, baseDir, t)
+      val out =
+        if (t != "documents") base
+        else {
+          // deterministic template: the text of the smallest doc_id
+          val template = base.orderBy("doc_id").select("text")
+            .limit(1).collect()(0).getString(0)
+          // doc_id % 100 < K joins the duplicate group; even members are
+          // byte-identical, odd members append one unique token (a
+          // near-dup: shared shingles dominate, one unique suffix
+          // shingle run survives any cap)
+          base.withColumn("text",
+            when(col("doc_id") % 100 < k,
+              when(col("doc_id") % 2 === 0, lit(template))
+                .otherwise(concat(lit(template), lit(" uniq"), col("doc_id"))))
+              .otherwise(col("text")))
+        }
+      out.coalesce(4).write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    java.nio.file.Files.write(marker, Array.emptyByteArray)
+    dir
+  }
+
+  /** Distinct doc pairs sharing ≥1 shingle of the given index — the
+    * inverted-index join's candidate cardinality. */
+  private def candidateCount(sh: DataFrame): Long =
+    sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+
+  def main(args: Array[String]): Unit = {
+    val (dirArgs, restArgs) = args.partition(a =>
+      a.startsWith("/") && new java.io.File(a).isDirectory)
+    val forceUncapped = restArgs.contains("uncapped")
+    val ks = restArgs.filterNot(_ == "uncapped")
+      .flatMap(a => scala.util.Try(a.toInt).toOption) match {
+      case Array() => Seq(10, 50, 90)
+      case some => some.toSeq
+    }
+    val baseDir = dirArgs.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val cap = 1000 // mirrors LlmOps.jaccardMaxDf (and the oracle SQL)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", T.warehouseDir)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    T.quietBoundedWindowWarnings()
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val rows = ks.map { k =>
+      val dir = buildDupDir(spark, baseDir, k)
+      SessionMemo.clear(spark)
+      val nDup = T(spark, dir, "documents")
+        .filter(col("doc_id") % 100 < k).count()
+      // full-query walls, memo cleared so index builds are paid inside
+      val (_, wallJac) = timed {
+        Registry.byName("llm_e2_ngram_jaccard_pairs").run(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+      }
+      val (lshPairs, wallLsh) = timed {
+        Registry.byName("llm_e2_minhash_lsh_candidates").run(spark, dir).count()
+      }
+      val capped = candidateCount(llmops.LlmOps.shinglesCapped(spark, dir, cap))
+      // clique size D = identical members (even doc_ids) — the analytic
+      // floor of what an uncapped join materializes for the template
+      val cliqueD = T(spark, dir, "documents")
+        .filter(col("doc_id") % 100 < k && col("doc_id") % 2 === 0).count()
+      val cliquePairs = cliqueD * (cliqueD - 1) / 2
+      // uncapped measured only while safely small (clique under the cap)
+      val uncapped: Option[(Long, Double)] =
+        if (nDup <= cap || forceUncapped)
+          Some(timed(candidateCount(llmops.LlmOps.shinglesCapped(spark, dir, Int.MaxValue))))
+        else None
+      SessionMemo.clear(spark)
+      val unc = uncapped.map { case (c, w) =>
+        s""","uncapped_candidates":$c,"uncapped_sec":${f"$w%.3f"}"""
+      }.getOrElse("")
+      s""""k$k":{"n_dup":$nDup,"wall_jaccard_sec":${f"$wallJac%.3f"},"wall_lsh_sec":${f"$wallLsh%.3f"},"capped_candidates":$capped,"lsh_candidates":$lshPairs,"clique_pairs_analytic":$cliquePairs$unc,"dir":"$dir"}"""
+    }
+    println(s"""{"metric":"dup_probe","cap":$cap,"ks":${ks.mkString("[", ",", "]")},"points":${rows.mkString("{", ",", "}")},"base":"$baseDir"}""")
+    spark.stop()
+  }
+}

@@ -61,7 +61,7 @@ object LlmOps {
 
   /** doc_id, s (one row per distinct shingle). The inverted-index input.
     * Package-visible so LlmOpsSpec can probe the skew behavior directly. */
-  private[llmops] def shingles(s: SparkSession, dir: String): DataFrame =
+  private[graft] def shingles(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(col("doc_id"), toks(col("text")).as("t"))
       .filter(size(col("t")) >= 3)
@@ -73,7 +73,7 @@ object LlmOps {
     * no near-dup signal — the skew escape hatch production near-dup
     * pipelines use). Semi-join keeps the shuffle narrow (shingle, df)
     * and lets the MinHash agg stay map-side partial. */
-  private[llmops] def shinglesCapped(s: SparkSession, dir: String, maxDf: Int): DataFrame = {
+  private[graft] def shinglesCapped(s: SparkSession, dir: String, maxDf: Int): DataFrame = {
     val sh = shingles(s, dir)
     val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
