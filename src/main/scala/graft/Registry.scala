@@ -368,7 +368,12 @@ object T {
     * explode() drops it, preserving the empty-input contract. */
   def spineGuard(s: SparkSession, op: String, spanHours: Column,
       lo: Column, hi: Column, seq: Column): Column = {
-    val cap = s.conf.get("graft.spine.maxHours", "200000").toLong
+    // conf-first, env-fallback: harnesses without conf plumbing (a
+    // Verify/check gate over a deliberately wild-clock fixture) opt
+    // into the wide spine via GRAFT_SPINE_MAX_HOURS; the cap binds at
+    // plan build on the driver, so the env read never runs on executors
+    val cap = s.conf.get("graft.spine.maxHours",
+      sys.env.getOrElse("GRAFT_SPINE_MAX_HOURS", "200000")).toLong
     when(coalesce(spanHours <= lit(cap), lit(true)), seq)
       .otherwise(raise_error(format_string(
         s"$op: dense time spine spans %s hours, over graft.spine.maxHours=$cap " +
