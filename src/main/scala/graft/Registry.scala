@@ -374,14 +374,15 @@ object T {
     // plan build on the driver, so the env read never runs on executors
     val cap = s.conf.get("graft.spine.maxHours",
       sys.env.getOrElse("GRAFT_SPINE_MAX_HOURS", "200000")).toLong
-    when(coalesce(spanHours <= lit(cap), lit(true)), seq)
+    val span = spanHours.cast("long") // whole hours in the message, not 478012.0
+    when(coalesce(span <= lit(cap), lit(true)), seq)
       .otherwise(raise_error(format_string(
         s"$op: dense time spine spans %s hours, over graft.spine.maxHours=$cap " +
           "(bounds %s .. %s). Wild-clock rows are present upstream: spine " +
           "operators consume ts_in_retention-gated data by contract " +
           "(graft.streaming.EventStreams.eventRules); quarantine the " +
           "out-of-window rows or raise graft.spine.maxHours explicitly.",
-        spanHours, lo.cast("string"), hi.cast("string"))))
+        span, lo.cast("string"), hi.cast("string"))))
   }
 
   /** price * (1 - discount) with exact decimal arithmetic, scale 4. */
