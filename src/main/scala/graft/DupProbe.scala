@@ -84,8 +84,16 @@ object DupProbe {
     val (dirArgs, restArgs) = args.partition(a =>
       a.startsWith("/") && new java.io.File(a).isDirectory)
     val forceUncapped = restArgs.contains("uncapped")
-    val ks = restArgs.filterNot(_ == "uncapped")
-      .flatMap(a => scala.util.Try(a.toInt).toOption) match {
+    val kArgs = restArgs.filterNot(_ == "uncapped")
+    // fail loudly on anything that is neither an existing absolute dir,
+    // a K percentage, nor the "uncapped" flag — a relative or mistyped
+    // path silently dropped here would produce receipts for the WRONG
+    // corpus (the probe would fall back to the default sfDir)
+    val bad = kArgs.filter(a => scala.util.Try(a.toInt).isFailure)
+    require(bad.isEmpty,
+      s"unrecognized args ${bad.mkString(", ")} — dirs must be absolute paths " +
+        "to existing directories; other args are K percentages or 'uncapped'")
+    val ks = kArgs.map(_.toInt) match {
       case Array() => Seq(10, 50, 90)
       case some => some.toSeq
     }
@@ -115,11 +123,15 @@ object DupProbe {
       SessionMemo.clear(spark)
       val nDup = T(spark, dir, "documents")
         .filter(col("doc_id") % 100 < k).count()
-      // full-query walls, memo cleared so index builds are paid inside
+      // full-query walls: memo cleared before EACH timed run, so both
+      // pipelines pay their own shingle-index build — without the
+      // second clear the LSH wall would reuse the index the jaccard
+      // run pinned and understate the duplicate-heavy cost
       val (_, wallJac) = timed {
         Registry.byName("llm_e2_ngram_jaccard_pairs").run(spark, dir)
           .write.format("noop").mode("overwrite").save()
       }
+      SessionMemo.clear(spark)
       val (lshPairs, wallLsh) = timed {
         Registry.byName("llm_e2_minhash_lsh_candidates").run(spark, dir).count()
       }

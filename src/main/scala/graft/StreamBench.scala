@@ -89,11 +89,13 @@ object StreamBench {
     val json =
       s"""{"metric":"stream_throughput","rows":$nRows,"chunks":$chunks,"pipelines":{${line("quality_gate", gateSec)},${line("hourly_stats", aggSec)}},"sf":"$sfDir"}"""
     println(json)
-    // Bench's recording rule: only the ARGLESS (canonical sf0.1, 16
-    // chunks) invocation writes the recorded detail, so an off-scale or
-    // off-chunk exploration can never clobber the line that
-    // tools/stream_diff.py gates the per-batch floor against.
-    if (args.isEmpty)
+    // Bench's recording rule, keyed on the EFFECTIVE config: only the
+    // canonical (sf0.1, 16 chunks) run writes the recorded detail —
+    // args.isEmpty alone would let an SPARK_GRAFT_SF_DIR-overridden
+    // exploration clobber the line tools/stream_diff.py gates the
+    // per-batch floor against (and the gate would then sit dead on an
+    // sf-mismatch exit 2 until someone re-recorded).
+    if (args.isEmpty && sfDir == "/root/testdata/sf0.1" && chunks == 16)
       java.nio.file.Files.write(java.nio.file.Paths.get("STREAM_DETAIL.json"),
         (json + "\n").getBytes("UTF-8"))
     org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)

@@ -74,7 +74,11 @@ object GapFill {
         .agg(date_trunc("hour", min(col("ts"))).as("lo"),
           date_trunc("hour", max(col("ts"))).as("hi"))
         .select(explode(T.spineGuard(s, "e5_time_spine_gapfill",
-          (unix_micros(col("hi")) - unix_micros(col("lo"))) / lit(3600000000L) + lit(1L),
+          // integer `div`, not `/`: the µs difference of a wild
+          // 1677..2262 window (~1.85e16) exceeds double's 53-bit
+          // mantissa, and a rounded-then-truncated quotient could land
+          // one hour low right at the cap boundary
+          expr("(unix_micros(hi) - unix_micros(lo)) div 3600000000 + 1"),
           col("lo"), col("hi"),
           sequence(col("lo"), col("hi"), expr("interval 1 hour"))))
           .as("hour"))

@@ -130,12 +130,17 @@ class Dec2DblSpec extends SparkSpec {
     }
     // WHERE-guard escape hatch, scoped: a range guard excuses a raw cast
     // only when it appears in the cast's own SELECT/CTE block — the
-    // smallest balanced-paren region containing the cast (whole query if
-    // none). Without the scoping, a WHERE guard on the same column in an
-    // UNRELATED CTE of the same query would excuse a future unguarded
-    // cast (round-13 advisory). Residual limitation, by construction:
-    // sibling branches of an unparenthesized top-level UNION still share
-    // one block and can excuse each other.
+    // smallest balanced-paren region containing the cast THAT IS a query
+    // block (contains a SELECT keyword; whole query if none). The SELECT
+    // filter matters: the raw smallest region around a cast wrapped in
+    // SUM(...)/ROUND(...) is the function's argument list, which can
+    // never contain the block's WHERE guard and would falsely flag
+    // legitimately guarded SQL. Without the scoping at all, a WHERE
+    // guard on the same column in an UNRELATED CTE of the same query
+    // would excuse a future unguarded cast (round-13 advisory).
+    // Residual limitation, by construction: sibling branches of an
+    // unparenthesized top-level UNION still share one block and can
+    // excuse each other.
     def enclosingBlock(pos: Int): String = {
       var best = sql
       val stack = scala.collection.mutable.Stack[Int]()
@@ -144,8 +149,10 @@ class Dec2DblSpec extends SparkSpec {
         if (sql(i) == '(') stack.push(i)
         else if (sql(i) == ')' && stack.nonEmpty) {
           val o = stack.pop()
-          if (o <= pos && pos < i && (i + 1 - o) < best.length)
-            best = sql.substring(o, i + 1)
+          if (o <= pos && pos < i && (i + 1 - o) < best.length) {
+            val region = sql.substring(o, i + 1)
+            if (region.toUpperCase.contains("SELECT")) best = region
+          }
         }
         i += 1
       }
@@ -189,6 +196,13 @@ class Dec2DblSpec extends SparkSpec {
       s"""WITH b AS (SELECT CAST(l_quantity AS DECIMAL(18,2)) FROM t
                      WHERE ${T.sqlMoneyRange("l_quantity")})
           SELECT * FROM b""") shouldBe empty
+    // a guarded cast WRAPPED in a function must still see its block's
+    // WHERE guard (the cast's smallest paren region is SUM's argument
+    // list — the block resolver must skip non-SELECT regions)
+    unguardedMoneyCasts(
+      s"""WITH d AS (SELECT SUM(CAST(l_quantity AS DECIMAL(18,2))) AS s
+                     FROM t WHERE ${T.sqlMoneyRange("l_quantity")})
+          SELECT * FROM d""") shouldBe empty
   }
 
   test("no registry oracle raw-casts a money column to DECIMAL(18,2) without a guard") {

@@ -20,23 +20,11 @@ import org.apache.spark.sql.functions._
   * SFs — but lose the 100 TB bound this spec fails loudly on). */
 class DupCapSpec extends SparkSpec {
 
+  // ONE recipe, two consumers: the spec pins the same duplicate
+  // encoding DupProbe measures at sf0.1 and the oracle gate consumes —
+  // a private copy here could drift from what the probe receipts mean
   private lazy val dupDir: String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_dupcap").toString
-    T.tableNames.foreach { t =>
-      val base = T(spark, sfDir, t)
-      val out =
-        if (t != "documents") base
-        else {
-          val template = base.orderBy("doc_id").select("text")
-            .limit(1).collect()(0).getString(0)
-          base.withColumn("text",
-            when(col("doc_id") % 100 < 90,
-              when(col("doc_id") % 2 === 0, lit(template))
-                .otherwise(concat(lit(template), lit(" uniq"), col("doc_id"))))
-              .otherwise(col("text")))
-        }
-      out.coalesce(1).write.mode("overwrite").parquet(s"$dir/$t.parquet")
-    }
+    val dir = graft.DupProbe.buildDupDir(spark, sfDir, 90)
     graft.SessionMemo.clear(spark)
     dir
   }
