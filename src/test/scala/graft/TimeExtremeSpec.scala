@@ -148,6 +148,49 @@ class TimeExtremeSpec extends SparkSpec {
     }
   }
 
+  test("the spine cap boundary is exact: span == cap passes, cap + 1 raises") {
+    // pins the integer-div arithmetic at the boundary (a double
+    // division of the µs difference could read one hour low past 2^53
+    // µs — the self-review fix this case guards): build events whose
+    // hour span is EXACTLY the configured cap, then exactly one more
+    import spark.implicits._
+    val capHours = 48L
+    def dirSpanning(hours: Long): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_spinecap").toString
+      T.tableNames.foreach { t =>
+        val base = T(spark, sfDir, t)
+        val out =
+          if (t != "events") base
+          else {
+            // first event at hour 0, last at hour (hours-1): dense-hour
+            // span = `hours` buckets inclusive
+            val loUs = 1705320000000000L // 2024-01-15T12:00:00Z
+            val hiUs = loUs + (hours - 1) * 3600000000L
+            base.withColumn("ts", timestamp_micros(
+              when(col("event_id") % 2 === 0, lit(loUs)).otherwise(lit(hiUs))))
+          }
+        out.coalesce(1).write.mode("overwrite").parquet(s"$dir/$t.parquet")
+      }
+      SessionMemo.clear(spark)
+      dir
+    }
+    spark.conf.set("graft.spine.maxHours", capHours.toString)
+    try {
+      val atCap = Registry.byName("e5_time_spine_gapfill")
+        .run(spark, dirSpanning(capHours))
+      atCap.select(countDistinct(col("hour_bucket"))).as[Long].head() shouldBe capHours
+      val e = intercept[Exception] {
+        Registry.byName("e5_time_spine_gapfill")
+          .run(spark, dirSpanning(capHours + 1))
+          .write.format("noop").mode("overwrite").save()
+      }
+      val msg = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+        .take(8).flatMap(t => Option(t.getMessage)).mkString("\n")
+      assert(msg.contains("graft.spine.maxHours"),
+        s"cap+1 span raised without the contract message: $msg")
+    } finally spark.conf.unset("graft.spine.maxHours")
+  }
+
   test("graft.spine.maxHours is an explicit override, not a hard wall") {
     // a deployment that KNOWS its window is wide (backfill over an
     // archive) raises the cap explicitly; the guard respects it
