@@ -25,12 +25,35 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     T.quietBoundedWindowWarnings()
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.filter(kv => nameFilter(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+    // Run in REGISTRY order (not SparkEntry.queries — that Map is a
+    // hash-scrambled HashMap, which interleaves memo-sharing families)
+    // and release memoized frames at FAMILY boundaries: pinning all 18
+    // persisted indexes for the whole 152-query run accumulated enough
+    // storage to starve a later query's execution memory into
+    // SparkOutOfMemoryError at 32x data (llm_e2_embed_cosine_pairs,
+    // first seen on the round-13 32x gate; the Bench sweep at the same
+    // scale passed because it clears per pass). Correctness-safe by
+    // construction: every memoized frame/constant is deterministic per
+    // (session, dir) — the partition-invariance audit below regenerates
+    // them in a FRESH session and matches the dump row-for-row. FAMILY
+    // granularity (name prefix) because registry order keeps sharing
+    // families contiguous, so every shared memo still builds exactly
+    // ONCE (the pre-round-13 total build cost) while pinned storage is
+    // bounded to one family's indexes at any scale; per-query clearing
+    // on the scrambled HashMap order measured 3.2x the whole sf0.01
+    // Verify wall (106s -> 339s), fixed 8-query epochs 2.2x.
+    def family(n: String): String =
+      if (n.startsWith("llm_e")) n.take(6) else n.takeWhile(_ != '_')
+    val ordered = Registry.all.filter(q => nameFilter(q.name))
+    ordered.zipWithIndex.foreach { case (q, i) =>
+      try q.run(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/${q.name}")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        System.err.println(s"[verify] ${q.name} failed: ${e.getMessage}")
       }
+      val next = ordered.lift(i + 1)
+      if (!next.exists(n => family(n.name) == family(q.name)))
+        SessionMemo.clear(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
