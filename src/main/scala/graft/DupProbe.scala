@@ -36,17 +36,36 @@ import org.apache.spark.sql.functions._
   * hour materializing it; pass `uncapped` as a trailing arg to force
   * the measurement at every K.
   *
+  * RECALL against planted truth (round-14 mandate): every pair inside
+  * the duplicate group is a true near-dup by construction, so each K
+  * point also records recall = |reported pairs with both endpoints
+  * planted| / C(n_dup, 2), for the exact-Jaccard query, the LSH
+  * candidates, and the raw capped candidate join (plus the uncapped
+  * join where measured — expected 1.0). Past the cap the template
+  * shingles are dropped, so near-dup recall on the clique is
+  * INTENTIONALLY sacrificed (the measured trade); the byte-identical
+  * half of the group (`exact_dedup_covered_pairs`) remains catchable
+  * by the cap-free E1 sha256 dedup.
+  *
   * Usage: `runMain graft.DupProbe [sfDir] [K…] [uncapped]`
   * (defaults: sf0.1, K ∈ {10, 50, 90}). Dirs are cached under
-  * /tmp/graft_dup_<K>pct_<key> and are full sfDirs (non-document
+  * /tmp/graft_dup_v<recipe>_<K>pct_<key> and are full sfDirs (non-document
   * tables copied verbatim), so they double as Verify/check.py gate
   * inputs — the round-13 mandate's "oracle gate green on the
   * duplicate-heavy dir". */
 object DupProbe {
 
+  /** Cache-recipe version: folded into the cached dir name so a change
+    * to the duplicate-encoding recipe below (template selection, suffix
+    * scheme, membership rule) invalidates every previously-built
+    * /tmp dir — the `_DUP_OK` marker alone would let the probe AND
+    * DupCapSpec silently keep measuring the OLD encoding (round-13
+    * driver advisory). Bump on any semantic change to [[buildDupDir]]. */
+  private val dupRecipeVersion = 2
+
   /** Build (or reuse) the K%-duplicate re-encoding of `baseDir`. */
   private[graft] def buildDupDir(spark: SparkSession, baseDir: String, k: Int): String = {
-    val dir = s"${sys.props("java.io.tmpdir")}/graft_dup_${k}pct_${T.scratchKey(baseDir)}"
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_dup_v${dupRecipeVersion}_${k}pct_${T.scratchKey(baseDir)}"
     val marker = java.nio.file.Paths.get(s"$dir/_DUP_OK")
     if (java.nio.file.Files.exists(marker)) return dir
     T.tableNames.foreach { t =>
@@ -74,11 +93,18 @@ object DupProbe {
   }
 
   /** Distinct doc pairs sharing ≥1 shingle of the given index — the
-    * inverted-index join's candidate cardinality. */
-  private def candidateCount(sh: DataFrame): Long =
-    sh.as("a")
+    * inverted-index join's candidate cardinality — plus the subset with
+    * BOTH endpoints inside the planted duplicate group (doc_id%100 < k),
+    * the numerator of candidate-level recall against the planted truth. */
+  private def candidateCounts(sh: DataFrame, k: Int): (Long, Long) = {
+    val pairs = sh.as("a")
       .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).distinct()
+    val agg = pairs.agg(count(lit(1)).as("n"),
+      count(when(col("da") % 100 < k && col("db") % 100 < k, 1)).as("planted"))
+      .collect()(0)
+    (agg.getLong(0), agg.getLong(1))
+  }
 
   def main(args: Array[String]): Unit = {
     val (dirArgs, restArgs) = args.partition(a =>
@@ -93,6 +119,11 @@ object DupProbe {
     require(bad.isEmpty,
       s"unrecognized args ${bad.mkString(", ")} — dirs must be absolute paths " +
         "to existing directories; other args are K percentages or 'uncapped'")
+    // one base corpus per invocation: a second dir silently dropped here
+    // would produce receipts labeled for the wrong corpus
+    require(dirArgs.length <= 1,
+      s"at most one base dir accepted, got ${dirArgs.mkString(", ")} — " +
+        "run the probe once per corpus")
     val ks = kArgs.map(_.toInt) match {
       case Array() => Seq(10, 50, 90)
       case some => some.toSeq
@@ -127,30 +158,47 @@ object DupProbe {
       // pipelines pay their own shingle-index build — without the
       // second clear the LSH wall would reuse the index the jaccard
       // run pinned and understate the duplicate-heavy cost
-      val (_, wallJac) = timed {
-        Registry.byName("llm_e2_ngram_jaccard_pairs").run(spark, dir)
-          .write.format("noop").mode("overwrite").save()
+      val plantedPred = col("da") % 100 < k && col("db") % 100 < k
+      val (plantedJac, wallJac) = timed {
+        val out = Registry.byName("llm_e2_ngram_jaccard_pairs").run(spark, dir)
+        out.write.format("noop").mode("overwrite").save()
+        // recall numerator: reported pairs with both endpoints planted
+        // (the memoized pair frame is warm — this re-count is ~free and
+        // does not distort the wall, which the noop write above closed)
+        out.filter(plantedPred).count()
       }
       SessionMemo.clear(spark)
-      val (lshPairs, wallLsh) = timed {
-        Registry.byName("llm_e2_minhash_lsh_candidates").run(spark, dir).count()
+      val ((lshPairs, plantedLsh), wallLsh) = timed {
+        val out = Registry.byName("llm_e2_minhash_lsh_candidates").run(spark, dir)
+        val agg = out.agg(count(lit(1)), count(when(plantedPred, 1))).collect()(0)
+        (agg.getLong(0), agg.getLong(1))
       }
-      val capped = candidateCount(llmops.LlmOps.shinglesCapped(spark, dir, cap))
+      val (capped, plantedCapped) =
+        candidateCounts(llmops.LlmOps.shinglesCapped(spark, dir, cap), k)
       // clique size D = identical members (even doc_ids) — the analytic
       // floor of what an uncapped join materializes for the template
       val cliqueD = T(spark, dir, "documents")
         .filter(col("doc_id") % 100 < k && col("doc_id") % 2 === 0).count()
       val cliquePairs = cliqueD * (cliqueD - 1) / 2
+      // planted ground truth: EVERY pair inside the duplicate group is a
+      // true near-dup (all members share the full template shingle run;
+      // odd members differ by one unique suffix token), so recall
+      // denominators are C(n_dup, 2); the E1-catchable (byte-identical)
+      // subset is C(cliqueD, 2) — exact dedup stays cap-free, so that
+      // fraction survives even where the cap drops the template shingles
+      val plantedTruth = nDup * (nDup - 1) / 2
       // uncapped measured only while safely small (clique under the cap)
-      val uncapped: Option[(Long, Double)] =
+      val uncapped: Option[((Long, Long), Double)] =
         if (nDup <= cap || forceUncapped)
-          Some(timed(candidateCount(llmops.LlmOps.shinglesCapped(spark, dir, Int.MaxValue))))
+          Some(timed(candidateCounts(llmops.LlmOps.shinglesCapped(spark, dir, Int.MaxValue), k)))
         else None
       SessionMemo.clear(spark)
-      val unc = uncapped.map { case (c, w) =>
-        s""","uncapped_candidates":$c,"uncapped_sec":${f"$w%.3f"}"""
+      def rec(n: Long): String =
+        if (plantedTruth == 0) "null" else f"${n.toDouble / plantedTruth}%.4f"
+      val unc = uncapped.map { case ((c, p), w) =>
+        s""","uncapped_candidates":$c,"uncapped_sec":${f"$w%.3f"},"recall_candidates_uncapped":${rec(p)}"""
       }.getOrElse("")
-      s""""k$k":{"n_dup":$nDup,"wall_jaccard_sec":${f"$wallJac%.3f"},"wall_lsh_sec":${f"$wallLsh%.3f"},"capped_candidates":$capped,"lsh_candidates":$lshPairs,"clique_pairs_analytic":$cliquePairs$unc,"dir":"$dir"}"""
+      s""""k$k":{"n_dup":$nDup,"wall_jaccard_sec":${f"$wallJac%.3f"},"wall_lsh_sec":${f"$wallLsh%.3f"},"capped_candidates":$capped,"lsh_candidates":$lshPairs,"clique_pairs_analytic":$cliquePairs,"planted_true_pairs":$plantedTruth,"exact_dedup_covered_pairs":$cliquePairs,"recall_jaccard_capped":${rec(plantedJac)},"recall_lsh_capped":${rec(plantedLsh)},"recall_candidates_capped":${rec(plantedCapped)}$unc,"dir":"$dir"}"""
     }
     println(s"""{"metric":"dup_probe","cap":$cap,"ks":${ks.mkString("[", ",", "]")},"points":${rows.mkString("{", ",", "}")},"base":"$baseDir"}""")
     spark.stop()
