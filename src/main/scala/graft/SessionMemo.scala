@@ -53,6 +53,23 @@ object SessionMemo {
     out.toSeq
   }
 
+  /** Access audit log: every FRAME access ([[memoized]]/[[materialized]],
+    * hit or build; `table:` keys excluded as noise) appends its key.
+    * Verify's liveness-based clearing is driven by the checked-in
+    * [[MemoLiveness]] manifest of exactly these accesses; VerifySpec
+    * regenerates the manifest from this log at sf0.001 and fails loudly
+    * if the checked-in copy is stale. Bounded: a handful of entries per
+    * query; harmless if never drained. */
+  private val accessLog =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  private[graft] def drainFrameAccessLog(): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var e = accessLog.poll()
+    while (e != null) { out += e; e = accessLog.poll() }
+    out.toSeq
+  }
+
   // Per-thread nesting stack: a build that pulls ANOTHER memo (span
   // index atop the shingle index) must log only its SELF time, or the
   // drain-side subtraction double-counts the inner build. Time moved
@@ -84,6 +101,7 @@ object SessionMemo {
     * a first-access race can be unpersisted safely. */
   def memoized(s: SparkSession, dir: String, key: String)
       (build: => DataFrame): DataFrame = {
+    if (!key.startsWith("table:")) accessLog.add(key)
     val k = (s, dir, key)
     memo.get(k).getOrElse {
       val e0 = lock.synchronized(epoch)
@@ -132,5 +150,22 @@ object SessionMemo {
       memo.remove(k).foreach(_.unpersist())
     }
     values.keys.filter(_._1 eq s).foreach(values.remove)
+  }
+
+  /** Unpersist and drop the memoized FRAMES of `s` whose key is in
+    * `keys` (any dir), leaving driver-side [[value]]s untouched — values
+    * pin no cluster storage, and the generated-oracle path needs the
+    * fitted constants (centroids, codebooks) to stay warm for the whole
+    * run. This is Verify's liveness release: each frame is dropped right
+    * after its LAST consumer in registry order ([[MemoLiveness]]), so
+    * pinned storage never accumulates across families (the round-13
+    * 32x OOM) while every shared frame still builds exactly once. */
+  def clearFrames(s: SparkSession, keys: Set[String]): Unit = lock.synchronized {
+    if (keys.nonEmpty) {
+      epoch += 1
+      memo.keys.filter(k => (k._1 eq s) && keys.contains(k._3)).foreach { k =>
+        memo.remove(k).foreach(_.unpersist())
+      }
+    }
   }
 }

@@ -26,34 +26,35 @@ object Verify {
     T.quietBoundedWindowWarnings()
     new java.io.File(outDir).mkdirs()
     // Run in REGISTRY order (not SparkEntry.queries — that Map is a
-    // hash-scrambled HashMap, which interleaves memo-sharing families)
-    // and release memoized frames at FAMILY boundaries: pinning all 18
-    // persisted indexes for the whole 152-query run accumulated enough
-    // storage to starve a later query's execution memory into
-    // SparkOutOfMemoryError at 32x data (llm_e2_embed_cosine_pairs,
-    // first seen on the round-13 32x gate; the Bench sweep at the same
-    // scale passed because it clears per pass). Correctness-safe by
-    // construction: every memoized frame/constant is deterministic per
-    // (session, dir) — the partition-invariance audit below regenerates
-    // them in a FRESH session and matches the dump row-for-row. FAMILY
-    // granularity (name prefix) because registry order keeps sharing
-    // families contiguous, so every shared memo still builds exactly
-    // ONCE (the pre-round-13 total build cost) while pinned storage is
-    // bounded to one family's indexes at any scale; per-query clearing
-    // on the scrambled HashMap order measured 3.2x the whole sf0.01
-    // Verify wall (106s -> 339s), fixed 8-query epochs 2.2x.
-    def family(n: String): String =
-      if (n.startsWith("llm_e")) n.take(6) else n.takeWhile(_ != '_')
+    // hash-scrambled HashMap) and release each memoized FRAME right
+    // after its LAST consumer (MemoLiveness): pinning all persisted
+    // indexes for the whole 152-query run accumulated enough storage to
+    // starve a later query's execution memory into SparkOutOfMemoryError
+    // at 32x data (llm_e2_embed_cosine_pairs, first seen on the
+    // round-13 32x gate; the Bench sweep at the same scale passed
+    // because it clears per pass). Round 13's name-prefix "family
+    // boundary" clearing rested on a FALSE contiguity premise (the
+    // round-13 driver advisory: ProductQuant interleaves llm_e3/llm_e2,
+    // llm_e4 spans three modules), silently rebuilding shared constants
+    // up to 3x; liveness release needs no ordering assumption — every
+    // shared frame builds exactly once in any order, and pinned storage
+    // is only the frames whose live range spans the current query.
+    // Driver-side values (centroids, codebooks) are NEVER released
+    // mid-run: they pin no cluster storage, and keeping them warm is
+    // what guarantees the generated oracle SQL at the end embeds the
+    // SAME constants the Spark results used (they are additionally
+    // deterministic per (session, dir) — MemoDeterminismSpec — which is
+    // what the fresh-session partition-invariance audit leans on).
+    // Cost context from round 13: indiscriminate per-query clear()
+    // measured 3.2x the whole sf0.01 Verify wall (106s -> 339s).
     val ordered = Registry.all.filter(q => nameFilter(q.name))
-    ordered.zipWithIndex.foreach { case (q, i) =>
+    ordered.foreach { q =>
       try q.run(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/${q.name}")
       catch { case e: Throwable =>
         System.err.println(s"[verify] ${q.name} failed: ${e.getMessage}")
       }
-      val next = ordered.lift(i + 1)
-      if (!next.exists(n => family(n.name) == family(q.name)))
-        SessionMemo.clear(spark)
+      SessionMemo.clearFrames(spark, MemoLiveness.releasableAfter(q.name))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -67,9 +68,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // generated oracles run AFTER the queries above, so the memoized
-    // constants they embed (centroids, codebooks) are already warm and
-    // identical to what the Spark results were computed with
+    // generated oracles run AFTER the queries above; the liveness
+    // release above drops only FRAMES, never driver-side values, so the
+    // memoized constants the oracles embed (centroids, codebooks) are
+    // still warm and identical to what the Spark results were computed
+    // with — and MemoDeterminismSpec pins that even a cold rebuild
+    // regenerates them identically per (session, dir)
     val json = SparkEntry.oracleSqlFor(spark, sfDir)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
@@ -107,20 +111,27 @@ object Verify {
             .mkString(""))
           .sorted.toSeq
       var drifted = 0; var checked = 0
-      SparkEntry.queries.filter(kv => nameFilter(kv._1)).foreach { case (name, fn) =>
+      // same registry order + liveness release as the main loop: the
+      // audit previously iterated the hash-scrambled SparkEntry map
+      // with NO mid-run release, accumulating every pinned index for
+      // the whole pass — exactly the condition behind the round-13
+      // 32x SparkOutOfMemoryError, which here would be miscounted as
+      // "drift" and fail the audit spuriously (round-13 advisory)
+      Registry.all.filter(q => nameFilter(q.name)).foreach { q =>
         try {
           checked += 1
-          val fresh = canon(fn(alt, sfDir))
-          val dumped = canon(alt.read.parquet(s"$outDir/$name"))
+          val fresh = canon(q.run(alt, sfDir))
+          val dumped = canon(alt.read.parquet(s"$outDir/${q.name}"))
           if (fresh != dumped) {
             drifted += 1
-            System.err.println(s"[verify] PARTITION-DRIFT $name: " +
+            System.err.println(s"[verify] PARTITION-DRIFT ${q.name}: " +
               s"local[$altCores] differs from the dumped local[$cpus] result")
           }
         } catch { case e: Throwable =>
           drifted += 1
-          System.err.println(s"[verify] $name failed at local[$altCores]: ${e.getMessage}")
+          System.err.println(s"[verify] ${q.name} failed at local[$altCores]: ${e.getMessage}")
         }
+        SessionMemo.clearFrames(alt, MemoLiveness.releasableAfter(q.name))
       }
       graft.SessionMemo.clear(alt)
       graft.relational.Relational.dropBucketedTables(alt)
