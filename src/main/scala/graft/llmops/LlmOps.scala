@@ -1021,6 +1021,41 @@ object LlmOps {
 
   private def qvDot = graft.functions.VectorFunctions.dot(col("qv"), col("v"))
 
+  /** The eval split of the embedding corpus (vec_id % 50 — the benchmark
+    * construction; production passes the real eval/benchmark vectors),
+    * guarded by the EXPLICIT broadcast contract the eval-NN and kNN
+    * queries rely on: the eval side is BROADCAST so the training corpus
+    * streams past it in one scan, which is only sound while the eval set
+    * is fixed-size — real eval sets are (a benchmark does not grow with
+    * the corpus), but the % 50 construction makes it 2% OF CORPUS, which
+    * at true 100 TB scale would exceed executor broadcast capacity long
+    * before any other part of the plan degrades. Rather than dying in
+    * Spark's broadcast machinery with an opaque OOM, the split fails
+    * fast here with the contract named: row count (memoized per
+    * (session, dir) — one cheap count amortized across the family) must
+    * stay within `graft.evalBroadcast.maxRows` (default 1,000,000 ≈
+    * mid-hundreds of MB at O(100)-dim double vectors — the practical
+    * per-executor broadcast ceiling). Raise the conf only if executors
+    * genuinely hold it; shrink the eval set otherwise. Mirrors the
+    * vector-indexability contract ([[graft.T.indexableEmbedding]]):
+    * a documented data contract enforced in-plan. */
+  private val evalSplitMaxRowsConf = "graft.evalBroadcast.maxRows"
+  private def boundedEvalSplit(s: SparkSession, dir: String): DataFrame = {
+    val maxRows =
+      s.conf.getOption(evalSplitMaxRowsConf).map(_.toLong).getOrElse(1000000L)
+    val rows = graft.SessionMemo.value(s, dir, "eval_split_rows") {
+      embeddings(s, dir).filter(col("vec_id") % 50 === 0).count()
+    }
+    require(rows <= maxRows,
+      s"eval split holds $rows vectors, beyond $evalSplitMaxRowsConf=$maxRows: " +
+        "llm_e3_eval_nn / llm_e3_knn_classify broadcast the eval side by " +
+        "contract (fixed-size eval/benchmark sets; the training corpus " +
+        "streams). A corpus-proportional eval split eventually exceeds " +
+        "executor broadcast capacity — pass a bounded eval set, or raise " +
+        "the conf if your executors genuinely hold it.")
+    normed(s, dir).filter(col("vec_id") % 50 === 0)
+  }
+
   /** Tie-free 4-decimal quantization: with y = x·10⁴ + 0.5, emit
     * (y − (y % 1)) / 10⁴ — the same `q - (q % 1.0)` exact-truncation
     * discipline PageRank uses, spelled with the SAME double operations
@@ -1108,7 +1143,8 @@ object LlmOps {
     * decontamination pass (flag-or-drop thresholds are applied
     * downstream on the reported cosine). Eval split mirrors the n-gram
     * pass (vec_id % 50; production passes the real benchmark
-    * embeddings, small by construction).
+    * embeddings, small by construction — the fixed-size broadcast
+    * contract is enforced in-plan by [[boundedEvalSplit]]).
     *
     * 100 TB shape: broadcast the eval side, scan the corpus ONCE, and
     * take the per-train argmax as a map-side partial aggregate (max of
@@ -1144,7 +1180,7 @@ object LlmOps {
       ORDER BY train_id"""),
     (s, dir) => {
       val n = normed(s, dir)
-      val ev = n.filter(col("vec_id") % 50 === 0)
+      val ev = boundedEvalSplit(s, dir)
         .select(col("vec_id").as("eval_id"), col("v").as("evv"), col("nrm").as("evn"))
       val tr = n.filter(col("vec_id") % 50 =!= 0)
         .select(col("vec_id").as("train_id"), col("v"), col("nrm"))
@@ -1213,7 +1249,7 @@ object LlmOps {
     (s, dir) => {
       val labels = embeddings(s, dir).select(col("vec_id"), col("label"))
       val n = normed(s, dir)
-      val ev = n.filter(col("vec_id") % 50 === 0)
+      val ev = boundedEvalSplit(s, dir)
         .join(labels.toDF("vec_id", "true_label"), "vec_id")
         .select(col("vec_id").as("eval_id"), col("true_label"),
           col("v").as("evv"), col("nrm").as("evn"))

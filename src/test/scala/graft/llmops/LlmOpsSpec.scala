@@ -502,4 +502,26 @@ class LlmOpsSpec extends SparkSpec {
       .distinct().count()
     rows.map(_.getLong(2)).sum shouldBe total
   }
+
+  test("eval-NN broadcast contract: an over-bound eval split fails fast naming the conf") {
+    // the eval side of llm_e3_eval_nn / llm_e3_knn_classify is broadcast
+    // by a FIXED-SIZE-eval contract; with the bound forced to 0 the plan
+    // must refuse with the conf named instead of dying in Spark's
+    // broadcast machinery at true scale (round-14 mandate #5)
+    graft.SessionMemo.clear(spark) // drop any memoized eval_split_rows
+    spark.conf.set("graft.evalBroadcast.maxRows", "0")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        run("llm_e3_eval_nn")
+      }
+      e.getMessage should include("graft.evalBroadcast.maxRows")
+      e.getMessage should include("broadcast")
+    } finally {
+      spark.conf.unset("graft.evalBroadcast.maxRows")
+      graft.SessionMemo.clear(spark) // drop the count memoized under bound 0
+    }
+    // and within the default bound both queries still construct + run
+    run("llm_e3_eval_nn").count() should be > 0L
+    run("llm_e3_knn_classify").count() should be > 0L
+  }
 }
