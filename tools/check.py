@@ -107,12 +107,25 @@ def main(sf_dir, out_dir):
             results[name] = f"PASS rows={len(sr)}"
     npass = sum(1 for v in results.values() if v.startswith("PASS"))
     nrows_only = sum(1 for v in results.values() if v.startswith("ROWS_ONLY"))
+    # TYPE_MISMATCH(values_identical) is the DOCUMENTED width-drift
+    # boundary (PLANS.md round 11): on the i32/dec drift-matrix axes the
+    # engine emits the declared contract type while DuckDB follows the
+    # physical input on raw passthrough columns — values compare equal.
+    # Counted explicitly (not as FAIL) so the drift-matrix gate line is
+    # zero-noise green; TYPE_MISMATCH(VALUES_DIFFER) remains a real
+    # failure. Never fires on undrifted sfDirs, so normal-gate output
+    # is unchanged.
+    ndoc = sum(1 for v in results.values()
+               if v.startswith("TYPE_MISMATCH(values_identical)"))
     for k, v in sorted(results.items()):
-        flag = "  " if v.startswith(("PASS", "ROWS_ONLY")) else "!!"
+        flag = ("  " if v.startswith(("PASS", "ROWS_ONLY"))
+                else " ~" if v.startswith("TYPE_MISMATCH(values_identical)")
+                else "!!")
         print(f"{flag} {k}: {v}")
+    doc = f" + {ndoc} documented-type-boundary" if ndoc else ""
     print(f"\n{npass} PASS, {nrows_only} rows-only, "
-          f"{len(results) - npass - nrows_only} FAIL of {len(results)}")
-    return 0 if npass + nrows_only == len(results) else 1
+          f"{len(results) - npass - nrows_only - ndoc} FAIL of {len(results)}{doc}")
+    return 0 if npass + nrows_only + ndoc == len(results) else 1
 
 
 if __name__ == "__main__":
