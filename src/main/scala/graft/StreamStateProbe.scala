@@ -109,8 +109,10 @@ object StreamStateProbe {
     dir
   }
 
-  /** Per-batch state samples for one pipeline run to completion. */
-  private final case class Curve(name: String, batches: Int, inputRows: Long,
+  /** Per-batch state samples for one pipeline run to completion.
+    * Package-visible so ScaleToolingSpec can pin the plateau gate on
+    * synthetic curves (flat/leaking/saturating/short). */
+  private[graft] final case class Curve(name: String, batches: Int, inputRows: Long,
       stateRows: Seq[Long], memBytes: Seq[Long], dropped: Long) {
     // plateau gate: second-quarter max vs last-quarter max (see scaladoc)
     def q2max: Long = quarter(1).maxOption.getOrElse(0L)

@@ -102,6 +102,21 @@ class ScaleToolingSpec extends SparkSpec {
     drifted.select(unix_micros(col("ts"))).as[Long].collect().sorted.toSeq shouldBe us
   }
 
+  test("StreamStateProbe plateau gate: flat and saturating curves pass, a leak fails") {
+    def curve(rows: Seq[Long]) =
+      StreamStateProbe.Curve("t", rows.size, 0L, rows, rows.map(_ => 0L), 0L)
+    // flat after warm-up (watermark-evicted state), final-batch collapse
+    curve(Seq.fill(60)(1700L) :+ 150L).bounded shouldBe true
+    // saturating (finite key dimension, e.g. tws per-user state)
+    curve((1 to 60).map(i => math.min(i * 100L, 1500L))).bounded shouldBe true
+    // linear growth (a state leak): last-quarter max ~2x second-quarter max
+    curve((1 to 60).map(_ * 100L)).bounded shouldBe false
+    // leak that only starts mid-run (watermark stops advancing)
+    curve(Seq.fill(30)(1000L) ++ (1 to 30).map(1000L + _ * 200L)).bounded shouldBe false
+    // too few batches to judge: no verdict, passes by design
+    curve((1 to 8).map(_ * 100L)).bounded shouldBe true
+  }
+
   override protected def afterAll(): Unit = {
     val p = java.nio.file.Paths.get(
       s"${sys.props("java.io.tmpdir")}/graft_driftgen_spec_${ProcessHandle.current().pid()}")
