@@ -36,13 +36,14 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * transformWithState requires): the watermarked tumbling-window agg
   * (`hourly_stats`), native session windows (`sessions`), watermarked
   * dedup (`dedup`), the stream-stream interval join (`join`), and the
-  * transformWithState per-user sessionizer (`tws_sessions`). The first
-  * four hold watermark-evicted state, so their row curves must go FLAT
-  * once the watermark starts finalizing; `tws_sessions` holds one row
-  * per user with NO timeout by design (finite user dimension — its own
-  * scaladoc documents adding a TTL for an unbounded one), so its curve
-  * plateaus at the distinct-user count instead — the same gate covers
-  * both shapes.
+  * transformWithState per-user sessionizer (`tws_sessions`), and the
+  * event-time-timer session closer (`session_closer`). The watermark-
+  * evicted pipelines' row curves must go FLAT once the watermark starts
+  * finalizing; `tws_sessions` holds one row per user with NO timeout by
+  * design (finite user dimension — its own scaladoc documents the
+  * trade), so its curve plateaus at the distinct-user count instead —
+  * the same gate covers both shapes, and `session_closer` is the
+  * timer-evicting counterpoint measured side by side with it.
   *
   * Gate, per pipeline: with B batches, state rows are sampled per batch
   * from `StreamingQueryProgress.stateOperators` (numRowsTotal summed
@@ -177,7 +178,14 @@ object StreamStateProbe {
       run("dedup")(() => noop(E.dedupEvents(events()), "dedup")),
       run("join")(() => noop(E.purchaseClickJoin(events()), "join")),
       run("tws_sessions")(() => noop(
-        E.userSessionStatsTws(events().as[E.Event]).toDF(), "tws_sessions", "update")))
+        E.userSessionStatsTws(events().as[E.Event]).toDF(), "tws_sessions", "update")),
+      // the event-time-timer session closer: same per-user sessionization
+      // pressure as tws_sessions but with state DELETED as sessions
+      // finalize — the curve should track the open-session level (like
+      // `sessions`) and collapse on the final watermark advance, where
+      // tws_sessions saturates at the full user dimension and stays there
+      run("session_closer")(() => noop(
+        E.closedSessions(events().as[E.Event]).toDF(), "session_closer")))
 
     def line(c: Curve): String =
       s""""${c.name}":{"batches":${c.batches},"input_rows":${c.inputRows},""" +

@@ -551,6 +551,134 @@ object EventStreams {
         OutputMode.Update())
   }
 
+  /** One open (not yet watermark-closed) session interval. `start_us`/
+    * `last_us` are epoch-µs event times of the first/latest event. */
+  final case class OpenSession(start_us: Long, last_us: Long, n_events: Long)
+
+  /** One finalized session, emitted exactly once when the watermark
+    * passes `last + gap`. `session_end` is last_event + gap — the same
+    * half-open [start, last+gap) bound the native session_window emits,
+    * so the batch binding of [[sessionWindows]] is the oracle. */
+  final case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long)
+
+  /** EVENT-TIME-TIMER session closer — the state-EVICTING per-user
+    * sessionizer ([[SessionStatsProcessor]]'s complement for an
+    * unbounded key dimension): gap-merged sessions are held open while
+    * events can still join them, emitted as [[ClosedSession]] rows when
+    * the event-time watermark passes `last + gap`, and their state rows
+    * are DELETED on emission. Per-key state is therefore bounded by the
+    * user's open sessions inside the watermark allowance — users who go
+    * quiet cost nothing after one gap+watermark window, where the no-TTL
+    * running-counter processor retains every user ever seen (both
+    * postures are measured side by side by graft.StreamStateProbe: this
+    * curve collapses on the final watermark advance, tws_sessions stays
+    * at the user dimension).
+    *
+    * Semantics notes:
+    *  - A late-but-admitted event (inside the watermark allowance) can
+    *    predate the open session by more than the gap, so per-key state
+    *    is a small LIST of disjoint open sessions (ListState), merged
+    *    interval-union style as events arrive; closing only ever
+    *    happens via watermark, so a closed session can never receive a
+    *    late member (admitted events are >= watermark > last + gap of
+    *    anything closed) — the same finality argument session_window
+    *    relies on.
+    *  - Gap rule matches session_window: delta == gap starts a NEW
+    *    session (half-open windows), which is also the
+    *    e5_range_join_sessions oracle rule.
+    *  - ONE registered timer per key (the earliest open `last + gap`,
+    *    ceil'd to ms — timers are ms, event times µs); stale timers from
+    *    extended sessions fire early and no-op against the recomputed
+    *    bound.
+    */
+  final class SessionCloserProcessor(gapUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, ClosedSession] {
+    @transient private var state:
+      org.apache.spark.sql.streaming.ListState[OpenSession] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getListState[OpenSession]("open",
+        org.apache.spark.sql.Encoders.product[OpenSession],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    private def micros(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    private def ceilMs(us: Long): Long = Math.floorDiv(us + 999L, 1000L)
+    private def toTs(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
+    private def closed(user: Long, s: OpenSession): ClosedSession =
+      ClosedSession(user, toTs(s.start_us), toTs(s.last_us + gapUs), s.n_events)
+
+    /** Insert one event time into the disjoint sorted session list,
+      * merging every session it bridges (strictly-within-gap rule). */
+    private def insert(sessions: List[OpenSession], t: Long): List[OpenSession] = {
+      val (touch, rest) = sessions.partition(s =>
+        t > s.start_us - gapUs && t < s.last_us + gapUs)
+      val merged = touch.foldLeft(OpenSession(t, t, 1L)) { (a, s) =>
+        OpenSession(math.min(a.start_us, s.start_us),
+          math.max(a.last_us, s.last_us), a.n_events + s.n_events)
+      }
+      (merged :: rest).sortBy(_.start_us)
+    }
+
+    /** Re-point the key's single timer at the earliest open close bound. */
+    private def syncTimer(sessions: List[OpenSession]): Unit = {
+      val desired = sessions.map(s => ceilMs(s.last_us + gapUs)).minOption
+      val existing = getHandle.listTimers().toSet
+      existing.filterNot(desired.contains).foreach(getHandle.deleteTimer)
+      desired.filterNot(existing.contains).foreach(getHandle.registerTimer)
+    }
+
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[ClosedSession] = {
+      val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+      if (sorted.isEmpty) return Iterator.empty
+      var sessions = state.get().toList
+      sorted.foreach { e => sessions = insert(sessions, micros(e.ts)) }
+      state.put(sessions.toArray)
+      syncTimer(sessions)
+      Iterator.empty // emission is watermark-driven only
+    }
+
+    override def handleExpiredTimer(user: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[ClosedSession] = {
+      val wmMs = timerValues.getCurrentWatermarkInMs()
+      val sessions = state.get().toList
+      val (done, open) = sessions.partition(s => ceilMs(s.last_us + gapUs) <= wmMs)
+      if (open.isEmpty) state.clear() else state.put(open.toArray)
+      syncTimer(open)
+      done.sortBy(_.start_us).map(closed(user, _)).iterator
+    }
+  }
+
+  /** Closed-session stream via [[SessionCloserProcessor]]: watermarked,
+    * append-mode, RocksDB-backed (transformWithState requirement), with
+    * per-user state deleted as sessions finalize. The batch binding of
+    * [[sessionWindows]] is the correctness twin (EventStreamsSpec). */
+  def closedSessions(events: Dataset[Event], gap: String = "30 minutes",
+      watermark: String = "1 hour"): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val gapUs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+    require(gapUs.months == 0 && gapUs.days == 0,
+      s"session gap must be sub-day, got '$gap'")
+    events
+      .withWatermark("ts", watermark)
+      .as[Event]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionCloserProcessor(gapUs.microseconds),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
   def userSessionStats(events: Dataset[Event]): Dataset[UserSessions] = {
     import events.sparkSession.implicits._
     events

@@ -451,6 +451,58 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("event-time-timer closedSessions == batch session_window up to the watermark; state evicts") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[EventStreams.Event]
+      // eight time-ordered chunks: the watermark advances mid-stream, so
+      // timers close sessions ACROSS batches, not only at end-of-input
+      val all = toEvents(batchEvents.orderBy($"ts", $"event_id").collect())
+      val chunks = all.grouped(math.max(1, all.size / 8)).toSeq
+      val q = EventStreams.closedSessions(stream.toDS())
+        .writeStream.format("memory").queryName("closed_t")
+        .outputMode("append").start()
+      chunks.foreach { c => stream.addData(c); q.processAllAvailable() }
+      q.stop()
+
+      def micros(t: java.sql.Timestamp): Long =
+        Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+      def ceilMs(us: Long): Long = Math.floorDiv(us + 999L, 1000L)
+      // the exact watermark the query finished on — the closure boundary
+      val wmMs = java.time.Instant
+        .parse(q.lastProgress.eventTime.get("watermark")).toEpochMilli
+      val streamed = spark.table("closed_t")
+        .as[EventStreams.ClosedSession].collect()
+        .map(c => (c.user_id, micros(c.session_start), micros(c.session_end),
+          c.n_events)).toSet
+      // batch twin: the SAME sessionWindows transform bound in batch mode
+      val batchAll = EventStreams.sessionWindows(batchEvents)
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect()
+        .map { case (u, s, e, n) => (u, micros(s), micros(e), n) }
+      val expectClosed = batchAll.filter(s => ceilMs(s._3) <= wmMs).toSet
+      streamed shouldBe expectClosed
+      // eviction: closed sessions leave NO state behind — the final state
+      // footprint is bounded by the still-open tail (sessions + their
+      // timers), nowhere near the ~session-count a no-delete processor
+      // would retain
+      val openCount = batchAll.count(s => ceilMs(s._3) > wmMs).toLong
+      val stateRows = q.recentProgress.reverse
+        .find(_.stateOperators.nonEmpty).get
+        .stateOperators.map(_.numRowsTotal).sum
+      stateRows should be <= 2L * openCount + 2
+      stateRows.toInt should be < batchAll.length / 2
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming MinHash near-dup flags stream docs against the static band index") {
     implicit val sqlCtx = spark.sqlContext
     // static index: two reference docs -> 8 band keys each
