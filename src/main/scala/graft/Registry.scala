@@ -247,23 +247,50 @@ object T {
   def money(c: Column): Column = when(moneyRange(c), c).cast(DecimalType(18, 2))
   def money(name: String): Column = money(col(name))
 
-  /** A vector is INDEXABLE iff present with every element finite: a
-    * NaN/Inf slot poisons every distance, norm, bucket and code built
-    * from it — and the engines diverge on poisoned comparisons (DuckDB
-    * orders NaN above +Inf even in `>=`, Spark follows IEEE false) —
-    * so every vector-op read drops non-indexable vectors, mirrored by
-    * [[sqlIndexable]] in the paired oracles. Pinned by
-    * NonFiniteInputSpec + NullInputSpec. */
+  /** The corpus embedding DIMENSION — a declared data contract, like
+    * the retention window: every vector op (cosine, LSH, IVF, PQ)
+    * assumes ONE fixed model dimension, and the PQ geometry
+    * (M subspaces × subDim — [[graft.llmops.ProductQuant]]) is built
+    * against it. Real corpora drift here (mixed embedding-model
+    * versions writing one table, truncated or empty rows), and
+    * tolerating drift has the worst failure mode available: a
+    * min-length dot product returns PLAUSIBLE-BUT-WRONG similarities
+    * where the oracle's list_zip null-pads to NULL — silent divergence,
+    * not an error. Measured on the dimension-drift fixture before this
+    * contract existed: 7 of 9 ANN queries crashed outright (zero-norm
+    * divides from empty vectors, PQ subvector slicing out of bounds on
+    * 32-dim rows) and the rest truncated silently. */
+  val embeddingDim: Int = 64
+
+  /** A vector is INDEXABLE iff present, of the declared
+    * [[embeddingDim]], with every element finite, and NOT all-zero:
+    * a NaN/Inf slot poisons every distance, norm, bucket and code
+    * built from it — and the engines diverge on poisoned comparisons
+    * (DuckDB orders NaN above +Inf even in `>=`, Spark follows IEEE
+    * false) — a wrong-DIMENSION vector silently truncates the fused
+    * dot product (min-length loop) and breaks the PQ subvector
+    * geometry, and an all-ZERO vector (padding / failed-encode rows)
+    * has no direction: zero norm is an ANSI DIVIDE_BY_ZERO in every
+    * cosine (measured — five llm_e3 crashes on the zero-vector
+    * fixture). So every vector-op read drops non-indexable vectors,
+    * mirrored by [[sqlIndexable]] in the paired oracles. Pinned by
+    * NonFiniteInputSpec + NullInputSpec + DimDriftSpec. */
   val indexableEmbedding: Column =
-    functions.VectorFunctions.vecIndexable(col("embedding"))
+    functions.VectorFunctions.vecIndexable(col("embedding")) &&
+      size(col("embedding")) === embeddingDim
 
   /** The DuckDB spelling of [[indexableEmbedding]] (a WHERE predicate).
     * The `x IS NULL` arm matters: list_filter EXCLUDES null elements,
     * so without it a slot-nulled vector filters to len 0 and is KEPT
-    * here while [[graft.functions.VecIndexable]] rejects it. */
+    * here while [[graft.functions.VecIndexable]] rejects it. The
+    * nonzero clause compares `x != 0` — exact, like the engine's
+    * `d != 0.0` (−0.0 = 0.0 in both, so all-negative-zero vectors are
+    * dropped on both sides). */
   val sqlIndexable: String =
     "embedding IS NOT NULL AND len(list_filter(embedding, " +
-      "x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0"
+      "x -> x IS NULL OR NOT isfinite(CAST(x AS DOUBLE)))) = 0" +
+      s" AND len(embedding) = $embeddingDim" +
+      " AND len(list_filter(embedding, x -> x != 0)) > 0"
 
   /** The Unicode White_Space property set — the reference's Python
     * `.strip()` semantics (str.isspace minus the non-White_Space

@@ -221,9 +221,19 @@ final case class LshBuckets(child: Expression, planes: Array[Array[Double]],
 }
 
 /** TRUE iff a raw embedding column holds an INDEXABLE vector: non-null
-  * array, every slot non-null and finite (see [[graft.T.sqlIndexable]]
-  * for the DuckDB mirror and T.indexableEmbedding for the contract).
-  * Never NULL itself — a missing vector is simply not indexable.
+  * array, every slot non-null and finite, and AT LEAST ONE slot
+  * nonzero (see [[graft.T.sqlIndexable]] for the DuckDB mirror and
+  * T.indexableEmbedding for the contract — which adds the declared-
+  * dimension clause on top). Never NULL itself — a missing vector is
+  * simply not indexable.
+  *
+  * The NONZERO clause (round 14): an all-zero vector — the padding /
+  * failed-encode row every real embedding table contains — has no
+  * direction: zero norm turns every cosine into an ANSI
+  * DIVIDE_BY_ZERO (measured: five llm_e3 queries crashed on a fixture
+  * with 16 zero vectors), and its LSH hyperplane signs and centroid
+  * assignments are arbitrary. Same posture as a NaN slot: dropped at
+  * the read, one fused loop, no extra scan cost.
   *
   * Exists for two reasons over the `exists(embedding, …)` HOF
   * spelling: (1) HOFs are CodegenFallback, so the filter put one
@@ -255,13 +265,15 @@ final case class VecIndexable(child: Expression) extends UnaryExpression {
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
     var i = 0
+    var nonzero = false
     while (i < n) {
       if (arr.isNullAt(i)) return false
       val d = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
       if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) return false
+      if (d != 0.0) nonzero = true
       i += 1
     }
-    true
+    nonzero
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -279,12 +291,14 @@ final case class VecIndexable(child: Expression) extends UnaryExpression {
         org.apache.spark.sql.catalyst.util.ArrayData $arr = ${c.value};
         int $n = $arr.numElements();
         boolean ${ev.value}_ok = true;
+        boolean ${ev.value}_nz = false;
         for (int $i = 0; $i < $n; $i++) {
           if ($arr.isNullAt($i)) { ${ev.value}_ok = false; break; }
           double $d = $get;
           if (Double.isNaN($d) || Double.isInfinite($d)) { ${ev.value}_ok = false; break; }
+          if ($d != 0.0) ${ev.value}_nz = true;
         }
-        ${ev.value} = ${ev.value}_ok;
+        ${ev.value} = ${ev.value}_ok && ${ev.value}_nz;
       }
       """,
       isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
@@ -300,7 +314,8 @@ object VectorFunctions {
     GraftColumnBridge.column(DotProduct(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
-  /** TRUE iff the vector is indexable (non-null, all slots finite). */
+  /** TRUE iff the vector is indexable (non-null, all slots finite,
+    * not all-zero — see [[VecIndexable]]). */
   def vecIndexable(c: Column): Column =
     GraftColumnBridge.column(VecIndexable(GraftColumnBridge.expression(c)))
 

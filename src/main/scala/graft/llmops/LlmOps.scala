@@ -30,7 +30,9 @@ object LlmOps {
 
   private def docs(s: SparkSession, dir: String): DataFrame = T(s, dir, "documents")
   /** Vector-op view of the embeddings table: non-INDEXABLE vectors
-    * (null, or carrying a NaN/±Inf slot) are dropped at the read — see
+    * (null, carrying a NaN/±Inf slot, or off the declared
+    * [[graft.T.embeddingDim]] — dimension drift from mixed model
+    * versions) are dropped at the read — see
     * [[graft.T.indexableEmbedding]] for the contract; every paired
     * oracle mirrors with `WHERE ${T.sqlIndexable}`. */
   private def embeddings(s: SparkSession, dir: String): DataFrame =

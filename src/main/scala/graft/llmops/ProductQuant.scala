@@ -28,7 +28,12 @@ object ProductQuant {
 
   private val M = 8       // subspaces
   private val K = 16      // codewords per subspace → 4 bits per code
-  private val subDim = 8  // 64 / M
+  private val subDim = 8  // embeddingDim / M
+  // the subvector slicing below (copyOfRange, slice()) is only sound on
+  // vectors of exactly the declared corpus dimension — which is what the
+  // indexableEmbedding read-side contract now guarantees (T.embeddingDim)
+  require(M * subDim == graft.T.embeddingDim,
+    s"PQ geometry M*subDim=${M * subDim} must equal T.embeddingDim=${graft.T.embeddingDim}")
 
   private def embeddings(s: SparkSession, dir: String): DataFrame =
     graft.T(s, dir, "embeddings")

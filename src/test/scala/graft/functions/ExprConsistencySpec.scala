@@ -72,6 +72,27 @@ class ExprConsistencySpec extends SparkSpec {
     g2(1) should not be "[null]"
   }
 
+  test("VecIndexable: codegen == interpreted across the full verdict table") {
+    // one row per contract clause: indexable, all-zero (round-14 nonzero
+    // clause — a padding row has no direction), negative-zero-only
+    // (−0.0 == 0.0: still zero-norm), single nonzero slot, NaN slot,
+    // +Inf slot, null slot, empty, missing
+    val df = Seq(
+      Option(Seq[java.lang.Double](1.0, 2.0, 3.0)),
+      Option(Seq[java.lang.Double](0.0, 0.0, 0.0)),
+      Option(Seq[java.lang.Double](-0.0, -0.0, -0.0)),
+      Option(Seq[java.lang.Double](0.0, 0.0, 1e-300)),
+      Option(Seq[java.lang.Double](1.0, Double.NaN, 3.0)),
+      Option(Seq[java.lang.Double](1.0, Double.PositiveInfinity, 3.0)),
+      Option(Seq[java.lang.Double](1.0, null, 3.0)),
+      Option(Seq[java.lang.Double]()),
+      Option.empty[Seq[java.lang.Double]]).toDF("v")
+    val (g, i) = bothModes(df.select(VectorFunctions.vecIndexable($"v")))
+    g shouldBe i
+    g shouldBe Seq("[true]", "[false]", "[false]", "[true]", "[false]",
+      "[false]", "[false]", "[false]", "[false]")
+  }
+
   test("null inputs are null through both paths") {
     val df = Seq[Option[String]](None, Some("some text that is long enough"))
       .toDF("text")
