@@ -259,7 +259,15 @@ object T {
     * not an error. Measured on the dimension-drift fixture before this
     * contract existed: 7 of 9 ANN queries crashed outright (zero-norm
     * divides from empty vectors, PQ subvector slicing out of bounds on
-    * 32-dim rows) and the rest truncated silently. */
+    * 32-dim rows) and the rest truncated silently.
+    *
+    * Deliberately a COMPILE-TIME constant, not a runtime conf (unlike
+    * `graft.evalBroadcast.maxRows`, which bounds a data-size hazard):
+    * the dimension is baked into artifacts a conf cannot reach — the
+    * PQ subvector geometry (M × subDim, tied by a require), codebook
+    * shapes, and the static oracle predicate string — so a different
+    * corpus dimension is a library build parameter, changed here and
+    * nowhere else. */
   val embeddingDim: Int = 64
 
   /** A vector is INDEXABLE iff present, of the declared
