@@ -34,7 +34,7 @@ import org.apache.spark.sql.functions._
   * geometry is compile-time tied to the same constant (require in
   * [[graft.llmops.ProductQuant]]). The cross-engine half is the
   * dimension-drift gate (pyarrow re-encoding of sf0.001, recipe in
-  * .claude/skills/verify §2b-v; expect 149/3/0); this spec replays the
+  * PLANS.md round 14; expect 149/3/0); this spec replays the
   * engine side: no-throw over the full registry, and DROP-SEMANTICS
   * EQUIVALENCE — every embedding-family query returns byte-identical
   * results on the drifted corpus and on a corpus with the drifted
