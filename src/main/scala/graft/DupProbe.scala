@@ -159,14 +159,17 @@ object DupProbe {
       // second clear the LSH wall would reuse the index the jaccard
       // run pinned and understate the duplicate-heavy cost
       val plantedPred = col("da") % 100 < k && col("db") % 100 < k
-      val (plantedJac, wallJac) = timed {
+      val (outJac, wallJac) = timed {
         val out = Registry.byName("llm_e2_ngram_jaccard_pairs").run(spark, dir)
         out.write.format("noop").mode("overwrite").save()
-        // recall numerator: reported pairs with both endpoints planted
-        // (the memoized pair frame is warm — this re-count is ~free and
-        // does not distort the wall, which the noop write above closed)
-        out.filter(plantedPred).count()
+        out
       }
+      // recall numerator: reported pairs with both endpoints planted.
+      // Counted OUTSIDE the timed block (r14 advice): `timed` measures
+      // the whole block, so an in-block count — however warm — would be
+      // part of wall_jaccard_sec; the noop write above is what closes
+      // the wall, and this re-count reuses the memoized pair frame.
+      val plantedJac = outJac.filter(plantedPred).count()
       SessionMemo.clear(spark)
       val ((lshPairs, plantedLsh), wallLsh) = timed {
         val out = Registry.byName("llm_e2_minhash_lsh_candidates").run(spark, dir)

@@ -27,9 +27,12 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *    the allowance: DROPPED stragglers, counted by the state store's
   *    numRowsDroppedByWatermark (the probe asserts this path fired).
   * Chunk files get strictly increasing mtimes (2s apart) so the file
-  * source replays them in event-time order. The global ntile sort is a
-  * single-partition window — fine for a probe harness; the staged dir
-  * is cached under /tmp (recipe-versioned, like DupProbe's).
+  * source replays them in event-time order. The global event-time rank
+  * behind the chunk split is computed scale-safely (range partition +
+  * per-partition row_number + broadcast offsets — no single-partition
+  * stage; r14 mandate #4), so the probe can be pointed at replicated
+  * big dirs; the staged dir is cached under /tmp (recipe-versioned,
+  * like DupProbe's).
   *
   * Pipelines (all on the RocksDB state store provider — the one a
   * deployment with state larger than heap runs, and the one
@@ -63,7 +66,9 @@ object StreamStateProbe {
 
   /** Bump on any change to the staging recipe below — versioned into
     * the cached dir name so stale encodings cannot be silently reused. */
-  private val stageRecipeVersion = 1
+  private val stageRecipeVersion = 2 // v2: two-phase ranked staging (same
+  // chunk assignment as v1's ntile — bumped to force a re-stage so the
+  // 1.00x curve reproduction is actually measured, not cache-trivial)
 
   private val canonicalSf = "/root/testdata/sf0.1"
   private val canonicalChunks = 64
@@ -76,11 +81,48 @@ object StreamStateProbe {
     if (java.nio.file.Files.exists(marker)) return dir
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     new java.io.File(dir).mkdirs()
-    val wAll = org.apache.spark.sql.expressions.Window
-      .orderBy(col("ts"), col("event_id"))
+    // Chunk assignment = ntile(chunks) over a global (ts, event_id)
+    // order, computed WITHOUT a single-partition window (r14 mandate
+    // #4): range-partition on the sort key, rank within each partition
+    // in parallel, then add broadcast per-partition offsets to get the
+    // exact global 1-based rank (the same two-phase prefix-sum shape as
+    // e5_peak_concurrency). (ts, event_id) is a total order (event_id
+    // unique) and range partitions are contiguous, so the rank — and
+    // therefore the chunk assignment — is identical to the old
+    // ntile-over-global-sort, run to run and partitioning to
+    // partitioning; the canonical curves reproduce at 1.00x.
+    val parts = T(spark, sfDir, "events")
+      .repartitionByRange(32, col("ts"), col("event_id"))
+      .sortWithinPartitions(col("ts"), col("event_id"))
+      .withColumn("pid", spark_partition_id())
+      .persist()
+    val pidCounts = parts.groupBy("pid").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap // <= 32 rows: bounded
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      pidCounts.toSeq.sortBy(_._1).map { case (pid, c) =>
+        val o = pid -> acc; acc += c; o
+      }.toMap
+    }
+    val n = pidCounts.values.sum
+    // ntile semantics: first (n % k) buckets hold (n/k + 1) rows each
+    val bucketSize = n / chunks
+    val remainder = n % chunks
+    val cut = (bucketSize + 1) * remainder
+    val wPid = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pid")).orderBy(col("ts"), col("event_id"))
+    val rn = element_at(typedLit(offsets), col("pid")) +
+      row_number().over(wPid)
     val wChunk = org.apache.spark.sql.expressions.Window.partitionBy(col("c0"))
-    val staged = T(spark, sfDir, "events")
-      .withColumn("c0", ntile(chunks).over(wAll))
+    val staged = parts
+      .withColumn("c0",
+        // floor() because Column./ on longs is DOUBLE division; exact
+        // here (both operands < 2^53, quotients spaced >= half-ulp)
+        when(rn <= cut, floor((rn - 1) / (bucketSize + 1)) + 1)
+          .otherwise(floor((rn - 1 - cut) / math.max(bucketSize, 1L)) +
+            (remainder + 1))
+          .cast("int"))
+      .drop("pid")
       .withColumn("cmax", max(col("ts")).over(wChunk))
       .withColumn("c",
         when(col("event_id") % 89 === 7, least(col("c0") + 4, lit(chunks)))
@@ -106,6 +148,7 @@ object StreamStateProbe {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scratch))
     }
     staged.unpersist()
+    parts.unpersist()
     java.nio.file.Files.write(marker, Array.emptyByteArray)
     dir
   }
@@ -114,23 +157,46 @@ object StreamStateProbe {
     * Package-visible so ScaleToolingSpec can pin the plateau gate on
     * synthetic curves (flat/leaking/saturating/short). */
   private[graft] final case class Curve(name: String, batches: Int, inputRows: Long,
-      stateRows: Seq[Long], memBytes: Seq[Long], dropped: Long) {
+      stateRows: Seq[Long], memBytes: Seq[Long], dropped: Long,
+      sstBytes: Seq[Long] = Nil, pinnedBytes: Seq[Long] = Nil) {
     // plateau gate: second-quarter max vs last-quarter max (see scaladoc)
-    def q2max: Long = quarter(1).maxOption.getOrElse(0L)
-    def q4max: Long = quarter(3).maxOption.getOrElse(0L)
-    private def quarter(i: Int): Seq[Long] = {
-      val n = stateRows.size
-      stateRows.slice(i * n / 4, (i + 1) * n / 4)
+    def q2max: Long = quarter(stateRows, 1).maxOption.getOrElse(0L)
+    def q4max: Long = quarter(stateRows, 3).maxOption.getOrElse(0L)
+    private def quarter(xs: Seq[Long], i: Int): Seq[Long] = {
+      val n = xs.size
+      xs.slice(i * n / 4, (i + 1) * n / 4)
     }
     def bounded: Boolean =
       stateRows.size < 16 || q4max <= math.max(q2max, 1L) * 1.4
+    // mem-side gate (r15, VERDICT r14 item 1): state ROWS are blind to
+    // per-key VALUE growth (a ListState whose per-key blob accretes), so
+    // LIVE STATE BYTES must plateau too. The signal is rocksdbSstFileSize
+    // (total-sst-files-size of the LIVE db: every committed key+value
+    // lands in L0 on the per-commit flush, so a value leak grows it
+    // linearly and unboundedly), NOT memoryUsedBytes: that number is
+    // block-cache + memtables + table-reader overheads, whose warm-up
+    // and L0-file-count accretion dominate tiny stores (measured r15 —
+    // see PLANS.md). SST bytes still saw-tooth with compaction timing,
+    // so the gate compares HALF maxima (warm half vs closing half) with
+    // a 2.0x allowance: a genuine value leak reads as batches/2-to-1
+    // growth (e.g. >=8x over a 64-batch run), compaction wobble measured
+    // well under 1.5x.
+    def memQ2max: Long = sstBytes.slice(sstBytes.size / 4, sstBytes.size / 2)
+      .maxOption.getOrElse(0L)
+    def memQ4max: Long = quarter(sstBytes, 3).maxOption.getOrElse(0L)
+    def memBounded: Boolean =
+      sstBytes.size < 16 || memQ4max <= math.max(memQ2max, 1L) * 2.0
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", canonicalSf))
-    val chunks = args.drop(1).headOption
-      .flatMap(a => scala.util.Try(a.toInt).toOption).getOrElse(canonicalChunks)
+    // strict: a typo'd chunk count must not silently record receipts
+    // labeled for the canonical 64 (r14 advice; matches DupProbe)
+    val chunks = args.drop(1).headOption.map { a =>
+      scala.util.Try(a.toInt).toOption.filter(_ > 0).getOrElse(
+        sys.error(s"StreamStateProbe: chunks arg must be a positive Int, got '$a'"))
+    }.getOrElse(canonicalChunks)
     val spark = SparkSession.builder()
       .master("local[32]")
       // state-op parallelism, not correctness: 8 keeps 5 x ~64 RocksDB
@@ -160,12 +226,16 @@ object StreamStateProbe {
       val q = start()
       try q.processAllAvailable() finally q.stop()
       val progs = q.recentProgress.toSeq.filter(_.stateOperators.nonEmpty)
+      def custom(key: String): Seq[Long] = progs.map(_.stateOperators.map(
+        _.customMetrics.getOrDefault(key, 0L): Long).sum)
       Curve(name,
         batches = progs.size,
         inputRows = progs.map(_.numInputRows).sum,
         stateRows = progs.map(_.stateOperators.map(_.numRowsTotal).sum),
         memBytes = progs.map(_.stateOperators.map(_.memoryUsedBytes).sum),
-        dropped = progs.map(_.stateOperators.map(_.numRowsDroppedByWatermark).sum).sum)
+        dropped = progs.map(_.stateOperators.map(_.numRowsDroppedByWatermark).sum).sum,
+        sstBytes = custom("rocksdbSstFileSize"),
+        pinnedBytes = custom("rocksdbPinnedBlocksMemoryUsage"))
     }
     def noop(df: DataFrame, name: String, mode: String = "append"): StreamingQuery =
       df.writeStream.outputMode(mode).format("noop")
@@ -194,8 +264,11 @@ object StreamStateProbe {
         s""""state_rows_last":${c.stateRows.lastOption.getOrElse(0L)},""" +
         s""""state_rows_max":${c.stateRows.maxOption.getOrElse(0L)},""" +
         s""""mem_bytes_last":${c.memBytes.lastOption.getOrElse(0L)},""" +
-        s""""dropped_by_watermark":${c.dropped},"bounded":${c.bounded}}"""
-    val unbounded = curves.filterNot(_.bounded).map(_.name)
+        s""""sst_bytes_q2max":${c.memQ2max},"sst_bytes_q4max":${c.memQ4max},""" +
+        s""""dropped_by_watermark":${c.dropped},"bounded":${c.bounded},""" +
+        s""""mem_bounded":${c.memBounded}}"""
+    val unbounded = curves.filterNot(_.bounded).map(_.name) ++
+      curves.filterNot(_.memBounded).map(_.name + ":sst_bytes")
     // the straggler displacement must actually have exercised the
     // watermark-drop path somewhere, or the whole run was vacuous
     val anyDropped = curves.map(_.dropped).sum > 0
@@ -209,8 +282,13 @@ object StreamStateProbe {
       def detail(c: Curve): String =
         s""""${c.name}":{"state_rows":[${c.stateRows.mkString(",")}],""" +
           s""""mem_bytes":[${c.memBytes.mkString(",")}],""" +
-          s""""q2max":${c.q2max},"q4max":${c.q4max},"dropped":${c.dropped},""" +
-          s""""batches":${c.batches},"bounded":${c.bounded}}"""
+          s""""sst_bytes":[${c.sstBytes.mkString(",")}],""" +
+          s""""pinned_bytes":[${c.pinnedBytes.mkString(",")}],""" +
+          s""""q2max":${c.q2max},"q4max":${c.q4max},""" +
+          s""""sst_q2max":${c.memQ2max},"sst_q4max":${c.memQ4max},""" +
+          s""""dropped":${c.dropped},""" +
+          s""""batches":${c.batches},"bounded":${c.bounded},""" +
+          s""""mem_bounded":${c.memBounded}}"""
       java.nio.file.Files.write(java.nio.file.Paths.get("STREAMSTATE_DETAIL.json"),
         (s"""{"metric":"stream_state_detail","chunks":$chunks,"sf":"$sfDir",""" +
           s""""pipelines":{${curves.map(detail).mkString(",")}}}""" + "\n").getBytes("UTF-8"))

@@ -615,8 +615,11 @@ object EventStreams {
       ClosedSession(user, toTs(s.start_us), toTs(s.last_us + gapUs), s.n_events)
 
     /** Insert one event time into the disjoint sorted session list,
-      * merging every session it bridges (strictly-within-gap rule). */
-    private def insert(sessions: List[OpenSession], t: Long): List[OpenSession] = {
+      * merging every session it bridges (strictly-within-gap rule).
+      * Package-visible so EventStreamsSpec can pin the adversarial
+      * lateness paths directly (new-earlier-interval, two-interval
+      * bridge, exact half-open boundaries) without a streaming run. */
+    private[streaming] def insert(sessions: List[OpenSession], t: Long): List[OpenSession] = {
       val (touch, rest) = sessions.partition(s =>
         t > s.start_us - gapUs && t < s.last_us + gapUs)
       val merged = touch.foldLeft(OpenSession(t, t, 1L)) { (a, s) =>

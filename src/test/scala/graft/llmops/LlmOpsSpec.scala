@@ -524,4 +524,25 @@ class LlmOpsSpec extends SparkSpec {
     run("llm_e3_eval_nn").count() should be > 0L
     run("llm_e3_knn_classify").count() should be > 0L
   }
+
+  test("eval-NN broadcast contract boundary: rows == maxRows passes, maxRows - 1 raises") {
+    // exact-boundary pin (round-14 mandate #7, the spine-cap symmetry):
+    // the contract is rows <= maxRows, so the guard must admit the eval
+    // split at EXACTLY the bound and refuse one below it
+    val evalRows = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(org.apache.spark.sql.functions.col("vec_id") % 50 === 0).count()
+    assert(evalRows > 1, s"fixture eval split too small ($evalRows) to probe the boundary")
+    graft.SessionMemo.clear(spark)
+    spark.conf.set("graft.evalBroadcast.maxRows", evalRows.toString)
+    try {
+      run("llm_e3_eval_nn").count() should be > 0L // at the bound: admitted
+      spark.conf.set("graft.evalBroadcast.maxRows", (evalRows - 1).toString)
+      val e = intercept[IllegalArgumentException] { run("llm_e3_eval_nn") }
+      e.getMessage should include(s"holds $evalRows vectors")
+      e.getMessage should include(s"maxRows=${evalRows - 1}")
+    } finally {
+      spark.conf.unset("graft.evalBroadcast.maxRows")
+      graft.SessionMemo.clear(spark)
+    }
+  }
 }

@@ -503,6 +503,33 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("SessionCloserProcessor.insert: adversarial lateness — earlier interval, two-interval bridge, exact half-open boundaries") {
+    import EventStreams.OpenSession
+    val G = 1800L * 1000000L // 30 min in µs — closedSessions' default gap
+    val p = new EventStreams.SessionCloserProcessor(G)
+    def s(start: Long, last: Long, n: Long) = OpenSession(start, last, n)
+
+    // (a) a late-but-admitted event PREDATING the only open session by
+    // more than the gap opens a new, earlier, DISJOINT interval — the
+    // reason per-key state is a list, not a single session
+    p.insert(List(s(10 * G, 10 * G + 5, 3)), 8 * G) shouldBe
+      List(s(8 * G, 8 * G, 1), s(10 * G, 10 * G + 5, 3))
+
+    // (b) one event within gap of BOTH open intervals BRIDGES them:
+    // single merged interval, event counts summed (+1 for the bridger)
+    val two = List(s(0L, 100L, 2), s(100L + 2 * G - 50L, 100L + 2 * G, 4))
+    p.insert(two, 100L + G - 1) shouldBe List(s(0L, 100L + 2 * G, 7))
+
+    // (c) exact half-open boundaries: delta == gap starts a NEW session
+    // on BOTH sides (the session_window / e5_range_join_sessions rule);
+    // one µs inside either bound merges
+    val one = List(s(5 * G, 6 * G, 2))
+    p.insert(one, 4 * G) shouldBe List(s(4 * G, 4 * G, 1), s(5 * G, 6 * G, 2))
+    p.insert(one, 7 * G) shouldBe List(s(5 * G, 6 * G, 2), s(7 * G, 7 * G, 1))
+    p.insert(one, 4 * G + 1) shouldBe List(s(4 * G + 1, 6 * G, 3))
+    p.insert(one, 7 * G - 1) shouldBe List(s(5 * G, 7 * G - 1, 3))
+  }
+
   test("streaming MinHash near-dup flags stream docs against the static band index") {
     implicit val sqlCtx = spark.sqlContext
     // static index: two reference docs -> 8 band keys each

@@ -58,7 +58,13 @@ def main() -> int:
     for name in sorted(set(old["pipelines"]) | set(new["pipelines"])):
         o, n = old["pipelines"].get(name), new["pipelines"].get(name)
         if o is None or n is None:
-            print(f"  {name:<14} present on one side only")
+            # the canonical probe always emits all six pipelines — a
+            # one-sided row means a pipeline was deleted or its curve
+            # lost, which must not pass the gate silently (r14 advice)
+            side = "old" if o is None else "new"
+            print(f"  {name:<14} MISSING on the {side} side "
+                  "<-- PIPELINE SET CHANGED")
+            flagged.append(name)
             continue
         ratio = n["q4max"] / max(o["q4max"], 1)
         bad = ratio > THRESHOLD or (o.get("bounded", True) and not n.get("bounded", True))
@@ -71,8 +77,9 @@ def main() -> int:
         if bad:
             flagged.append(name)
     if flagged:
-        print(f"stream_state_diff: state plateau grew >{THRESHOLD}x or lost "
-              f"boundedness on: {', '.join(flagged)}")
+        print(f"stream_state_diff: state plateau grew >{THRESHOLD}x, lost "
+              f"boundedness, or pipeline missing on one side: "
+              f"{', '.join(flagged)}")
         return 1
     print(f"stream_state_diff: OK — all pipeline state plateaus within "
           f"{THRESHOLD}x of {old_spec}")
