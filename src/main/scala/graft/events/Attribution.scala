@@ -124,14 +124,18 @@ object Attribution {
         SELECT user_id AS pu, ts AS p_ts
         FROM events WHERE event_type = 'purchase'),
       m AS (
-        SELECT c.u, c.c_id, c.c_ts, MIN(p.p_ts) AS p_ts
-        FROM c LEFT JOIN p ON p.pu = c.u AND p.p_ts >= c.c_ts
-        GROUP BY c.u, c.c_id, c.c_ts),
+        -- per DISTINCT click; re-joined onto c below so duplicate-KEY
+        -- click copies (tenth axis, round 15) each count one row, the
+        -- way the engine's per-left-row forward as-of does
+        SELECT cd.u, cd.c_id, cd.c_ts, MIN(p.p_ts) AS p_ts
+        FROM (SELECT DISTINCT u, c_id, c_ts FROM c) cd
+        LEFT JOIN p ON p.pu = cd.u AND p.p_ts >= cd.c_ts
+        GROUP BY cd.u, cd.c_id, cd.c_ts),
       d AS (
-        SELECT CASE WHEN p_ts IS NOT NULL
-                     AND epoch_us(p_ts) - epoch_us(c_ts) <= 604800000000
-                    THEN epoch_us(p_ts) - epoch_us(c_ts) END AS delay_us
-        FROM m)
+        SELECT CASE WHEN m.p_ts IS NOT NULL
+                     AND epoch_us(m.p_ts) - epoch_us(c.c_ts) <= 604800000000
+                    THEN epoch_us(m.p_ts) - epoch_us(c.c_ts) END AS delay_us
+        FROM c JOIN m ON c.u = m.u AND c.c_id = m.c_id AND c.c_ts = m.c_ts)
       SELECT COUNT(*) AS n_clicks,
              COUNT(delay_us) AS n_converted,
              CAST(COUNT(delay_us) AS DOUBLE) / NULLIF(COUNT(*), 0) AS conversion_rate,

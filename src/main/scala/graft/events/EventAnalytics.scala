@@ -252,11 +252,15 @@ object EventAnalytics {
           PARTITION BY p_id
           ORDER BY adt, dir, CASE WHEN dir = 0 THEN -c_id ELSE c_id END) AS rn
         FROM cand)
-      SELECT u AS user_id, p_id AS event_id,
-             epoch_us(p_ts) AS purchase_us,
-             epoch_us(c_ts) AS nearest_click_us,
-             c_id AS nearest_click_id
-      FROM ranked WHERE rn = 1
+      -- join the per-p_id winner back onto p: the as-of join emits one
+      -- row PER LEFT ROW (pandas merge_asof semantics), so duplicate-KEY
+      -- purchase copies (tenth axis, round 15) each carry the match;
+      -- identical on a key-unique corpus
+      SELECT p.u AS user_id, p.p_id AS event_id,
+             epoch_us(p.p_ts) AS purchase_us,
+             epoch_us(r.c_ts) AS nearest_click_us,
+             r.c_id AS nearest_click_id
+      FROM p JOIN (SELECT * FROM ranked WHERE rn = 1) r ON p.p_id = r.p_id
       ORDER BY user_id, event_id"""),
     (s, dir) => {
       val ev = events(s, dir)

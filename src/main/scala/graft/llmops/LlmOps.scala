@@ -62,12 +62,25 @@ object LlmOps {
   private val shingleExpr = ngramExpr(3)
 
   /** doc_id, s (one row per distinct shingle). The inverted-index input.
-    * Package-visible so LlmOpsSpec can probe the skew behavior directly. */
+    * Package-visible so LlmOpsSpec can probe the skew behavior directly.
+    *
+    * The `.distinct()` is load-bearing, not defensive: every consumer's
+    * math is SET math — df = |docs containing s|, shared = |A∩B|,
+    * Jaccard ≤ 1 — and a duplicate-KEY corpus (the same doc row committed
+    * twice, tenth axis, round 15) otherwise double-counts every
+    * (doc_id, s) pair, yielding Jaccard = 2.0 "similarities" (measured
+    * before the fix). Cost at scale: the distinct's partial hash
+    * aggregate dedupes map-side, so on a clean corpus the exchange
+    * carries the same distinct pairs the df-count shuffle already moved;
+    * one extra exchange of the index buys unconditionally well-formed
+    * set semantics. MinHash is unaffected either way (min-agg is
+    * duplicate-immune). */
   private[graft] def shingles(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(col("doc_id"), toks(col("text")).as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), explode(expr(shingleExpr)).as("s"))
+      .distinct()
 
   /** Shingles with a document-frequency cap: shingles appearing in more
     * than `maxDf` docs are dropped from candidate generation (a shingle
@@ -1249,7 +1262,12 @@ object LlmOps {
       FROM pick WHERE pr = 1
       ORDER BY eval_id"""),
     (s, dir) => {
-      val labels = embeddings(s, dir).select(col("vec_id"), col("label"))
+      // the label MAP must be key-unique: both joins below rely on
+      // ×1 fan-out to preserve shortlist multiplicity — a duplicate-KEY
+      // embeddings row (tenth axis, round 15) would otherwise double
+      // every vote. distinct's partial agg dedupes map-side; the
+      // exchange moves (id, label) pairs only.
+      val labels = embeddings(s, dir).select(col("vec_id"), col("label")).distinct()
       val n = normed(s, dir)
       val ev = boundedEvalSplit(s, dir)
         .join(labels.toDF("vec_id", "true_label"), "vec_id")

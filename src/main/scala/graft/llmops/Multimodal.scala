@@ -267,6 +267,10 @@ object Multimodal {
       val root = out.getAbsolutePath
       T(s, dir, "documents").select(col("doc_id"), col("text"))
         .filter(col("text").isNotNull) // missing payload: nothing to write
+        // a blob store is keyed by media id: duplicate-KEY rows (tenth
+        // axis, round 15) must collapse to ONE idempotent put — without
+        // this, two tasks can race concurrent writes to the same path
+        .dropDuplicates("doc_id")
         .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
           rows.foreach { r =>
             java.nio.file.Files.write(
@@ -296,7 +300,10 @@ object Multimodal {
     "mm_binary_ingest",
     "binaryFile-source ingestion of a materialized blob dir; byte-roundtrip vs documents",
     Some("""
-      SELECT doc_id AS media_id,
+      -- DISTINCT: the blob store holds ONE object per media id, so a
+      -- duplicate-KEY corpus (tenth axis, round 15) still reads back one
+      -- row per id; byte-identical copies collapse to one distinct row
+      SELECT DISTINCT doc_id AS media_id,
              octet_length(encode(text)) AS n_bytes,
              md5(text) AS content_md5
       FROM documents WHERE text IS NOT NULL

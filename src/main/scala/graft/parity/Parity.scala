@@ -92,7 +92,15 @@ object Parity {
       SELECT d.doc_id, d.lang, d.source, d.text, l.term, l.issue, l.ord
       FROM documents d
       JOIN lex l ON list_contains(string_split(d.text, ' '), l.term)),
-    tag_cnt AS (SELECT doc_id, count(*) AS n FROM doc_tags GROUP BY doc_id),
+    tag_cnt AS (
+      -- count(DISTINCT ord), not count(*): the engine's tag_count is the
+      -- per-ROW len(tags) (the reference's semantics); under a
+      -- duplicate-KEY corpus (tenth axis, round 15) doc_tags carries each
+      -- (doc, term) once per committed copy and a plain count would
+      -- double it. Byte-identical copies match the same lexicon terms,
+      -- so distinct ords == the per-copy tag count; identical on a
+      -- key-unique corpus.
+      SELECT doc_id, count(DISTINCT ord) AS n FROM doc_tags GROUP BY doc_id),
     flat AS (
       SELECT d.doc_id, d.lang, d.source, d.text AS record_literal,
              CAST(NULL AS VARCHAR) AS issue_literal,
@@ -229,7 +237,12 @@ object Parity {
              CASE WHEN strpos(t.text, ',') > 0
                   THEN ${graft.T.sqlUstrip("substring(t.text, strpos(t.text, ',') + 1)")}
                   ELSE '' END AS literal_text,
-             CAST(row_number() OVER (PARTITION BY t.doc_id ORDER BY t.ord) - 1 AS INT) AS tag_pos,
+             -- dense_rank, not row_number: posexplode numbers tags
+             -- WITHIN each record row, so a duplicate-KEY corpus (tenth
+             -- axis) repeats positions per copy instead of spanning
+             -- them; ord is unique per matched term, so the two agree
+             -- on a key-unique corpus
+             CAST(dense_rank() OVER (PARTITION BY t.doc_id ORDER BY t.ord) - 1 AS INT) AS tag_pos,
              t.term AS tag_literal, t.issue AS tag_issue,
              'lexicon' AS tag_source
       FROM doc_tags t
@@ -256,7 +269,12 @@ object Parity {
     "coalesce(size(tags),0) with NULL arrays; flagged vs clean counts (P2/P6)",
     Some(s"""
       WITH $flatSql,
-      per_doc AS (SELECT doc_id, lang, max(tag_count) AS n_tags FROM flat GROUP BY doc_id, lang)
+      -- one row per document ROW (not per doc_id): the engine counts
+      -- record rows, so duplicate-KEY copies (tenth axis) each count;
+      -- tag_cnt is already per-copy (count(DISTINCT ord))
+      per_doc AS (
+        SELECT d.doc_id, d.lang, COALESCE(c.n, 0) AS n_tags
+        FROM documents d LEFT JOIN tag_cnt c ON d.doc_id = c.doc_id)
       SELECT lang,
              count(*) AS n_docs,
              CAST(sum(CASE WHEN n_tags > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,

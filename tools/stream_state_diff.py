@@ -71,9 +71,22 @@ def main() -> int:
         mark = " <-- STATE PLATEAU GREW" if ratio > THRESHOLD else ""
         if o.get("bounded", True) and not n.get("bounded", True):
             mark += " <-- LOST BOUNDEDNESS"
+        # live-state BYTES plateau (rocksdbSstFileSize q4max, added r15 —
+        # the per-key VALUE-leak signal the rows gate is blind to);
+        # absent on pre-r15 recordings, gated once both sides carry it
+        sst = ""
+        if o.get("sst_q4max") is not None and n.get("sst_q4max") is not None:
+            sst_ratio = n["sst_q4max"] / max(o["sst_q4max"], 1)
+            sst = f"  sst {o['sst_q4max']} -> {n['sst_q4max']} ({sst_ratio:.2f}x)"
+            if sst_ratio > THRESHOLD:
+                sst += " <-- LIVE-STATE BYTES GREW"
+                bad = True
+            if o.get("mem_bounded", True) and not n.get("mem_bounded", True):
+                sst += " <-- LOST MEM BOUNDEDNESS"
+                bad = True
         print(f"  {name:<14} plateau {o['q4max']} -> {n['q4max']} rows "
               f"({ratio:.2f}x)  dropped {o['dropped']} -> {n['dropped']}"
-              f"  bounded {o.get('bounded')} -> {n.get('bounded')}{mark}")
+              f"  bounded {o.get('bounded')} -> {n.get('bounded')}{mark}{sst}")
         if bad:
             flagged.append(name)
     if flagged:
