@@ -252,10 +252,10 @@ object EventAnalytics {
           PARTITION BY p_id
           ORDER BY adt, dir, CASE WHEN dir = 0 THEN -c_id ELSE c_id END) AS rn
         FROM cand)
-      -- join the per-p_id winner back onto p: the as-of join emits one
-      -- row PER LEFT ROW (pandas merge_asof semantics), so duplicate-KEY
-      -- purchase copies (tenth axis, round 15) each carry the match;
-      -- identical on a key-unique corpus
+      -- the per-p_id winner is re-attached onto every p row: the as-of
+      -- emits one row PER LEFT ROW (pandas merge_asof semantics), so
+      -- duplicate-KEY purchase copies (tenth axis, round 15) each carry
+      -- the match; identical on a key-unique corpus
       SELECT p.u AS user_id, p.p_id AS event_id,
              epoch_us(p.p_ts) AS purchase_us,
              epoch_us(r.c_ts) AS nearest_click_us,
