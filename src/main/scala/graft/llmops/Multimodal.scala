@@ -269,8 +269,12 @@ object Multimodal {
         .filter(col("text").isNotNull) // missing payload: nothing to write
         // a blob store is keyed by media id: duplicate-KEY rows (tenth
         // axis, round 15) must collapse to ONE idempotent put — without
-        // this, two tasks can race concurrent writes to the same path
-        .dropDuplicates("doc_id")
+        // this, two tasks can race concurrent writes to the same path.
+        // min(text), not dropDuplicates: under KEY CORRUPTION (same id,
+        // different payload) dropDuplicates picks a partition-dependent
+        // winner — min is deterministic, and identical to dropDuplicates
+        // on exact copies (the contract case)
+        .groupBy(col("doc_id")).agg(min(col("text")).as("text"))
         .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
           rows.foreach { r =>
             java.nio.file.Files.write(
