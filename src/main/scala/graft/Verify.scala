@@ -53,6 +53,13 @@ object Verify {
         .parquet(s"$outDir/${q.name}")
       catch { case e: Throwable =>
         System.err.println(s"[verify] ${q.name} failed: ${e.getMessage}")
+        // leave an (empty) output dir so the checker reports the failure
+        // as NO_SPARK_OUTPUT instead of silently omitting the query — a
+        // failure during plan CONSTRUCTION (e.g. the spine guard's
+        // eager bounds check) otherwise creates no dir at all, while a
+        // failure mid-write leaves an empty one (r15: the timeext gate
+        // read "1 FAIL of 151" for two guarded queries)
+        new java.io.File(s"$outDir/${q.name}").mkdirs()
       }
       SessionMemo.clearFrames(spark, MemoLiveness.releasableAfter(q.name))
     }
