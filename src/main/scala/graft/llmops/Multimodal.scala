@@ -304,13 +304,16 @@ object Multimodal {
     "mm_binary_ingest",
     "binaryFile-source ingestion of a materialized blob dir; byte-roundtrip vs documents",
     Some("""
-      -- DISTINCT: the blob store holds ONE object per media id, so a
-      -- duplicate-KEY corpus (tenth axis, round 15) still reads back one
-      -- row per id; byte-identical copies collapse to one distinct row
-      SELECT DISTINCT doc_id AS media_id,
-             octet_length(encode(text)) AS n_bytes,
-             md5(text) AS content_md5
+      -- entity readback: the blob store holds ONE object per media id
+      -- (the write collapses copies via min(text) — deterministic even
+      -- under KEY CORRUPTION, r15), so the oracle models the store:
+      -- min(text) per id. Identical to the raw rows on a key-unique
+      -- corpus and to DISTINCT under exact duplication.
+      SELECT doc_id AS media_id,
+             octet_length(encode(min(text))) AS n_bytes,
+             md5(min(text)) AS content_md5
       FROM documents WHERE text IS NOT NULL
+      GROUP BY doc_id
       ORDER BY media_id"""),
     (s, dir) => {
       val bin = ensureBinFiles(s, dir)
@@ -357,8 +360,13 @@ object Multimodal {
                CAST(('0x' || substr(sk, 1, 4)) AS BIGINT) % $shardParts AS part
         FROM m),
       c AS (
+        -- n_bytes in the ORDER BY makes the layout sort a TOTAL order:
+        -- under key corruption (eleventh-axis pilot, r15) two rows can
+        -- share (sk, media_id) while differing in size, and a running
+        -- sum over a tied order is engine-dependent; no ties exist on a
+        -- key-unique corpus
         SELECT media_id, n_bytes, part,
-               SUM(n_bytes) OVER (PARTITION BY part ORDER BY sk, media_id
+               SUM(n_bytes) OVER (PARTITION BY part ORDER BY sk, media_id, n_bytes
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         FROM p)
       SELECT CAST(part * $shardShift + floor((cum - n_bytes) / $shardCap.0) AS BIGINT)
@@ -373,7 +381,7 @@ object Multimodal {
     (s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("part"))
-        .orderBy(col("sk"), col("media_id"))
+        .orderBy(col("sk"), col("media_id"), col("n_bytes")) // total order (see oracle)
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
           org.apache.spark.sql.expressions.Window.currentRow)
       T(s, dir, "documents")
