@@ -135,7 +135,13 @@ object Attribution {
         SELECT CASE WHEN m.p_ts IS NOT NULL
                      AND epoch_us(m.p_ts) - epoch_us(c.c_ts) <= 604800000000
                     THEN epoch_us(m.p_ts) - epoch_us(c.c_ts) END AS delay_us
-        FROM c JOIN m ON c.u = m.u AND c.c_id = m.c_id AND c.c_ts = m.c_ts)
+        -- null-safe: a click with NULL user/event/ts still counts one
+        -- row (the DISTINCT above groups NULLs together, and the
+        -- engine's per-left-row forward as-of counts every click row;
+        -- plain = would silently drop NULL-key clicks from n_clicks)
+        FROM c JOIN m ON c.u IS NOT DISTINCT FROM m.u
+                     AND c.c_id IS NOT DISTINCT FROM m.c_id
+                     AND c.c_ts IS NOT DISTINCT FROM m.c_ts)
       SELECT COUNT(*) AS n_clicks,
              COUNT(delay_us) AS n_converted,
              CAST(COUNT(delay_us) AS DOUBLE) / NULLIF(COUNT(*), 0) AS conversion_rate,

@@ -249,18 +249,25 @@ object EventAnalytics {
         FROM p LEFT JOIN c ON c.cu = p.u),
       ranked AS (
         SELECT *, row_number() OVER (
-          PARTITION BY p_id
+          PARTITION BY u, p_id, p_ts
           ORDER BY adt, dir, CASE WHEN dir = 0 THEN -c_id ELSE c_id END) AS rn
         FROM cand)
-      -- the per-p_id winner is re-attached onto every p row: the as-of
-      -- emits one row PER LEFT ROW (pandas merge_asof semantics), so
-      -- duplicate-KEY purchase copies (tenth axis, round 15) each carry
-      -- the match; identical on a key-unique corpus
+      -- the per-row-identity winner is re-attached onto every p row: the
+      -- as-of emits one row PER LEFT ROW (pandas merge_asof semantics),
+      -- so duplicate-KEY purchase copies (tenth axis, round 15) each
+      -- carry the match; identical on a key-unique corpus. The rejoin is
+      -- null-safe and keyed on (u, p_id, p_ts) — a NULL event_id
+      -- purchase still surfaces with its own per-ts match instead of
+      -- being dropped (plain = on p_id alone) or collapsed into one
+      -- NULL-partition winner (r15 ADVICE)
       SELECT p.u AS user_id, p.p_id AS event_id,
              epoch_us(p.p_ts) AS purchase_us,
              epoch_us(r.c_ts) AS nearest_click_us,
              r.c_id AS nearest_click_id
-      FROM p JOIN (SELECT * FROM ranked WHERE rn = 1) r ON p.p_id = r.p_id
+      FROM p JOIN (SELECT * FROM ranked WHERE rn = 1) r
+        ON p.u IS NOT DISTINCT FROM r.u
+       AND p.p_id IS NOT DISTINCT FROM r.p_id
+       AND p.p_ts IS NOT DISTINCT FROM r.p_ts
       ORDER BY user_id, event_id"""),
     (s, dir) => {
       val ev = events(s, dir)

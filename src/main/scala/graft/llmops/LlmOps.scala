@@ -491,19 +491,28 @@ object LlmOps {
     }.mkString("\n             + ")
     s"""
       WITH tk AS (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        -- per-PAYLOAD grouping key (md5(text)), not per doc_id: the
+        -- engine computes one signature per ROW, so a doc_id reused
+        -- with a DIFFERENT payload (key-corruption axis, round 16)
+        -- carries TWO signatures — a doc_id-only GROUP BY would blend
+        -- both payloads' token votes into a signature neither row has.
+        -- Exact duplicate rows land in one group with doubled votes
+        -- (signs unchanged — same signature), and on a key-unique
+        -- corpus the key is equivalent to doc_id alone.
+        SELECT doc_id, md5(text) AS payload,
+               unnest(string_split(text, ' ')) AS tok FROM documents),
       th AS (
-        SELECT doc_id,
+        SELECT doc_id, payload,
           ((c1 - CASE WHEN c1 >= 2147483648 THEN 4294967296 ELSE 0 END)
              * 4294967296 + c2) AS h
         FROM (
-          SELECT doc_id,
+          SELECT doc_id, payload,
             CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS c1,
             CAST(('0x' || substr(md5(tok), 9, 8)) AS BIGINT) AS c2
           FROM tk)),
       bits AS (
-        SELECT doc_id, $bitSums
-        FROM th GROUP BY doc_id),
+        SELECT doc_id, payload, $bitSums
+        FROM th GROUP BY doc_id, payload),
       sig AS (
         SELECT doc_id,
           ($sigBits) AS simhash

@@ -421,8 +421,16 @@ object Multimodal {
       .filter(col("n_chars").between(100, 500) && col("n_tokens") >= 20 &&
         least(col("w"), col("h")) >= 64 &&
         col("w") <= lit(3) * col("h") && col("h") <= lit(3) * col("w"))
+    // total-order tie-break (round 16, key-corruption promotion): a
+    // media_id reused with different payload/embedding copies ties on
+    // media_id alone, leaving the winner partition-order luck. w/h/v
+    // complete the order — both engines compare double LISTS
+    // lexicographically, well-defined under the indexable contract
+    // (finite, len-64, no null slots). Free on key-unique corpora
+    // (media_id already unique per caption group).
     val wDedup = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("caption_md5")).orderBy(col("media_id"))
+      .partitionBy(col("caption_md5"))
+      .orderBy(col("media_id"), col("w"), col("h"), col("v"))
     // int8-quantized embedding preview: floor(x*127 + 0.5) is exact and
     // tie-free in both engines (round() HALF_UP vs half-even diverges)
     def q8(i: Int): Column =
@@ -472,7 +480,10 @@ object Multimodal {
           AND least(dims.w, dims.h) >= 64
           AND dims.w <= 3 * dims.h AND dims.h <= 3 * dims.w),
       deduped AS (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY caption_md5 ORDER BY media_id) AS rn
+        -- media_id, w, h, v = the engine's total-order tie-break (see
+        -- curatePairs): corrupt-key copies differ only in w/h/v
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY caption_md5 ORDER BY media_id, w, h, v) AS rn
         FROM gated)
       SELECT media_id, caption_md5, w, h, CAST(n_tokens AS BIGINT) AS n_tokens,
              CAST(floor(v[1] * 127 + 0.5) AS INT) AS e1,

@@ -202,21 +202,36 @@ object Olap {
           COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS v_uniq,
           COUNT(*) FILTER (WHERE l_extendedprice < 0) AS v_price
         FROM lineitem),
+      -- v_corrupt: extra payload VARIANTS under reused keys (corrupt
+      -- dups) — row-struct spelling so NULL keys/payloads count as
+      -- values, matching the engine's struct-wrapped countDistinct
       ord AS (
         SELECT COUNT(*) AS n,
           COUNT(*) FILTER (WHERE o_totalprice <= 0) AS v_price,
           COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('F','O','P')) AS v_status,
-          COUNT(*) - COUNT(DISTINCT o_orderkey) AS v_uniq
+          COUNT(*) - COUNT(DISTINCT o_orderkey) AS v_uniq,
+          COUNT(DISTINCT (o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                          o_orderdate, o_orderpriority))
+            - COUNT(DISTINCT row(o_orderkey)) AS v_corrupt
         FROM orders),
       ev AS (
         SELECT COUNT(*) AS n,
-          COUNT(*) - COUNT(DISTINCT event_id) AS v_uniq FROM events),
+          COUNT(*) - COUNT(DISTINCT event_id) AS v_uniq,
+          COUNT(DISTINCT (event_id, ts, user_id, event_type, value, props))
+            - COUNT(DISTINCT row(event_id)) AS v_corrupt
+        FROM events),
       doc AS (
         SELECT COUNT(*) AS n,
-          COUNT(*) - COUNT(DISTINCT doc_id) AS v_uniq FROM documents),
+          COUNT(*) - COUNT(DISTINCT doc_id) AS v_uniq,
+          COUNT(DISTINCT (doc_id, text, lang, source, n_chars))
+            - COUNT(DISTINCT row(doc_id)) AS v_corrupt
+        FROM documents),
       emb AS (
         SELECT COUNT(*) AS n,
-          COUNT(*) - COUNT(DISTINCT vec_id) AS v_uniq FROM embeddings),
+          COUNT(*) - COUNT(DISTINCT vec_id) AS v_uniq,
+          COUNT(DISTINCT (vec_id, embedding, label))
+            - COUNT(DISTINCT row(vec_id)) AS v_corrupt
+        FROM embeddings),
       fk_li AS (
         SELECT (SELECT COUNT(*) FROM lineitem) AS n, COUNT(*) AS v
         FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -235,9 +250,13 @@ object Olap {
         UNION ALL SELECT 'orders.o_totalprice > 0', n, v_price, v_price = 0 FROM ord
         UNION ALL SELECT 'orders.o_orderstatus IN (F,O,P)', n, v_status, v_status = 0 FROM ord
         UNION ALL SELECT 'orders.o_orderkey UNIQUE', n, v_uniq, v_uniq = 0 FROM ord
+        UNION ALL SELECT 'orders.o_orderkey PAYLOAD-CONSISTENT', n, v_corrupt, v_corrupt = 0 FROM ord
         UNION ALL SELECT 'events.event_id UNIQUE', n, v_uniq, v_uniq = 0 FROM ev
+        UNION ALL SELECT 'events.event_id PAYLOAD-CONSISTENT', n, v_corrupt, v_corrupt = 0 FROM ev
         UNION ALL SELECT 'documents.doc_id UNIQUE', n, v_uniq, v_uniq = 0 FROM doc
+        UNION ALL SELECT 'documents.doc_id PAYLOAD-CONSISTENT', n, v_corrupt, v_corrupt = 0 FROM doc
         UNION ALL SELECT 'embeddings.vec_id UNIQUE', n, v_uniq, v_uniq = 0 FROM emb
+        UNION ALL SELECT 'embeddings.vec_id PAYLOAD-CONSISTENT', n, v_corrupt, v_corrupt = 0 FROM emb
         UNION ALL SELECT 'lineitem.l_orderkey REFERENCES orders', n, v, v = 0 FROM fk_li
         UNION ALL SELECT 'orders.o_custkey REFERENCES customer', n, v, v = 0 FROM fk_ord)
       ORDER BY constraint_name"""),
@@ -267,22 +286,42 @@ object Olap {
           (count(lit(1)) - countDistinct(col("l_orderkey"), col("l_linenumber"))),
         "lineitem.l_extendedprice >= 0" ->
           count(when(col("l_extendedprice") < 0, 1))))
+      // payload-consistency (key-corruption axis, round 16): a key
+      // reused with a DIFFERENT payload looks like a plain duplicate to
+      // the uniqueness rule; countDistinct(key, payload) exceeding
+      // countDistinct(key) counts the extra payload VARIANTS hiding
+      // under reused keys — exact dups stay invisible here, so the two
+      // rules together split dup rows into exact vs corrupt classes.
+      // STRUCT-wrapped on both sides so NULL keys/payloads count as
+      // values (plain multi-arg countDistinct drops any-NULL rows in
+      // Spark but not in DuckDB's row-struct spelling — measured).
+      // One more expression in the same single scan per table.
+      def payloadRule(t: String, k: String, payload: Seq[String]) =
+        s"$t.$k PAYLOAD-CONSISTENT" ->
+          (countDistinct(struct((k +: payload).map(col): _*)) -
+            countDistinct(struct(col(k))))
       val ordRows = rows(ord, Seq(
         "orders.o_totalprice > 0" ->
           count(when(col("o_totalprice") <= 0, 1)),
         "orders.o_orderstatus IN (F,O,P)" ->
           count(when(!col("o_orderstatus").isin("F", "O", "P"), 1)),
         "orders.o_orderkey UNIQUE" ->
-          (count(lit(1)) - countDistinct(col("o_orderkey")))))
+          (count(lit(1)) - countDistinct(col("o_orderkey"))),
+        payloadRule("orders", "o_orderkey",
+          Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+            "o_orderpriority"))))
       // primary-key uniqueness on the pipeline fact tables: reprocessed
       // or double-committed partitions land exact duplicate KEYS, which
       // no other rule sees (the tenth degenerate axis, round 15 — this
       // audit is the declared detector; see DupKeySpec)
-      val uniqRows = Seq(
-        ("events", "event_id"), ("documents", "doc_id"),
-        ("embeddings", "vec_id")).map { case (t, k) =>
+      val factPayloads = Seq(
+        ("events", "event_id", Seq("ts", "user_id", "event_type", "value", "props")),
+        ("documents", "doc_id", Seq("text", "lang", "source", "n_chars")),
+        ("embeddings", "vec_id", Seq("embedding", "label")))
+      val uniqRows = factPayloads.map { case (t, k, payload) =>
         rows(T(s, dir, t), Seq(
-          s"$t.$k UNIQUE" -> (count(lit(1)) - countDistinct(col(k)))))
+          s"$t.$k UNIQUE" -> (count(lit(1)) - countDistinct(col(k))),
+          payloadRule(t, k, payload)))
       }.reduce(_ unionByName _)
       def fkRow(nm: String, child: org.apache.spark.sql.DataFrame, key: String,
           parent: org.apache.spark.sql.DataFrame, pkey: String) = {

@@ -108,6 +108,16 @@ class DupKeySpec extends SparkSpec {
     }
     // and the audit itself is honest: the non-key rules still pass
     dup("orders.o_totalprice > 0") shouldBe ((0L, true))
+    // exact copies are INVISIBLE to the corruption detector (round 16):
+    // byte-identical rows add no payload variant under their key — the
+    // PAYLOAD-CONSISTENT rules stay green, splitting this axis's dups
+    // from KeyCorruptionSpec's payload-diff reuse
+    Seq("events.event_id", "documents.doc_id", "embeddings.vec_id",
+      "orders.o_orderkey").foreach { key =>
+      withClue(s"$key PAYLOAD-CONSISTENT on the dup'd corpus") {
+        dup(s"$key PAYLOAD-CONSISTENT") shouldBe ((0L, true))
+      }
+    }
   }
 
   test("duplicate-idempotent ops: byte-identical output on dup'd vs clean corpus") {

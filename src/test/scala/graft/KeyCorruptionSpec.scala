@@ -22,10 +22,21 @@ import org.apache.spark.sql.functions._
   *    path collapses corrupt copies via min(text), a deterministic
   *    winner, where dropDuplicates would be partition-dependent).
   *
-  * No cross-engine gate for this fixture BY DESIGN: the oracle mirrors
-  * assume the duplicate-row contract (byte-identical copies), so
-  * divergence under corruption is expected and meaningless — detection
-  * plus engine-side determinism IS the declared behavior.
+  * PROMOTED TO A FULL CROSS-ENGINE GATE in round 16 (§2b-c in the
+  * verify skill): the pyarrow twin of this fixture runs the complete
+  * Verify + check.py gate at `149 PASS, 3 rows-only, 0 FAIL`. The two
+  * round-15 boundary queries were closed at the source of their
+  * nondeterminism, not by weakening the gate: `llm_e2_simhash_pairs`'s
+  * oracle now groups token votes per (doc_id, payload) — the engine is
+  * row-faithful, so a corrupt key carries TWO signatures, and a
+  * doc_id-only GROUP BY blended both payloads into a signature neither
+  * row has — and `mm_pair_curation`'s caption-dedup window orders by
+  * (media_id, w, h, v) on BOTH engines, a total order under the
+  * indexable contract (finite, fixed-dim, no null slots — double lists
+  * compare lexicographically identically in Spark and DuckDB).
+  * `q_constraint_audit` additionally splits dup classes since round 16:
+  * the PAYLOAD-CONSISTENT rules count corrupt dups (extra payload
+  * variants under reused keys) which exact dups never trip.
   */
 class KeyCorruptionSpec extends SparkSpec {
 
@@ -77,14 +88,55 @@ class KeyCorruptionSpec extends SparkSpec {
     val audit = run("q_constraint_audit", corruptDir)
       .select("constraint_name", "n_violations", "pass")
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
-    // planted reuse counts at sf0.001 (residues above)
+    // planted reuse counts at sf0.001 (residues above); every dup here
+    // is a CORRUPT dup, so the round-16 PAYLOAD-CONSISTENT rule reports
+    // the same counts as the uniqueness rule
     Map(
-      "documents.doc_id UNIQUE" -> 22L,
-      "embeddings.vec_id UNIQUE" -> 17L,
-      "events.event_id UNIQUE" -> 32L,
-      "orders.o_orderkey UNIQUE" -> 41L).foreach { case (rule, n) =>
-      withClue(rule) { audit(rule) shouldBe ((n, false)) }
+      "documents.doc_id" -> 22L,
+      "embeddings.vec_id" -> 17L,
+      "events.event_id" -> 32L,
+      "orders.o_orderkey" -> 41L).foreach { case (key, n) =>
+      withClue(key) {
+        audit(s"$key UNIQUE") shouldBe ((n, false))
+        audit(s"$key PAYLOAD-CONSISTENT") shouldBe ((n, false))
+      }
     }
+  }
+
+  test("audit splits mixed duplicate classes: UNIQUE counts all dups, PAYLOAD-CONSISTENT only corrupt ones") {
+    // a corpus carrying BOTH classes at once — the corruption residues
+    // above plus DupKeySpec's exact-copy residues — must land
+    // v_uniq = exact + corrupt while v_corrupt counts ONLY the
+    // payload-diff reuse: the discriminator the round-15 pilot promised
+    val dir = java.nio.file.Files.createTempDirectory("graft_mixeddup").toString
+    val exactResidues = Map( // DupKeySpec's residues (disjoint recipe)
+      "events" -> (col("event_id") % 9 === 2),
+      "documents" -> (col("doc_id") % 11 === 3),
+      "embeddings" -> (col("vec_id") % 13 === 5),
+      "orders" -> (col("o_orderkey") % 17 === 7))
+    T.tableNames.foreach { t =>
+      val corrupted = T(spark, corruptDir, t)
+      val out = exactResidues.get(t) match {
+        case Some(pred) => corrupted.unionAll(T(spark, sfDir, t).filter(pred))
+        case None => corrupted
+      }
+      out.coalesce(1).write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    SessionMemo.clear(spark)
+    val audit = run("q_constraint_audit", dir)
+      .select("constraint_name", "n_violations", "pass")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    Map( // (corrupt planted, exact planted) at sf0.001
+      "documents.doc_id" -> ((22L, 46L)),
+      "embeddings.vec_id" -> ((17L, 39L)),
+      "events.event_id" -> ((32L, 111L)),
+      "orders.o_orderkey" -> ((41L, 88L))).foreach { case (key, (corrupt, exact)) =>
+      withClue(key) {
+        audit(s"$key UNIQUE") shouldBe ((corrupt + exact, false))
+        audit(s"$key PAYLOAD-CONSISTENT") shouldBe ((corrupt, false))
+      }
+    }
+    SessionMemo.clear(spark)
   }
 
   test("pick-sensitive queries are run-to-run deterministic under key corruption") {
@@ -94,7 +146,9 @@ class KeyCorruptionSpec extends SparkSpec {
       "parity_a6_flagged_report",     // posexplode ordinals per copy
       "parity_p2p6_null_tag_semantics",
       "e5_asof_nearest_click",        // tie-broken match over reused event_ids
-      "e5_forward_fill")              // window ordered by (ts, event_id) ties
+      "e5_forward_fill",              // window ordered by (ts, event_id) ties
+      "llm_e2_simhash_pairs",         // two signatures per corrupt key (r16)
+      "mm_pair_curation")             // total-order winner pick (r16)
     val failures = names.flatMap { n =>
       def once(): Seq[String] = {
         SessionMemo.clear(spark)
@@ -105,6 +159,30 @@ class KeyCorruptionSpec extends SparkSpec {
         a.zip(b).find { case (x, y) => x != y }.map(_.toString).getOrElse("size"))
     }
     withClue(failures.mkString("\n")) { failures shouldBe empty }
+    SessionMemo.clear(spark)
+  }
+
+  test("promoted shapes are row-order invariant: tie-breaks are total orders, not layout luck") {
+    // the round-16 promotion closed simhash (per-payload signatures) and
+    // pair curation (media_id, w, h, v total-order winner); if either
+    // tie-break were incomplete, re-materializing the SAME corrupt corpus
+    // with a different physical row order/partition layout would flip a
+    // winner. Hash-repartitioned rewrite = different file layout and
+    // intra-partition order than the coalesce(1) original.
+    val dir = java.nio.file.Files.createTempDirectory("graft_keycorrupt_relayout").toString
+    T.tableNames.foreach { t =>
+      val keyCol = T(spark, corruptDir, t).columns.head
+      T(spark, corruptDir, t).repartition(7, col(keyCol))
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    SessionMemo.clear(spark)
+    Seq("llm_e2_simhash_pairs", "mm_pair_curation").foreach { n =>
+      def dump(d: String): Seq[String] = {
+        SessionMemo.clear(spark)
+        run(n, d).collect().map(_.toString).sorted.toSeq
+      }
+      withClue(n) { dump(dir) shouldBe dump(corruptDir) }
+    }
     SessionMemo.clear(spark)
   }
 
@@ -119,7 +197,12 @@ class KeyCorruptionSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq
     val (a, b) = (ingest(dirA), ingest(dirB))
     withClue("blob store content diverged between identical corpora") { a shouldBe b }
-    // and the corrupted ids resolve to exactly one object each
-    a.size shouldBe T(spark, sfDir, "documents").count().toInt
+    // and the corrupted ids resolve to exactly one object each — the
+    // ingest path filters `text IS NOT NULL`, so compare against the
+    // non-null-text doc count, not the raw table count (r15 advice;
+    // identical on today's fixture, robust if a null-payload doc is
+    // ever added to testdata)
+    a.size shouldBe T(spark, sfDir, "documents")
+      .filter(col("text").isNotNull).count().toInt
   }
 }

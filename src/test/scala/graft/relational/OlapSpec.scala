@@ -160,19 +160,27 @@ class OlapSpec extends SparkSpec {
 
   test("constraint audit: one row per rule; structural rules hold on testdata") {
     val rows = run("q_constraint_audit").collect()
-    // 13 rules since r15: + key-uniqueness on orders/events/documents/
-    // embeddings (the duplicate-key axis detector, see DupKeySpec)
-    rows.length shouldBe 13
-    rows.map(_.getString(0)).distinct.length shouldBe 13
+    // 17 rules since r16: 13 from r15 (+ key-uniqueness on orders/
+    // events/documents/embeddings, the duplicate-key axis detector —
+    // see DupKeySpec) + payload-consistency on the same four keys (the
+    // key-corruption detector: corrupt dups vs exact dups — see
+    // KeyCorruptionSpec)
+    rows.length shouldBe 17
+    rows.map(_.getString(0)).distinct.length shouldBe 17
     val pass = rows.map(r => r.getString(0) -> r.getAs[Boolean]("pass")).toMap
     // the synthetic lineitem REUSES line numbers across order lines, so
     // the uniqueness rule honestly fails with a real violation count —
     // exactly what an audit must surface rather than abort on
     pass("lineitem.(l_orderkey,l_linenumber) UNIQUE") shouldBe false
     pass("lineitem.l_orderkey REFERENCES orders") shouldBe true
-    // the four pipeline primary keys ARE unique in the driver fixture
+    // the four pipeline primary keys ARE unique in the driver fixture,
+    // and their payloads are trivially key-consistent
     Seq("orders.o_orderkey UNIQUE", "events.event_id UNIQUE",
-      "documents.doc_id UNIQUE", "embeddings.vec_id UNIQUE")
+      "documents.doc_id UNIQUE", "embeddings.vec_id UNIQUE",
+      "orders.o_orderkey PAYLOAD-CONSISTENT",
+      "events.event_id PAYLOAD-CONSISTENT",
+      "documents.doc_id PAYLOAD-CONSISTENT",
+      "embeddings.vec_id PAYLOAD-CONSISTENT")
       .foreach(r => pass(r) shouldBe true)
     pass("orders.o_custkey REFERENCES customer") shouldBe true
     rows.foreach(r => r.getAs[Long]("n_checked") should be > 0L)

@@ -81,7 +81,12 @@ def main() -> int:
             if sst_ratio > THRESHOLD:
                 sst += " <-- LIVE-STATE BYTES GREW"
                 bad = True
-            if o.get("mem_bounded", True) and not n.get("mem_bounded", True):
+        # mem-boundedness is gated whenever the NEW side carries the
+        # field, independent of the old side's sst fields (r15 advice:
+        # nesting this under the both-sides-have-sst branch let a new
+        # run lose boundedness against a pre-r15 baseline unflagged)
+        if n.get("mem_bounded") is not None:
+            if o.get("mem_bounded", True) and not n["mem_bounded"]:
                 sst += " <-- LOST MEM BOUNDEDNESS"
                 bad = True
         print(f"  {name:<14} plateau {o['q4max']} -> {n['q4max']} rows "
