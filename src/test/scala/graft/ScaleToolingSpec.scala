@@ -117,6 +117,59 @@ class ScaleToolingSpec extends SparkSpec {
     curve((1 to 8).map(_ * 100L)).bounded shouldBe true
   }
 
+  test("bench_diff calibration normalization: a uniform ambient shift is divided out, a real mover is not") {
+    // synthetic-shift case (r15 verdict item 3): every query AND the
+    // calibration probe 1.30x slower on the new side = pure ambient
+    // contention; one query additionally 2x = a real code mover. The
+    // normalized gate must flag ONLY the real mover and report a 1.00x
+    // normalized median.
+    import scala.sys.process._
+    val dir = java.nio.file.Files.createTempDirectory("graft_benchdiff_spec")
+    val qnames = (1 to 9).map(i => s"q$i")
+    def detail(mult: Double, calib: Double, extra2x: Boolean): String = {
+      val qs = qnames.zipWithIndex.map { case (n, i) =>
+        val base = 0.5 + i * 0.3
+        val v = base * mult * (if (extra2x && n == "q5") 2.0 else 1.0)
+        s""""$n": $v"""
+      }.mkString(", ")
+      s"""{"value": 0, "calib_pre": ${0.85 * calib}, "calib_post": ${0.80 * calib},
+          "queries": {$qs}}"""
+    }
+    def write(name: String, body: String): String = {
+      val p = dir.resolve(name)
+      java.nio.file.Files.writeString(p, body)
+      p.toString
+    }
+    val old = write("old.json", detail(1.0, 1.0, extra2x = false))
+    val shifted = write("shifted.json", detail(1.3, 1.3, extra2x = false))
+    val moved = write("moved.json", detail(1.3, 1.3, extra2x = true))
+    def diff(a: String, b: String): String =
+      Seq("python3", "tools/bench_diff.py", a, b).!!
+    val uniform = diff(old, shifted)
+    withClue(uniform) {
+      uniform should include("median_ratio=1.30x")
+      uniform should include("calib_ratio=1.30x")
+      uniform should include("normalized_median=1.00x")
+      uniform should include("no query moved >1.5x either way (normalized ratio)")
+    }
+    val real = diff(old, moved)
+    withClue(real) {
+      real should include("normalized_median=1.00x") // median still ambient-only
+      real should include("1 query moved >1.5x (normalized ratio)")
+      real should include("q5")
+      (real should not).include("q4") // the uniform shift alone must not flag
+    }
+    // raw-detail regression guard: details lacking calib fields fall back
+    // to the raw gate (pre-r10 recordings)
+    val bare = write("bare.json", s"""{"queries": {"q1": 1.0, "q2": 2.0}}""")
+    val bare2 = write("bare2.json", s"""{"queries": {"q1": 1.3, "q2": 2.6}}""")
+    val raw = diff(bare, bare2)
+    withClue(raw) {
+      (raw should not).include("normalized_median")
+      raw should include("no query moved >1.5x either way")
+    }
+  }
+
   override protected def afterAll(): Unit = {
     val p = java.nio.file.Paths.get(
       s"${sys.props("java.io.tmpdir")}/graft_driftgen_spec_${ProcessHandle.current().pid()}")

@@ -545,4 +545,36 @@ class LlmOpsSpec extends SparkSpec {
       graft.SessionMemo.clear(spark)
     }
   }
+
+  test("shingle index has SET semantics: one (doc_id, s) row per distinct pair under duplicate commits") {
+    // the `.distinct()` in LlmOps.shingles is load-bearing (Jaccard <= 1
+    // depends on it) but before this pin only DupKeySpec's end-to-end
+    // gate would catch its removal (r15 verdict item 6). Direct unit
+    // pin: a duplicate-COMMITTED doc row must not double its
+    // (doc_id, shingle) pairs, and the planted exact-dup pair's
+    // similarity stays exactly 1.0, the set-math ceiling.
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_test_dupcommit"
+    val docs = spark.read.parquet(s"$plantedDir/documents.parquet")
+    docs.unionAll(docs.filter(col("doc_id") === 0)) // doc 0 committed twice
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    graft.SessionMemo.clear(spark)
+    try {
+      val sh = LlmOps.shingles(spark, dir)
+      val (total, distinct) = (sh.count(), sh.distinct().count())
+      withClue("duplicate-committed doc fanned out the shingle index:") {
+        total shouldBe distinct
+      }
+      val pairs = Registry.byName("llm_e2_ngram_jaccard_pairs").run(spark, dir)
+        .select("da", "db", "jaccard")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      withClue("Jaccard exceeded the set-math ceiling of 1.0:") {
+        all(pairs.values) should be <= 1.0
+      }
+      // doc 20 is base(0)'s exact copy in the planted corpus; doc 0 is
+      // the duplicate-committed side — the pair must read exactly 1.0
+      pairs((0L, 20L)) shouldBe 1.0
+    } finally {
+      graft.SessionMemo.clear(spark)
+    }
+  }
 }

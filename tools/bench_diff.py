@@ -12,9 +12,16 @@ Usage:
 Reads the {"queries": {name: sec}} map from each side. Output:
   - totals + overall median per-query ratio (the env-drift indicator: a
     near-uniform median shift with few outliers = environment, not code)
-  - every query whose ratio moved >1.5x either way, sorted by |log ratio|,
-    with the absolute delta (a 4.6x move on a 0.27s query is noise-grade;
-    the delta column keeps that honest)
+  - a CALIBRATION-NORMALIZED median (added round 16): each side's CPU
+    calibration (mean of calib_pre/calib_post — a fixed 32-thread LCG
+    loop, so its ratio IS the ambient contention ratio) divides the
+    per-query ratios, turning the recurring "the 1.14x median is uniform
+    ambient, calib moved the same way" argument into one printed number.
+    The mover gate below uses the NORMALIZED ratio when both sides carry
+    calibrations (raw otherwise).
+  - every query whose normalized ratio moved >1.5x either way, sorted by
+    |log ratio|, with the absolute delta (a 4.6x move on a 0.27s query
+    is noise-grade; the delta column keeps that honest)
   - queries present on only one side (added/removed)
 
 Exit code 0 always — this is a reporting tool, not a gate.
@@ -51,6 +58,13 @@ def main() -> None:
     ratios = sorted(nq[k] / max(oq[k], 1e-9) for k in common)
     med = ratios[len(ratios) // 2]
 
+    def calib_mean(d: dict):
+        vals = [v for v in (d.get("calib_pre"), d.get("calib_post")) if v]
+        return sum(vals) / len(vals) if vals else None
+
+    cal_o, cal_n = calib_mean(old), calib_mean(new)
+    cal_ratio = (cal_n / cal_o) if (cal_o and cal_n) else None
+
     def probes(d: dict) -> str:
         """Environment-probe suffix (fields present since round 10):
         calib ≈0.9 idle, inflated by ambient contention; pass_totals
@@ -84,19 +98,32 @@ def main() -> None:
               " trajectory: BASELINE.md round-13 block, r12 closing 111.460s)."
               " Per-query ratios for memo-consuming families are accounting"
               " artifacts; compare totals or query+memo sums.")
-    print(f"common={len(common)}  median_ratio={med:.2f}x  "
+    norm_note = ""
+    if cal_ratio:
+        norm_note = (f"  calib_ratio={cal_ratio:.2f}x"
+                     f"  normalized_median={med / cal_ratio:.2f}x")
+    print(f"common={len(common)}  median_ratio={med:.2f}x{norm_note}  "
           f"(>1.2x: {sum(r > 1.2 for r in ratios)}, <0.83x: {sum(r < 1/1.2 for r in ratios)})")
 
-    movers = [(k, nq[k] / max(oq[k], 1e-9)) for k in common]
+    # the mover gate runs on the calibration-NORMALIZED ratio when both
+    # sides carry calibrations: a uniform ambient-load shift moves calib
+    # and every query by the same factor, so dividing it out leaves only
+    # code movement (raw ratio when either side predates the probes)
+    def norm(r: float) -> float:
+        return r / cal_ratio if cal_ratio else r
+
+    gate = "normalized " if cal_ratio else ""
+    movers = [(k, norm(nq[k] / max(oq[k], 1e-9))) for k in common]
     movers = [(k, r) for k, r in movers if r > 1.5 or r < 1 / 1.5]
     movers.sort(key=lambda kr: -abs(math.log(kr[1])))
     if movers:
-        print(f"\n{len(movers)} quer{'y' if len(movers) == 1 else 'ies'} moved >1.5x:")
+        print(f"\n{len(movers)} quer{'y' if len(movers) == 1 else 'ies'} "
+              f"moved >1.5x ({gate}ratio):")
         print(f"  {'query':42} {'old':>7} {'new':>7} {'ratio':>7} {'delta':>8}")
         for k, r in movers:
             print(f"  {k:42} {oq[k]:7.2f} {nq[k]:7.2f} {r:6.2f}x {nq[k]-oq[k]:+7.2f}s")
     else:
-        print("\nno query moved >1.5x either way")
+        print(f"\nno query moved >1.5x either way ({gate}ratio)")
 
     added, removed = sorted(set(nq) - set(oq)), sorted(set(oq) - set(nq))
     if added:
