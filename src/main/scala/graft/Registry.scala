@@ -152,15 +152,30 @@ object T {
     normalize(spark, name, df)
 
   private def normalize(spark: SparkSession, name: String, df: DataFrame): DataFrame = {
-    val want = canonical.getOrElse(name, Seq.empty).toMap
+    val wantSeq = canonical.getOrElse(name, Seq.empty)
+    val want = wantSeq.toMap
     val drifted = df.schema.fields.exists(f => want.get(f.name).exists(_ != f.dataType))
-    if (!drifted) df
-    else df.select(df.schema.fields.map { f =>
-      want.get(f.name) match {
-        case Some(t) if t != f.dataType => normCol(spark, f, t)
-        case _ => col(f.name)
-      }
-    }.toSeq: _*)
+    // column ORDER is part of the logical contract too (layout-drift
+    // axis, round 16): a hive-partitioned lake layout surfaces partition
+    // columns LAST on read, and any `SELECT *`-shaped plan would inherit
+    // that physical accident — so declared columns come back in contract
+    // order, undeclared extras (future driver columns) after, in
+    // physical order. A plain projection: zero cost beyond the plan.
+    val declared = wantSeq.map(_._1)
+    val shared = declared.filter(df.columns.contains)
+    val misordered = df.columns.toSeq.filter(shared.contains) != shared
+    if (!drifted && !misordered) df
+    else {
+      val byName = df.schema.fields.map(f => f.name -> f).toMap
+      val ordered = shared.map(byName(_)) ++
+        df.schema.fields.filterNot(f => shared.contains(f.name))
+      df.select(ordered.map { f =>
+        want.get(f.name) match {
+          case Some(t) if t != f.dataType => normCol(spark, f, t)
+          case _ => col(f.name)
+        }
+      }.toSeq: _*)
+    }
   }
 
   /** Table frames are memoized per (session, dir, name): `spark.read

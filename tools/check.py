@@ -49,9 +49,17 @@ def main(sf_dir, out_dir, allow_type_boundary=False):
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):
-            # Spark-written table: a directory of part files (e.g. the
-            # ScaleProbe's replicated dirs double as sfDirs)
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
+            if glob.glob(f"{p}/*.parquet"):
+                # Spark-written table: a directory of part files (e.g. the
+                # ScaleProbe's replicated dirs double as sfDirs)
+                con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
+            else:
+                # hive-partitioned subdirectory layout (layout-drift axis,
+                # round 16): partition values come back from the dir names;
+                # canon() sorts columns by name, so the partition column
+                # surfacing last is invisible to the compare
+                con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                            f"read_parquet('{p}/**/*.parquet', hive_partitioning=1)")
         elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
