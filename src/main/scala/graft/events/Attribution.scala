@@ -138,7 +138,7 @@ object Attribution {
         -- null-safe: a click with NULL user/event/ts still counts one
         -- row (the DISTINCT above groups NULLs together, and the
         -- engine's per-left-row forward as-of counts every click row;
-        -- plain = would silently drop NULL-key clicks from n_clicks)
+        -- plain = would silently exclude NULL-key clicks in n_clicks)
         FROM c JOIN m ON c.u IS NOT DISTINCT FROM m.u
                      AND c.c_id IS NOT DISTINCT FROM m.c_id
                      AND c.c_ts IS NOT DISTINCT FROM m.c_ts)

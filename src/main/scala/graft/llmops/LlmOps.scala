@@ -2051,8 +2051,14 @@ object LlmOps {
                CAST(('0x' || substr(shuffle_key, 1, 4)) AS BIGINT) % $packParts AS part
         FROM t),
       c AS (
+        -- n_tokens completes the total order (round 16): duplicate-key
+        -- copies tie on (shuffle_key, doc_id), and under CORRUPTION the
+        -- tied copies carry DIFFERENT token counts — a running sum over
+        -- a tied order is engine-dependent (the mm_shard_manifest class,
+        -- round 15; surfaced here by the 12-axis combined fixture).
+        -- Remaining ties have equal n_tokens, so the cum is well-defined.
         SELECT part, n_tokens,
-          SUM(n_tokens) OVER (PARTITION BY part ORDER BY shuffle_key, doc_id
+          SUM(n_tokens) OVER (PARTITION BY part ORDER BY shuffle_key, doc_id, n_tokens
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         FROM p),
       packs AS (
@@ -2064,7 +2070,7 @@ object LlmOps {
 
   private def packFrame(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("part"))
-      .orderBy(col("shuffle_key"), col("doc_id"))
+      .orderBy(col("shuffle_key"), col("doc_id"), col("n_tokens")) // total order (see oracle)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs(s, dir)
       .select(col("doc_id"),

@@ -176,7 +176,15 @@ class KeyCorruptionSpec extends SparkSpec {
         .write.mode("overwrite").parquet(s"$dir/$t.parquet")
     }
     SessionMemo.clear(spark)
-    Seq("llm_e2_simhash_pairs", "mm_pair_curation").foreach { n =>
+    // the pack pipeline and running-spend window joined this list in
+    // round 16: their running sums ordered by keys that corrupt copies
+    // TIE on (same shuffle_key/doc_id resp. date/key, different summed
+    // value) — engine-dependent cums until the summed value completed
+    // the total order (the mm_shard_manifest class; found by the
+    // twelve-axis combined gate, red here without the fix)
+    Seq("llm_e2_simhash_pairs", "mm_pair_curation",
+      "llm_e4_shuffle_pack", "llm_e4_pack_efficiency",
+      "q_window_running_sum").foreach { n =>
       def dump(d: String): Seq[String] = {
         SessionMemo.clear(spark)
         run(n, d).collect().map(_.toString).sorted.toSeq

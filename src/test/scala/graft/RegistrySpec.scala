@@ -23,8 +23,11 @@ class RegistrySpec extends AnyFunSuite with Matchers {
     // word-boundary FROM/JOIN targets; CTE names are declared inside the SQL
     val fromJoin = "(?i)\\b(?:FROM|JOIN)\\s+([a-zA-Z_][a-zA-Z0-9_]*)".r
     Registry.all.flatMap(q => q.oracle.map(q.name -> _)).foreach { case (name, rawSql) =>
-      // EXTRACT(field FROM col) is not a table reference
+      // EXTRACT(field FROM col) is not a table reference, and neither is
+      // the FROM inside the null-safe-equality operator `a IS NOT
+      // DISTINCT FROM b` (round-16 oracles use it in rejoins)
       val sql = rawSql.replaceAll("(?i)extract\\s*\\([^)]*\\)", "")
+        .replaceAll("(?i)IS\\s+NOT\\s+DISTINCT\\s+FROM", "IS_NOT_DISTINCT_OP")
       val ctes = "(?i)\\b([a-zA-Z_][a-zA-Z0-9_]*)\\s*(?:\\([a-zA-Z0-9_,\\s]*\\))?\\s+AS\\s*\\(".r
         .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
       fromJoin.findAllMatchIn(sql).map(_.group(1).toLowerCase)

@@ -46,6 +46,15 @@ def canon(cols, rows):
 
 def main(sf_dir, out_dir, allow_type_boundary=False):
     con = duckdb.connect()
+    # DuckDB 1.0's PARALLEL window evaluation is nondeterministic over
+    # multi-file scans (measured round 16 on the 12-axis hive fixture:
+    # e5_range_join_sessions' lag-gap session chain flipped in ~1-2 of 10
+    # runs at default threads, 10/10 stable at threads=1 and on
+    # single-file scans; Spark was deterministic and agreed with the
+    # majority AND a hand-derived interval check). The oracle must be a
+    # fixed point, so it runs single-threaded — at gate scales (sf0.01)
+    # the whole 152-query compare is ~18s either way.
+    con.execute("SET threads TO 1")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):
