@@ -108,15 +108,22 @@ object GapFill {
     "e5_forward_fill",
     "last-purchase-value forward fill via IGNORE NULLS window (E5 §2.6)",
     Some("""
+      -- value completes the total order (round 16): a same-ts corrupt
+      -- copy (recomputed-value backfill double-commit) ties on
+      -- (ts, event_id) with a DIFFERENT fill payload, and the last-pick
+      -- among tied rows was stable-sort luck (the running-sum class,
+      -- §2b-z). NULLS FIRST is explicit because the engines' ASC
+      -- defaults differ (Spark first, DuckDB last) and a null-value
+      -- copy's OWN fill row depends on its side of the tie.
       SELECT event_id, user_id, event_type,
         LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
-          OVER (PARTITION BY user_id ORDER BY ts, event_id
+          OVER (PARTITION BY user_id ORDER BY ts, event_id, value ASC NULLS FIRST
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value
       FROM events
       ORDER BY event_id"""),
     (s, dir) => {
       val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
+        .orderBy(col("ts"), col("event_id"), col("value").asc_nulls_first)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       EventAnalytics.events(s, dir)
         .withColumn("last_purchase_value",

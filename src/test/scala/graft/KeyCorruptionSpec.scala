@@ -194,6 +194,42 @@ class KeyCorruptionSpec extends SparkSpec {
     SessionMemo.clear(spark)
   }
 
+  test("same-ts payload corruption: window fill picks are value-ordered, not sort-stability luck") {
+    // the recomputed-column backfill double-commit: the SAME (event_id,
+    // ts) re-committed with a different value — ties every window
+    // ordered by (ts, event_id) with rows whose PAYLOADS differ. The
+    // forward-fill pick among such ties was input-order luck until
+    // `value` completed the total order (round 16; the §2b-z running-sum
+    // class, measured cross-engine green on the kc2 fixtures). Pin: two
+    // independently-ordered materializations of the same corrupt corpus
+    // (base-before-corrupt vs value-descending) must fill identically.
+    def events(order: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) = {
+      val base = T(spark, sfDir, "events")
+      val corrupt = base.filter(col("event_id") % 31 === 17)
+        .withColumn("value", col("value") + 1000.0)
+      order(base.unionAll(corrupt))
+    }
+    val dirA = java.nio.file.Files.createTempDirectory("graft_samets_a").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft_samets_b").toString
+    T.tableNames.foreach { t =>
+      val a = if (t == "events") events(identity) else T(spark, sfDir, t)
+      val b = if (t == "events") events(_.sortWithinPartitions(col("value").desc_nulls_last))
+              else T(spark, sfDir, t)
+      a.coalesce(1).write.mode("overwrite").parquet(s"$dirA/$t.parquet")
+      b.coalesce(1).write.mode("overwrite").parquet(s"$dirB/$t.parquet")
+    }
+    SessionMemo.clear(spark)
+    Seq("e5_forward_fill", "e5_asof_purchase_last_click",
+      "e5_asof_nearest_click").foreach { n =>
+      def dump(d: String): Seq[String] = {
+        SessionMemo.clear(spark)
+        run(n, d).collect().map(_.toString).sorted.toSeq
+      }
+      withClue(n) { dump(dirB) shouldBe dump(dirA) }
+    }
+    SessionMemo.clear(spark)
+  }
+
   test("blob sink collapses corrupt copies to a deterministic winner across corpora") {
     // two independently-built corpora with the same (corrupted) logical
     // content must materialize byte-identical blob stores: min(text)
