@@ -495,6 +495,7 @@ object Registry {
       events.Skew.queries ++
       events.Temporal.queries ++
       llmops.BigramLm.queries ++
+      llmops.Dsir.queries ++
       llmops.LlmOps.queries ++
       llmops.TextRanking.queries ++
       llmops.Retrieval.queries ++

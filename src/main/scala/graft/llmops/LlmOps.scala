@@ -890,6 +890,78 @@ object LlmOps {
         .orderBy("doc_id")
     })
 
+  /** Bloom-prefiltered decontamination — [[e2Decontam]]'s shape for when
+    * the benchmark index outgrows broadcast. A 10M-n-gram eval index is
+    * hundreds of MB broadcast but ~9 MB as a 1%-fpp Bloom filter; the
+    * sketch rides INSIDE the plan (a literal on a codegen'd
+    * [[graft.functions.BloomMightContain]] filter, like the PQ codebook
+    * literals), the corpus-sized n-gram stream shrinks to fpp x corpus +
+    * true positives BEFORE any exchange, and the exact join that removes
+    * the false positives then only moves the survivor stream — a
+    * SHUFFLED join here, deliberately not broadcast, because this
+    * operator's premise is an index too big to broadcast (AQE may still
+    * pick broadcast at test scale; that is its call, not the plan's
+    * assumption).
+    *
+    * Result contract: IDENTICAL to [[e2Decontam]] — the Bloom admits
+    * false positives only, and every survivor is re-verified by the
+    * exact join, so the prefilter is invisible in the output. The oracle
+    * is therefore the exact query's SQL verbatim, and the gate
+    * hash-compares this path against it. Build discipline: the filter is
+    * populated with `putBinary(<utf8 bytes>)` of each distinct eval
+    * n-gram (ONE pass over the bounded eval split, combined per
+    * partition then merged — bit-OR, so partition order is irrelevant)
+    * and memoized per (session, dir) beside the frames it pairs with. */
+  private val e2BloomDecontam = GraftQuery(
+    "llm_e2_bloom_decontam",
+    s"decontamination behind a plan-literal Bloom prefilter + exact shuffled join (E2)",
+    Some(s"""
+      -- exact decontamination SQL verbatim: the Bloom prefilter must be
+      -- invisible in the result (false positives re-verified exactly)
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE len(string_split(text, ' ')) >= $decontamN),
+      sh AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i:i+${decontamN - 1}], ' ') AS s
+        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - ${decontamN - 1})) AS i FROM t)),
+      ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 50 = 0),
+      tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 50 <> 0)
+      SELECT tr.doc_id,
+             count(DISTINCT ev.eval_id) AS n_eval_docs,
+             count(DISTINCT tr.s) AS n_shared_ngrams
+      FROM tr JOIN ev ON tr.s = ev.s
+      GROUP BY tr.doc_id
+      ORDER BY tr.doc_id"""),
+    (s, dir) => {
+      val bloom = decontamBloom(s, dir)
+      val tr = docNgrams(docs(s, dir).filter(isTrainDoc(col("doc_id"))), decontamN)
+        .filter(graft.functions.BloomExprs.bloomMightContain(col("s"), bloom))
+      tr.join(evalNgramIndex(s, dir), Seq("s"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("eval_id")).as("n_eval_docs"),
+          countDistinct(col("s")).as("n_shared_ngrams"))
+        .orderBy("doc_id")
+    })
+
+  /** The memoized eval-split n-gram Bloom filter (1% fpp). Built with
+    * the UTF-8-byte contract [[graft.functions.BloomMightContain]]
+    * probes with; `treeAggregate` merges per-partition filters by
+    * bit-OR, so the result is independent of row order and
+    * partitioning. The eval split is small BY CONSTRUCTION (it is a
+    * benchmark set), so the driver-held sketch is bounded the same way
+    * the broadcast eval index already is. Package-visible so LlmOpsSpec
+    * can probe fpp/selectivity directly. */
+  private[graft] def decontamBloom(
+      s: SparkSession, dir: String): org.apache.spark.util.sketch.BloomFilter =
+    graft.SessionMemo.value(s, dir, "decontam_bloom") {
+      val items = evalNgramIndex(s, dir).select(col("s")).distinct()
+      val n = math.max(items.count(), 1L)
+      items.as[String](org.apache.spark.sql.Encoders.STRING).rdd
+        .treeAggregate(org.apache.spark.util.sketch.BloomFilter.create(n, 0.01))(
+          (f, v) => { f.putBinary(v.getBytes(java.nio.charset.StandardCharsets.UTF_8)); f },
+          (a, b) => { a.mergeInPlace(b); a })
+    }
+
   // span length for cross-document exact-substring detection. Lee et al.
   // 2021 ("Deduplicating Training Data Makes Language Models Better")
   // use 50-token spans; 8 keeps the check meaningful on the short
@@ -2224,7 +2296,7 @@ object LlmOps {
 
   def queries: Seq[GraftQuery] = Seq(
     e1, e1Stats, e1Incremental, e2Jaccard, e2MinHash, e2SimHash, e2EmbedCosine, e2Clusters,
-    e2DedupApply, e2ClusterSafeSplit, e2Decontam, e2RepeatedSpans, e2SpanCut, e3TopK, e3Ann, e3Ivf, e3EvalNN, e3KnnClassify, e3Centroids,
+    e2DedupApply, e2ClusterSafeSplit, e2Decontam, e2BloomDecontam, e2RepeatedSpans, e2SpanCut, e3TopK, e3Ann, e3Ivf, e3EvalNN, e3KnnClassify, e3Centroids,
     e4Terms, e4Quality,
     e4LangId, e4Fingerprint, e4Rolling, e4Repetition, e4Chunk, e4Mix, e4Scrub,
     e4Surprisal, e4Split, e4Pack, e4PackEff, e4Cascade, e4Novelty)

@@ -86,6 +86,17 @@ object Retrieval {
     * pins [[bm25Terms]] so its oracle stays closed-form. */
   def bm25TopDocs(s: SparkSession, dir: String, terms: Seq[String],
       k: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("term")).orderBy(col("score").desc, col("doc_id"))
+    bm25Scored(s, dir, terms).withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("score"))
+      .orderBy(col("term"), col("score").desc, col("doc_id"))
+  }
+
+  /** The per-(term, doc) BM25-scored candidate frame both the top-k
+    * query and the RRF fusion consume: one row per query term per doc
+    * containing it, with tf, dl, and the rational-idf BM25 score. */
+  private def bm25Scored(s: SparkSession, dir: String, terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "BM25 needs at least one query term")
     val d = docs(s, dir)
     val tok = d.select(col("doc_id"), explode(toks(col("text"))).as("term"))
@@ -97,7 +108,7 @@ object Retrieval {
       .filter(col("term").isin(terms: _*))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val scored = tf
+    tf
       .join(broadcast(df), "term") // |terms| rows
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats)) // 1-row scalar
@@ -106,12 +117,91 @@ object Retrieval {
           ((col("tf") * lit(2.2)) /
             (col("tf") + lit(1.2) *
               (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl"))))))
-    val w = Window.partitionBy(col("term")).orderBy(col("score").desc, col("doc_id"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("score"))
-      .orderBy(col("term"), col("score").desc, col("doc_id"))
   }
+
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of two
+    * genuinely different lexical rankers over the same candidates:
+    * BM25 (length-normalized) and raw term frequency (not). RRF is the
+    * standard way hybrid retrieval combines rankers whose scores are
+    * not calibrated against each other — only RANKS enter the fused
+    * score, sum(1 / (60 + rank_i)), so the fusion is immune to score
+    * scale and, here, to cross-engine floating-point score noise: both
+    * ranks are integers from (score, doc_id)-ordered windows, the two
+    * reciprocals are exact-input double divisions added in one fixed
+    * order, and ties in the fused score (rank pairs like (1,4)/(4,1)
+    * sum identically) break on doc_id.
+    *
+    * The ranks are dense_rank, NOT row_number, and the distinction is
+    * the duplicate-key axis (§2b-x): ranks are EMITTED columns here, and
+    * a duplicate-committed doc ties both windows on their full
+    * (score, doc_id) order — row_number would split the tie by engine
+    * sort luck and the two copies could carry CROSSED (r_bm25, r_tf)
+    * pairs on different engines; dense_rank gives identical copies
+    * identical ranks (and is exactly row_number on any corpus without
+    * duplicate keys). The final top-10 cut stays row_number: its tie
+    * groups are byte-identical rows, so which copy survives the cut is
+    * unobservable in the output multiset.
+    *
+    * Scale shape: everything downstream of the one tf aggregation the
+    * BM25 query already pays — two bounded row_number windows over
+    * |terms| partitions of df(term) rows, a column-append of two
+    * reciprocals, and a third bounded window for the final top-10. No
+    * new corpus-sized edge; at 100 TB the added cost over plain BM25 is
+    * the second window over the same per-term candidate sets. */
+  private val rrfFusion = GraftQuery(
+    "llm_e4_rrf_fusion",
+    "reciprocal-rank fusion of BM25 and raw-tf rankings, top-10 per term (E4)",
+    Some(s"""
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      dl AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+      stats AS (
+        SELECT COUNT(*) AS n, CAST(CAST((SUM(dl)) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+      tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM tok
+        WHERE term IN (${bm25Terms.map(t => s"'$t'").mkString(", ")})
+        GROUP BY doc_id, term),
+      df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      scored AS (
+        SELECT tf.term, tf.doc_id, tf.tf,
+               ((stats.n - df.df + CAST(0.5 AS DOUBLE)) / (df.df + CAST(0.5 AS DOUBLE)))
+                 * ((tf.tf * CAST(2.2 AS DOUBLE))
+                    / (tf.tf + CAST(1.2 AS DOUBLE)
+                       * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+                          * (CAST(dl.dl AS DOUBLE) / stats.avgdl)))) AS score
+        FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+      ranked AS (
+        SELECT term, doc_id,
+               dense_rank() OVER (PARTITION BY term ORDER BY score DESC, doc_id) AS r_bm25,
+               dense_rank() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS r_tf
+        FROM scored),
+      fused AS (
+        SELECT term, doc_id, r_bm25, r_tf,
+               CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + r_bm25)
+                 + CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + r_tf) AS rrf_score
+        FROM ranked),
+      topk AS (
+        SELECT *, row_number() OVER (PARTITION BY term ORDER BY rrf_score DESC, doc_id) AS rk
+        FROM fused)
+      SELECT term, doc_id, r_bm25, r_tf, rrf_score
+      FROM topk WHERE rk <= 10
+      ORDER BY term, rrf_score DESC, doc_id"""),
+    (s, dir) => {
+      val scored = bm25Scored(s, dir, bm25Terms)
+      val wBm = Window.partitionBy(col("term")).orderBy(col("score").desc, col("doc_id"))
+      val wTf = Window.partitionBy(col("term")).orderBy(col("tf").desc, col("doc_id"))
+      val fused = scored
+        .withColumn("r_bm25", dense_rank().over(wBm).cast("long"))
+        .withColumn("r_tf", dense_rank().over(wTf).cast("long"))
+        .withColumn("rrf_score",
+          lit(1.0) / (lit(60.0) + col("r_bm25")) + lit(1.0) / (lit(60.0) + col("r_tf")))
+      val wK = Window.partitionBy(col("term")).orderBy(col("rrf_score").desc, col("doc_id"))
+      fused.withColumn("rk", row_number().over(wK))
+        .filter(col("rk") <= 10)
+        .select(col("term"), col("doc_id"), col("r_bm25"), col("r_tf"), col("rrf_score"))
+        .orderBy(col("term"), col("rrf_score").desc, col("doc_id"))
+    })
 
   /** Bigram collocations ranked by lift = P(xy) / (P(x)·P(y)) — log-free
     * PMI. Counts: n_xy over adjacent token pairs, n_x over all unigram
@@ -324,5 +414,5 @@ object Retrieval {
         .orderBy(col("lang"))
     })
 
-  def queries: Seq[GraftQuery] = Seq(bm25, bigramLift, qualityDeciles, vocabOov)
+  def queries: Seq[GraftQuery] = Seq(bm25, rrfFusion, bigramLift, qualityDeciles, vocabOov)
 }

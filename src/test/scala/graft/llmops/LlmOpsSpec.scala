@@ -577,4 +577,42 @@ class LlmOpsSpec extends SparkSpec {
       graft.SessionMemo.clear(spark)
     }
   }
+
+  test("bloom decontam: identical result to exact, no false negatives, real prefilter selectivity") {
+    // the Bloom prefilter's contract is INVISIBILITY: admits false
+    // positives only (removed by the exact join), never drops a true
+    // positive — so the two queries must return the same row multiset
+    val exact = Registry.byName("llm_e2_decontamination").run(spark, sfDir)
+      .collect().map(_.toSeq).sorted(math.Ordering.by((s: Seq[Any]) => s.toString))
+    val bloomed = Registry.byName("llm_e2_bloom_decontam").run(spark, sfDir)
+      .collect().map(_.toSeq).sorted(math.Ordering.by((s: Seq[Any]) => s.toString))
+    withClue("Bloom prefilter changed the decontamination result:") {
+      bloomed shouldBe exact
+    }
+    // no false negatives: every distinct eval n-gram probes true under
+    // the same UTF-8-byte contract the build used
+    val bloom = LlmOps.decontamBloom(spark, sfDir)
+    val evalNgrams = LlmOps.evalNgramIndex(spark, sfDir)
+      .select("s").distinct().collect().map(_.getString(0))
+    evalNgrams should not be empty
+    evalNgrams.foreach { s =>
+      withClue(s"eval n-gram '$s' dropped by the bloom (false negative):") {
+        bloom.mightContainBinary(
+          s.getBytes(java.nio.charset.StandardCharsets.UTF_8)) shouldBe true
+      }
+    }
+    // the prefilter actually prefilters: most train n-grams are NOT in
+    // the eval set, so the survivor stream must be a strict subset
+    import org.apache.spark.sql.functions.col
+    val train = LlmOps.docNgrams(
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(col("doc_id") % 50 =!= 0), LlmOps.decontamN)
+    val total = train.count()
+    val passed = train
+      .filter(graft.functions.BloomExprs.bloomMightContain(col("s"), bloom))
+      .count()
+    withClue(s"prefilter passed $passed of $total train n-grams:") {
+      passed should be < total
+    }
+  }
 }

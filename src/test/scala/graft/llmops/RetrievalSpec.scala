@@ -118,4 +118,48 @@ class RetrievalSpec extends SparkSpec {
     // and the corpus branch itself is never range-sorted by score
     p should not include "rangepartitioning(score"
   }
+
+  test("llm_e4_rrf_fusion: fused score recomputes from the two ranks; unanimous #1 leads") {
+    val rows = run("llm_e4_rrf_fusion").collect()
+    rows should not be empty
+    rows.foreach { r =>
+      val rb = r.getAs[Long]("r_bm25")
+      val rt = r.getAs[Long]("r_tf")
+      // the exact parenthesization both engines use — bit-equal, no tolerance
+      r.getAs[Double]("rrf_score") shouldBe (1.0 / (60.0 + rb) + 1.0 / (60.0 + rt))
+      rb should be >= 1L
+      rt should be >= 1L
+    }
+    rows.map(_.getString(0)).toSet shouldBe Set("join", "scan", "filter")
+    rows.groupBy(_.getString(0)).foreach { case (_, g) =>
+      g.length should be <= 10
+      // rows come back (term, rrf desc, doc_id): fused scores monotone
+      g.map(_.getAs[Double]("rrf_score")).sliding(2).foreach {
+        case Array(a, b) => a should be >= b
+        case _ => ()
+      }
+      // a doc both rankers put first has the maximum possible RRF score
+      // and must lead its term's fused list
+      g.find(r => r.getAs[Long]("r_bm25") == 1L && r.getAs[Long]("r_tf") == 1L)
+        .foreach { r =>
+          g.head.getAs[Long]("doc_id") shouldBe r.getAs[Long]("doc_id")
+        }
+    }
+  }
+
+  test("llm_e4_rrf_fusion ranks are consistent with the BM25 top-k ordering") {
+    // per term, the fused rows' r_bm25 order must agree with the BM25
+    // contract query's (score desc, doc_id) order on shared docs
+    val bmOrder = run("llm_e4_bm25_topdocs").collect()
+      .groupBy(_.getString(0))
+      .map { case (t, g) => t -> g.map(_.getAs[Long]("doc_id")).toSeq }
+    run("llm_e4_rrf_fusion").collect().groupBy(_.getString(0)).foreach {
+      case (term, g) =>
+        val shared = g.filter(r => bmOrder(term).contains(r.getAs[Long]("doc_id")))
+        val byRank = shared.sortBy(_.getAs[Long]("r_bm25")).map(_.getAs[Long]("doc_id"))
+        val expected = bmOrder(term).filter(d =>
+          shared.exists(_.getAs[Long]("doc_id") == d))
+        byRank.toSeq shouldBe expected
+    }
+  }
 }
