@@ -56,6 +56,16 @@ class DsirSpec extends SparkSpec {
     }
   }
 
+  test("llm_e4_dsir_weights plan: B-bounded model broadcasts back onto the stream") {
+    val qe = run("llm_e4_dsir_weights").queryExecution
+    val p = qe.executedPlan.toString
+    // the 128-row model and the 1-row totals both come back as
+    // broadcasts; the corpus stream is a pure generate projection
+    "BroadcastExchange".r.findAllIn(p).size should be >= 2
+    p should include("Generate posexplode")
+    p should not include "CartesianProduct"
+  }
+
   test("planted vocabulary: target-looking docs weigh higher than off-target docs") {
     import spark.implicits._
     val dir = s"${sys.props("java.io.tmpdir")}/graft_test_dsir"

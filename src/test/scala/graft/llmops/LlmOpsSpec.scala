@@ -615,4 +615,16 @@ class LlmOpsSpec extends SparkSpec {
       passed should be < total
     }
   }
+
+  test("bloom decontam plan: the probe filters the corpus stream; no broadcast ASSUMPTION on the eval join") {
+    val qe = Registry.byName("llm_e2_bloom_decontam").run(spark, sfDir).queryExecution
+    // the codegen'd probe is present as a plain filter on the n-gram
+    // stream (below the join — it is the pre-exchange shrink)
+    qe.optimizedPlan.toString should include("bloom_might_contain")
+    // the plan carries no broadcast HINT: this operator's premise is an
+    // index too big to broadcast, so any broadcast in the executed plan
+    // must be AQE's runtime call, not the plan's assumption
+    qe.analyzed.toString should not include "UnresolvedHint"
+    qe.optimizedPlan.toString should not include "ResolvedHint"
+  }
 }
