@@ -157,4 +157,22 @@ class DupKeySpec extends SparkSpec {
     bad shouldBe 0L
     SessionMemo.clear(spark)
   }
+
+  test("rrf fusion: duplicate-committed docs carry EQUAL emitted ranks (dense_rank contract)") {
+    // ranks are EMITTED columns: with row_number, two identical
+    // (score, doc_id) copies would split each window tie by engine sort
+    // luck and the copies could carry CROSSED (r_bm25, r_tf) pairs —
+    // dense_rank gives identical copies identical ranks, making the
+    // output row multiset engine- and layout-independent
+    SessionMemo.clear(spark)
+    val rows = run("llm_e4_rrf_fusion", dupDir).collect()
+    rows.groupBy(r => (r.getString(0), r.getAs[Long]("doc_id"))).foreach {
+      case ((term, doc), g) =>
+        withClue(s"($term, $doc): copies with unequal rank pairs:") {
+          g.map(r => (r.getAs[Long]("r_bm25"), r.getAs[Long]("r_tf")))
+            .distinct.length shouldBe 1
+        }
+    }
+    SessionMemo.clear(spark)
+  }
 }
