@@ -164,17 +164,23 @@ object T {
     val declared = wantSeq.map(_._1)
     val shared = declared.filter(df.columns.contains)
     val misordered = df.columns.toSeq.filter(shared.contains) != shared
-    if (!drifted && !misordered) df
+    // a declared column can be missing from EVERY file of a table
+    // written before that column existed (schema-evolution axis) — the
+    // contract read surfaces it as a typed all-null column, exactly
+    // what the union-schema read yields once the first new-schema file
+    // lands beside the old ones
+    val missing = declared.filterNot(df.columns.contains)
+    if (!drifted && !misordered && missing.isEmpty) df
     else {
       val byName = df.schema.fields.map(f => f.name -> f).toMap
-      val ordered = shared.map(byName(_)) ++
-        df.schema.fields.filterNot(f => shared.contains(f.name))
-      df.select(ordered.map { f =>
-        want.get(f.name) match {
-          case Some(t) if t != f.dataType => normCol(spark, f, t)
-          case _ => col(f.name)
+      val cols = declared.map { n =>
+        byName.get(n) match {
+          case Some(f) if want(n) != f.dataType => normCol(spark, f, want(n))
+          case Some(f) => col(f.name)
+          case None => lit(null).cast(want(n)).as(n) // missing everywhere
         }
-      }.toSeq: _*)
+      } ++ df.schema.fields.filterNot(f => declared.contains(f.name)).map(f => col(f.name))
+      df.select(cols.toSeq: _*)
     }
   }
 
@@ -188,7 +194,19 @@ object T {
     * normalized to [[canonical]] — see the contract note there. */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     SessionMemo.value(spark, dir, s"table:$name") {
-      normalize(spark, name, spark.read.parquet(s"$dir/$name.parquet"))
+      // mergeSchema: a long-lived table dir mixes files written before
+      // and after a column existed (schema-evolution axis). Single-
+      // footer inference would pick ONE file's schema — and silently
+      // DROP the late column's values whenever it picks an old file, a
+      // listing-order accident. The union read costs footer reads only
+      // (distributed; data pages untouched); rows from old files
+      // surface the late column as null, the same contract the
+      // normalizer applies when the column is missing everywhere. A
+      // 100 TB deployment that declares its schema up front skips the
+      // inference entirely — [[canonical]] IS that declaration; this
+      // path is the inference-mode equivalent.
+      normalize(spark, name,
+        spark.read.option("mergeSchema", "true").parquet(s"$dir/$name.parquet"))
     }
 
   /** Register every driver table as a temp view (named exactly as in

@@ -40,7 +40,9 @@ object EventStreams {
     * [[eventSchema]] remains the canonical POST-normalization shape
     * every downstream transform binds against. */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
-    val physical = spark.read.parquet(dir).schema
+    // mergeSchema for the same reason as the batch read (T.apply): the
+    // probed schema must be the files' UNION, not one file's accident
+    val physical = spark.read.option("mergeSchema", "true").parquet(dir).schema
     graft.T.normalized(spark, "events",
       spark.readStream
         .schema(physical)

@@ -61,7 +61,13 @@ def main(sf_dir, out_dir, allow_type_boundary=False):
             if glob.glob(f"{p}/*.parquet"):
                 # Spark-written table: a directory of part files (e.g. the
                 # ScaleProbe's replicated dirs double as sfDirs)
-                con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
+                # union_by_name: a schema-evolution dir (round 16) mixes
+                # files written before and after a late column existed;
+                # positional unify would misalign or error, by-name fills
+                # the missing column with NULL per file - exactly the
+                # engine's mergeSchema read. No-op on same-schema dirs.
+                con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                            f"read_parquet('{p}/*.parquet', union_by_name=1)")
             else:
                 # hive-partitioned subdirectory layout (layout-drift axis,
                 # round 16): partition values come back from the dir names;

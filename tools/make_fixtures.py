@@ -281,6 +281,31 @@ def combo10(tabs):
     return dupkey(t)
 
 
+_EVO_LATE = {'documents.parquet': 'source', 'events.parquet': 'props'}
+
+
+def write_schemaevo(tabs, out):
+    """Schema-evolution axis (thirteenth): the late column is absent from
+    the OLDER file of a two-file table dir — written before the column
+    existed — and present with real values in the newer one. Old-file
+    rows must surface the column as NULL on both engines; single-footer
+    schema inference would silently drop the new file's values whenever
+    listing order picks the old footer first (the dir is named so the
+    old file sorts FIRST)."""
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    for n, t in tabs.items():
+        if n in _EVO_LATE:
+            d = f'{out}/{n}'
+            os.makedirs(d, exist_ok=True)
+            half = len(t) // 2
+            old = t.slice(0, half).drop_columns([_EVO_LATE[n]])
+            pq.write_table(old, f'{d}/part-000-old-schema.parquet')
+            pq.write_table(t.slice(half), f'{d}/part-001-new-schema.parquet')
+        else:
+            pq.write_table(t, f'{out}/{n}')
+
+
 def combo12(tabs):
     # corruption appended after the duplicate-key copies
     return keycorrupt(combo10(tabs))
@@ -300,6 +325,7 @@ AXES = {
     'keycorrupt2': lambda t: keycorrupt(t, shift_ts=False),  # same-ts variant
     'combo10': combo10,
     'combo12': combo12,
+    'schemaevo': None,  # dir-structured writer, see write_schemaevo
 }
 
 
@@ -311,7 +337,10 @@ def main():
     base = _tables(src)
     for name in names:
         out = f'{outroot}/graft_{name}_sf'
-        _write(AXES[name](base), out)
+        if name == 'schemaevo':
+            write_schemaevo(base, out)
+        else:
+            _write(AXES[name](base), out)
         print(f'{name}: {out}')
 
 
