@@ -205,8 +205,35 @@ object T {
       // 100 TB deployment that declares its schema up front skips the
       // inference entirely — [[canonical]] IS that declaration; this
       // path is the inference-mode equivalent.
-      normalize(spark, name,
-        spark.read.option("mergeSchema", "true").parquet(s"$dir/$name.parquet"))
+      val path = s"$dir/$name.parquet"
+      val frame =
+        try spark.read.option("mergeSchema", "true").parquet(path)
+        catch {
+          // WIDTH evolution (fourteenth axis): a key column widened
+          // mid-lake (int32 files beside int64 files) is UNMERGEABLE by
+          // footer union — but the parquet reader itself absorbs it
+          // under a DECLARED schema (Spark 4 width promotion reads an
+          // int32 page into a declared int64 column), which is exactly
+          // what a production deployment does anyway. Fall back to
+          // reading with the canonical contract as the declared schema;
+          // DuckDB's union_by_name promotes identically on the oracle
+          // side. Boundary: the fallback reads DECLARED columns only
+          // (undeclared extras survive the inference path, not this
+          // one), and any other construction failure rethrows untouched.
+          case e: Throwable if {
+            def msgs(t: Throwable): Seq[String] =
+              if (t == null) Nil
+              else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+            msgs(e).exists(m => m.contains("CANNOT_MERGE_SCHEMAS") ||
+              m.contains("Failed merging schemas")) &&
+              canonical.contains(name)
+          } =>
+            val contract = StructType(canonical(name).map {
+              case (n, t) => StructField(n, t)
+            })
+            spark.read.schema(contract).parquet(path)
+        }
+      normalize(spark, name, frame)
     }
 
   /** Register every driver table as a temp view (named exactly as in

@@ -41,8 +41,23 @@ object EventStreams {
     * every downstream transform binds against. */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     // mergeSchema for the same reason as the batch read (T.apply): the
-    // probed schema must be the files' UNION, not one file's accident
-    val physical = spark.read.option("mergeSchema", "true").parquet(dir).schema
+    // probed schema must be the files' UNION, not one file's accident.
+    // A width-evolved dir (int32 beside int64 — unmergeable) falls back
+    // to the canonical events contract, T.apply's fallback exactly.
+    val physical =
+      try spark.read.option("mergeSchema", "true").parquet(dir).schema
+      catch {
+        case e: Throwable if {
+          def msgs(t: Throwable): Seq[String] =
+            if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+          msgs(e).exists(m => m.contains("CANNOT_MERGE_SCHEMAS") ||
+            m.contains("Failed merging schemas"))
+        } =>
+          org.apache.spark.sql.types.StructType(
+            graft.T.canonical("events").map { case (n, t) =>
+              org.apache.spark.sql.types.StructField(n, t)
+            })
+      }
     graft.T.normalized(spark, "events",
       spark.readStream
         .schema(physical)

@@ -118,6 +118,60 @@ class SchemaEvoSpec extends SparkSpec {
     } finally SessionMemo.clear(spark)
   }
 
+  /** WIDTH evolution: the same key columns int32 in the older file,
+    * int64 in the newer — unmergeable by footer union, absorbed by the
+    * declared-schema fallback read. */
+  private lazy val widthDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_widthevo").toString
+    val narrow = Map("documents" -> Seq("doc_id", "n_chars"),
+      "events" -> Seq("event_id", "user_id"))
+    T.tableNames.foreach { t =>
+      val base = T(spark, sfDir, t)
+      narrow.get(t) match {
+        case Some(cols) =>
+          val key = cols.head
+          val d = s"$dir/$t.parquet"
+          val old = base.filter(col(key) % 2 === 0)
+          val narrowed = old.select(old.columns.map { c =>
+            if (cols.contains(c)) col(c).cast("int").as(c) else col(c)
+          }.toSeq: _*)
+          writeOneFile(narrowed, d, "part-000-old-width.parquet")
+          writeOneFile(base.filter(col(key) % 2 =!= 0), d, "part-001-new-width.parquet")
+        case None =>
+          base.coalesce(1).write.mode("overwrite").parquet(s"$dir/$t.parquet")
+      }
+    }
+    SessionMemo.clear(spark)
+    dir
+  }
+
+  test("width-evolved dir: unmergeable footers fall back to the contract read, rows intact") {
+    val docs = T(spark, widthDir, "documents")
+    docs.schema("doc_id").dataType shouldBe LongType
+    docs.schema("n_chars").dataType shouldBe LongType
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs.count() shouldBe base.count()
+    // values from BOTH width generations survive the fallback read
+    import spark.implicits._
+    val got = docs.select("doc_id").as[Long].collect().sorted
+    val want = base.select(col("doc_id").cast("long")).as[Long].collect().sorted
+    got shouldBe want
+  }
+
+  test("every registry query is byte-identical on the width-evolved dir vs the uniform original") {
+    val diffs = Registry.all.flatMap { q =>
+      try {
+        val a = q.run(spark, widthDir)
+        val b = q.run(spark, sfDir)
+        val only = a.exceptAll(b).count() + b.exceptAll(a).count()
+        if (only == 0) None else Some(s"${q.name}: $only rows differ")
+      } catch {
+        case e: Throwable => Some(s"${q.name}: ${e.getMessage.linesIterator.next()}")
+      }
+    }
+    withClue(diffs.mkString("\n")) { diffs shouldBe empty }
+  }
+
   test("every registry query is byte-identical on the evolved dir vs its explicit-null twin") {
     val diffs = Registry.all.flatMap { q =>
       try {

@@ -306,6 +306,33 @@ def write_schemaevo(tabs, out):
             pq.write_table(t, f'{out}/{n}')
 
 
+_WIDTH_NARROW = {'documents.parquet': ['doc_id', 'n_chars'],
+                 'events.parquet': ['event_id', 'user_id']}
+
+
+def write_widthevo(tabs, out):
+    """Width-evolution axis (fourteenth): key columns widened mid-lake —
+    the OLDER file carries int32, the newer int64 for the same columns.
+    Footer-union inference CANNOT merge these; the engine's declared-
+    schema fallback (and DuckDB's union_by_name promotion) must."""
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    for n, t in tabs.items():
+        if n in _WIDTH_NARROW:
+            d = f'{out}/{n}'
+            os.makedirs(d, exist_ok=True)
+            half = len(t) // 2
+            old = t.slice(0, half)
+            for c in _WIDTH_NARROW[n]:
+                old = old.set_column(
+                    old.schema.get_field_index(c), pa.field(c, pa.int32()),
+                    old[c].combine_chunks().cast(pa.int32()))
+            pq.write_table(old, f'{d}/part-000-old-width.parquet')
+            pq.write_table(t.slice(half), f'{d}/part-001-new-width.parquet')
+        else:
+            pq.write_table(t, f'{out}/{n}')
+
+
 def combo12(tabs):
     # corruption appended after the duplicate-key copies
     return keycorrupt(combo10(tabs))
@@ -326,6 +353,7 @@ AXES = {
     'combo10': combo10,
     'combo12': combo12,
     'schemaevo': None,  # dir-structured writer, see write_schemaevo
+    'widthevo': None,   # dir-structured writer, see write_widthevo
 }
 
 
@@ -339,6 +367,8 @@ def main():
         out = f'{outroot}/graft_{name}_sf'
         if name == 'schemaevo':
             write_schemaevo(base, out)
+        elif name == 'widthevo':
+            write_widthevo(base, out)
         else:
             _write(AXES[name](base), out)
         print(f'{name}: {out}')
