@@ -206,8 +206,22 @@ object T {
       // inference entirely — [[canonical]] IS that declaration; this
       // path is the inference-mode equivalent.
       val path = s"$dir/$name.parquet"
+      // pathGlobFilter: a long-lived table DIR accumulates junk beside
+      // its data files — editor strays, half-renamed writer temps
+      // (`part-*.parquet.tmp`), stray notes (dirty-directory axis,
+      // round 17). Spark's listing already drops HIDDEN junk (`.`/`_`
+      // prefixes — markers, .crc shadows, _temporary dirs) but reads
+      // every other file as parquet and dies on the first non-parquet
+      // footer. The lake convention is that DATA files end in
+      // `.parquet`; this filter pins it (and mirrors the oracle's
+      // `dir/*.parquet` glob — tools/check.py). Boundary: junk NAMED
+      // like data (a zero-byte `x.parquet`) still fails loudly on both
+      // engines — that is corruption, not junk. On a single-FILE table
+      // the filter matches the file's own basename, a no-op.
       val frame =
-        try spark.read.option("mergeSchema", "true").parquet(path)
+        try spark.read
+          .option("pathGlobFilter", "*.parquet")
+          .option("mergeSchema", "true").parquet(path)
         catch {
           // WIDTH evolution (fourteenth axis): a key column widened
           // mid-lake (int32 files beside int64 files) is UNMERGEABLE by
@@ -231,7 +245,9 @@ object T {
             val contract = StructType(canonical(name).map {
               case (n, t) => StructField(n, t)
             })
-            spark.read.schema(contract).parquet(path)
+            spark.read
+              .option("pathGlobFilter", "*.parquet")
+              .schema(contract).parquet(path)
         }
       normalize(spark, name, frame)
     }
@@ -542,6 +558,8 @@ object Registry {
       llmops.BigramLm.queries ++
       llmops.Dsir.queries ++
       llmops.LlmOps.queries ++
+      llmops.SemDedup.queries ++
+      llmops.VocabPrune.queries ++
       llmops.TextRanking.queries ++
       llmops.Retrieval.queries ++
       llmops.Quantize.queries ++

@@ -1106,7 +1106,7 @@ object LlmOps {
     * sequential fold order as DuckDB's list_reduce, so sums stay
     * bit-identical across engines, ~100x faster than the interpreted
     * higher-order-function formulation. */
-  private def normed(s: SparkSession, dir: String): DataFrame = {
+  private[llmops] def normed(s: SparkSession, dir: String): DataFrame = {
     val v = expr("transform(embedding, x -> CAST(x AS DOUBLE))")
     // non-indexable (null / non-finite) vectors already dropped by the
     // shared embeddings() read — see T.indexableEmbedding
@@ -1620,7 +1620,7 @@ object LlmOps {
     * engine-neutral bit-for-bit. The +||v||² constant is dropped from
     * d2: the argmin is invariant to it, and keeping it would cost K
     * redundant 64-dim self-dots per corpus row. */
-  private def ivfCellStructs(cs: Array[Array[Double]], vcol: Column): Seq[Column] =
+  private[llmops] def ivfCellStructs(cs: Array[Array[Double]], vcol: Column): Seq[Column] =
     cs.toSeq.zipWithIndex.map { case (c, i) =>
       struct(
         (lit(-2.0) * graft.functions.VectorFunctions.dot(vcol, array(c.map(lit): _*))

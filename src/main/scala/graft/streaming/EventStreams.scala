@@ -45,7 +45,9 @@ object EventStreams {
     // A width-evolved dir (int32 beside int64 — unmergeable) falls back
     // to the canonical events contract, T.apply's fallback exactly.
     val physical =
-      try spark.read.option("mergeSchema", "true").parquet(dir).schema
+      try spark.read
+        .option("pathGlobFilter", "*.parquet")
+        .option("mergeSchema", "true").parquet(dir).schema
       catch {
         case e: Throwable if {
           def msgs(t: Throwable): Seq[String] =
@@ -61,6 +63,7 @@ object EventStreams {
     graft.T.normalized(spark, "events",
       spark.readStream
         .schema(physical)
+        .option("pathGlobFilter", "*.parquet")
         .option("maxFilesPerTrigger", 1)
         .parquet(dir))
   }

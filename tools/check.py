@@ -66,15 +66,23 @@ def main(sf_dir, out_dir, allow_type_boundary=False):
                 # positional unify would misalign or error, by-name fills
                 # the missing column with NULL per file - exactly the
                 # engine's mergeSchema read. No-op on same-schema dirs.
+                # explicit Python-globbed file LIST, not a DuckDB glob
+                # pattern: DuckDB's globber matches hidden dotfiles
+                # (measured round 17: a garbage `.hidden.parquet` aborted
+                # the read), Python's glob skips them — mirroring the
+                # engine's hidden-file filter + `*.parquet` suffix contract
+                # (dirty-directory axis; see T.apply's pathGlobFilter)
+                fs = sorted(glob.glob(f"{p}/*.parquet"))
                 con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
-                            f"read_parquet('{p}/*.parquet', union_by_name=1)")
+                            f"read_parquet({fs!r}, union_by_name=1)")
             else:
                 # hive-partitioned subdirectory layout (layout-drift axis,
                 # round 16): partition values come back from the dir names;
                 # canon() sorts columns by name, so the partition column
                 # surfacing last is invisible to the compare
+                fs = sorted(glob.glob(f"{p}/**/*.parquet", recursive=True))
                 con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
-                            f"read_parquet('{p}/**/*.parquet', hive_partitioning=1)")
+                            f"read_parquet({fs!r}, hive_partitioning=1)")
         elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))

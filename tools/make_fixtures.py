@@ -338,6 +338,47 @@ def combo12(tabs):
     return keycorrupt(combo10(tabs))
 
 
+def write_dirty(tabs, out):
+    """Dirty-directory axis (fifteenth): every table becomes a two-file
+    dir polluted with the junk a live lake accumulates — a _SUCCESS
+    marker, a hidden .crc shadow, a hidden garbage .parquet-named
+    dotfile, a stray text file, a half-renamed writer temp
+    (*.parquet.tmp), and a _temporary job dir. The engine surface must
+    be byte-identical to the clean dir: the read contract is exactly
+    non-hidden `*.parquet` files (T.apply pathGlobFilter; the oracle's
+    Python-globbed list mirrors it). Measured before the contract
+    landed: Spark died on the stray text file's footer, DuckDB's own
+    glob matched the hidden dotfile and died on its magic bytes.
+
+    The .crc shadow is ORPHANED (names a data file that no longer
+    exists — the post-compaction leftover): Hadoop's LocalFileSystem is
+    a ChecksumFileSystem and a .crc naming an EXISTING data file is an
+    ACTIVE integrity sidecar, not junk — a garbage one fails the read
+    loudly (measured: EOFException through FSInputChecker), which is
+    the correct boundary (DirtyDirSpec pins it), same class as a
+    zero-byte x.parquet."""
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    for n, t in tabs.items():
+        d = f'{out}/{n}'
+        os.makedirs(d, exist_ok=True)
+        half = max(1, len(t) // 2)
+        pq.write_table(t.slice(0, half), f'{d}/part-000.parquet')
+        pq.write_table(t.slice(half), f'{d}/part-001.parquet')
+        open(f'{d}/_SUCCESS', 'w').close()
+        with open(f'{d}/.part-999.parquet.crc', 'wb') as f:
+            f.write(b'\x00garbage-crc-shadow')
+        with open(f'{d}/.hidden.parquet', 'wb') as f:
+            f.write(b'PAR1 hidden garbage, not a footer')
+        with open(f'{d}/README.txt', 'w') as f:
+            f.write('stray notes file beside the data\n')
+        with open(f'{d}/part-002.parquet.tmp', 'wb') as f:
+            f.write(b'PAR1 half-renamed writer temp')
+        os.makedirs(f'{d}/_temporary/0', exist_ok=True)
+        with open(f'{d}/_temporary/0/task-tmp.parquet', 'wb') as f:
+            f.write(b'PAR1 in-flight task output')
+
+
 AXES = {
     'onerow': onerow,
     'empty': empty,
@@ -354,6 +395,7 @@ AXES = {
     'combo12': combo12,
     'schemaevo': None,  # dir-structured writer, see write_schemaevo
     'widthevo': None,   # dir-structured writer, see write_widthevo
+    'dirty': None,      # dir-structured writer, see write_dirty
 }
 
 
@@ -369,6 +411,8 @@ def main():
             write_schemaevo(base, out)
         elif name == 'widthevo':
             write_widthevo(base, out)
+        elif name == 'dirty':
+            write_dirty(base, out)
         else:
             _write(AXES[name](base), out)
         print(f'{name}: {out}')
