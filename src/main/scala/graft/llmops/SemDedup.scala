@@ -87,14 +87,22 @@ object SemDedup {
                    s" / (nrm * $cnorm[m.cell + 1])")} AS ccos
         FROM m),
       cand AS (
-        SELECT a.vec_id AS ia, a.ccos AS ca, b.vec_id AS ib, b.ccos AS cb,
-               a.v AS av, a.nrm AS an, b.v AS bv, b.nrm AS bn
+        SELECT a.vec_id AS ia, a.ccos AS ca, b.vec_id AS ib, b.ccos AS cb
         FROM asgn a JOIN asgn b
           ON a.cell = b.cell AND a.vec_id < b.vec_id),
+      -- vectors re-attach BY ID after the narrow pair join, mirroring
+      -- the engine's shuffle-width discipline: on a key-corrupted
+      -- corpus (vec_id reused with a different payload) both engines
+      -- therefore fan each pair out over the id's payload variants —
+      -- victim marking is ID-KEYED (an id drops if ANY of its variants
+      -- is a near-dup of an earlier item); exact-copy duplicates
+      -- collapse to identical rows (round-17 corruption gate)
       vict AS (
-        SELECT DISTINCT CASE WHEN ca <= cb THEN ib ELSE ia END AS victim
-        FROM cand
-        WHERE ${LlmOps.q4Sql(LlmOps.sqlDotCols("av", "bv") + " / (an * bn)")}
+        SELECT DISTINCT CASE WHEN cd.ca <= cd.cb THEN cd.ib ELSE cd.ia END AS victim
+        FROM cand cd
+        JOIN asgn va ON va.vec_id = cd.ia
+        JOIN asgn vb ON vb.vec_id = cd.ib
+        WHERE ${LlmOps.q4Sql(LlmOps.sqlDotCols("va.v", "vb.v") + " / (va.nrm * vb.nrm)")}
               >= $semTau)
       SELECT a.vec_id, CAST(a.cell AS INT) AS cell, a.ccos,
              (v.victim IS NULL) AS kept

@@ -61,14 +61,22 @@ object VocabPrune {
       rare AS (
         SELECT tok FROM (
           SELECT tok, row_number() OVER (ORDER BY df, tok) AS rn FROM df)
-        WHERE rn <= $pruneK)
-      SELECT tok.doc_id,
-             string_agg(CASE WHEN rare.tok IS NULL THEN tok.tok ELSE '<UNK>' END,
-                        ' ' ORDER BY tok.pos) AS pruned,
-             CAST(SUM(CASE WHEN rare.tok IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_pruned
-      FROM tok LEFT JOIN rare ON tok.tok = rare.tok
-      GROUP BY tok.doc_id
-      ORDER BY tok.doc_id"""),
+        WHERE rn <= $pruneK),
+      m AS (
+        SELECT tok.doc_id, tok.pos,
+               CASE WHEN rare.tok IS NULL THEN tok.tok ELSE '<UNK>' END AS mtok,
+               CASE WHEN rare.tok IS NULL THEN 0 ELSE 1 END AS pruned1
+        FROM tok LEFT JOIN rare ON tok.tok = rare.tok)
+      -- ORDER BY (pos, mtok), not pos alone: a key-corrupted corpus
+      -- (doc_id reused with a different payload) TIES pos across the
+      -- variants with different tokens, and the engines' tie orders
+      -- differ; the engine's struct sort is (pos, masked-token) too
+      SELECT doc_id,
+             string_agg(mtok, ' ' ORDER BY pos, mtok) AS pruned,
+             CAST(SUM(pruned1) AS BIGINT) AS n_pruned
+      FROM m
+      GROUP BY doc_id
+      ORDER BY doc_id"""),
     (s, dir) => {
       val tok = docs(s, dir)
         .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos0", "tok")))

@@ -148,7 +148,10 @@ class KeyCorruptionSpec extends SparkSpec {
       "e5_asof_nearest_click",        // tie-broken match over reused event_ids
       "e5_forward_fill",              // window ordered by (ts, event_id) ties
       "llm_e2_simhash_pairs",         // two signatures per corrupt key (r16)
-      "mm_pair_curation")             // total-order winner pick (r16)
+      "mm_pair_curation",             // total-order winner pick (r16)
+      "llm_e2_semdedup",              // id-keyed victims over variant fan-out (r17)
+      "llm_e4_mincount_prune",        // (pos, masked-tok) reassembly ties (r17)
+      "llm_e4_ccnet_buckets")         // scores group variant unions per doc_id (r17)
     val failures = names.flatMap { n =>
       def once(): Seq[String] = {
         SessionMemo.clear(spark)
@@ -184,7 +187,11 @@ class KeyCorruptionSpec extends SparkSpec {
     // twelve-axis combined gate, red here without the fix)
     Seq("llm_e2_simhash_pairs", "mm_pair_curation",
       "llm_e4_shuffle_pack", "llm_e4_pack_efficiency",
-      "q_window_running_sum").foreach { n =>
+      "q_window_running_sum",
+      // round 17: semdedup's victim set is id-keyed over the payload
+      // variants' pair fan-out; mincount_prune reassembles on the
+      // (pos, masked-token) total order — both must survive relayout
+      "llm_e2_semdedup", "llm_e4_mincount_prune").foreach { n =>
       def dump(d: String): Seq[String] = {
         SessionMemo.clear(spark)
         run(n, d).collect().map(_.toString).sorted.toSeq
