@@ -379,6 +379,27 @@ def write_dirty(tabs, out):
             f.write(b'PAR1 in-flight task output')
 
 
+def write_encdrift(tabs, out):
+    """Physical-encoding drift axis (sixteenth): one table dir mixes
+    files written by different writers over time — zstd, gzip, snappy
+    with pathological 7-row row groups, and uncompressed parquet data
+    page v2 with dictionary encoding off. Codec and page layout are
+    writer accidents a 100 TB lake never keeps uniform; the logical
+    surface must be byte-identical to the clean dir on both engines."""
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    for n, t in tabs.items():
+        d = f'{out}/{n}'
+        os.makedirs(d, exist_ok=True)
+        q = max(1, len(t) // 4)
+        pq.write_table(t.slice(0, q), f'{d}/p0.parquet', compression='zstd')
+        pq.write_table(t.slice(q, q), f'{d}/p1.parquet', compression='gzip')
+        pq.write_table(t.slice(2 * q, q), f'{d}/p2.parquet',
+                       compression='snappy', row_group_size=7)
+        pq.write_table(t.slice(3 * q), f'{d}/p3.parquet', compression='none',
+                       use_dictionary=False, data_page_version='2.0')
+
+
 AXES = {
     'onerow': onerow,
     'empty': empty,
@@ -396,6 +417,7 @@ AXES = {
     'schemaevo': None,  # dir-structured writer, see write_schemaevo
     'widthevo': None,   # dir-structured writer, see write_widthevo
     'dirty': None,      # dir-structured writer, see write_dirty
+    'encdrift': None,   # dir-structured writer, see write_encdrift
 }
 
 
@@ -413,6 +435,8 @@ def main():
             write_widthevo(base, out)
         elif name == 'dirty':
             write_dirty(base, out)
+        elif name == 'encdrift':
+            write_encdrift(base, out)
         else:
             _write(AXES[name](base), out)
         print(f'{name}: {out}')
