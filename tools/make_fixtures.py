@@ -400,6 +400,33 @@ def write_encdrift(tabs, out):
                        use_dictionary=False, data_page_version='2.0')
 
 
+def write_combo14(tabs, out):
+    """Fourteen-layer composition: the combo12 ROW-level degeneracies
+    (nulls, non-finite, magnitudes, unicode, moderate wild clocks,
+    collapse residues, dim drift, duplicate keys, key corruption) re-
+    materialized through the PHYSICAL-layer axes — each table as a
+    mixed-codec multi-file dir (encdrift's zstd/gzip/snappy+7-row-
+    groups/uncompressed-v2 split) polluted with the dirty-directory
+    junk. Same expected shape as combo12: the two spine-guard FAILs,
+    everything else green."""
+    comp = combo12(tabs)
+    write_encdrift(comp, out)
+    for n in comp:
+        d = f'{out}/{n}'
+        open(f'{d}/_SUCCESS', 'w').close()
+        with open(f'{d}/.part-999.parquet.crc', 'wb') as f:
+            f.write(b'\x00garbage-crc-shadow')
+        with open(f'{d}/.hidden.parquet', 'wb') as f:
+            f.write(b'PAR1 hidden garbage, not a footer')
+        with open(f'{d}/README.txt', 'w') as f:
+            f.write('stray notes file beside the data\n')
+        with open(f'{d}/p9.parquet.tmp', 'wb') as f:
+            f.write(b'PAR1 half-renamed writer temp')
+        os.makedirs(f'{d}/_temporary/0', exist_ok=True)
+        with open(f'{d}/_temporary/0/task-tmp.parquet', 'wb') as f:
+            f.write(b'PAR1 in-flight task output')
+
+
 AXES = {
     'onerow': onerow,
     'empty': empty,
@@ -418,6 +445,7 @@ AXES = {
     'widthevo': None,   # dir-structured writer, see write_widthevo
     'dirty': None,      # dir-structured writer, see write_dirty
     'encdrift': None,   # dir-structured writer, see write_encdrift
+    'combo14': None,    # dir-structured writer, see write_combo14
 }
 
 
@@ -437,6 +465,8 @@ def main():
             write_dirty(base, out)
         elif name == 'encdrift':
             write_encdrift(base, out)
+        elif name == 'combo14':
+            write_combo14(base, out)
         else:
             _write(AXES[name](base), out)
         print(f'{name}: {out}')
