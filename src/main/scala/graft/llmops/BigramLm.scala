@@ -107,6 +107,32 @@ object BigramLm {
     * the per-lang rank window below corpus-proportional. */
   private[llmops] val ccnetSampleMod = 3
 
+  /** Calibration-sample size contract (the [[LlmOps]] eval-broadcast
+    * pattern): the cutoff ranking windows run OVER THE SAMPLE, and the
+    * cutoff table broadcasts — both sound only while the sample is
+    * bounded. The md5-mod construction makes it corpus/mod, so a
+    * deployment that scales the corpus without scaling the modulus
+    * would silently grow per-lang sort partitions; rather than degrade
+    * opaquely, the query counts the sample (one cheap aggregate,
+    * memoized per (session, dir)) and fails fast past
+    * `graft.ccnetSample.maxRows` (default 1,000,000 — far above any
+    * real calibration set; CCNet used ~tens of thousands per lang)
+    * with the knob named. */
+  private val ccnetSampleMaxConf = "graft.ccnetSample.maxRows"
+  private def requireBoundedSample(s: SparkSession, dir: String, samp: DataFrame): Unit = {
+    val maxRows =
+      s.conf.getOption(ccnetSampleMaxConf).map(_.toLong).getOrElse(1000000L)
+    val rows = graft.SessionMemo.value(s, dir, "ccnet_sample_rows") {
+      samp.count()
+    }
+    require(rows <= maxRows,
+      s"CCNet calibration sample holds $rows docs, beyond $ccnetSampleMaxConf=$maxRows: " +
+        "llm_e4_ccnet_buckets ranks cutoffs over the SAMPLE and broadcasts " +
+        "them by contract (fixed-size calibration sets). Lower the sample " +
+        s"rate (ccnetSampleMod=$ccnetSampleMod here; production derives it " +
+        "from corpus size), or raise the conf if the sort genuinely fits.")
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
     * Extracting High Quality Monolingual Datasets from Web Crawl
     * Data"): per language, split the corpus into head / middle / tail
@@ -171,8 +197,9 @@ object BigramLm {
       val samp = a.filter(col("avg_neg_logprob").isNotNull &&
         conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
           .cast("long") % ccnetSampleMod === 0)
+      requireBoundedSample(s, dir, samp)
       // both windows run over the calibration sample ONLY — bounded by
-      // the sampling contract, never corpus-proportional
+      // the sampling contract, enforced above, never corpus-proportional
       val order = Window.partitionBy(col("lang"))
         .orderBy(col("avg_neg_logprob"), col("doc_id"))
       val whole = Window.partitionBy(col("lang"))

@@ -89,6 +89,25 @@ class CurationSpec extends SparkSpec {
     got.size shouldBe 31 // total: every doc labeled
   }
 
+  test("llm_e4_ccnet_buckets: the sample-size contract boundary is exact") {
+    // mirror the eval-broadcast boundary pin: rows == max passes,
+    // max = rows - 1 raises with the conf named
+    val n = run("llm_e4_ccnet_buckets")
+      .collect() // warm; also memoizes ccnet_sample_rows
+    n.length should be > 0
+    val rows: Long = graft.SessionMemo.value(spark, sfDir, "ccnet_sample_rows")(
+      sys.error("memo must exist after a run"))
+    try {
+      spark.conf.set("graft.ccnetSample.maxRows", rows.toString)
+      noException should be thrownBy run("llm_e4_ccnet_buckets").collect()
+      spark.conf.set("graft.ccnetSample.maxRows", (rows - 1).toString)
+      val e = intercept[IllegalArgumentException] {
+        run("llm_e4_ccnet_buckets").collect()
+      }
+      e.getMessage should include("graft.ccnetSample.maxRows")
+    } finally spark.conf.unset("graft.ccnetSample.maxRows")
+  }
+
   test("llm_e4_ccnet_buckets plan: cutoffs broadcast; no corpus-wide window") {
     val plan = run("llm_e4_ccnet_buckets").queryExecution.executedPlan.toString
     plan should include("BroadcastHashJoin")
