@@ -560,6 +560,7 @@ object Registry {
       llmops.LlmOps.queries ++
       llmops.SemDedup.queries ++
       llmops.VocabPrune.queries ++
+      llmops.Mixture.queries ++
       llmops.TextRanking.queries ++
       llmops.Retrieval.queries ++
       llmops.Quantize.queries ++

@@ -114,6 +114,40 @@ class CurationSpec extends SparkSpec {
   }
 
   // ------------------------------------------------------------------
+  // llm_e4_temperature_mix
+  // ------------------------------------------------------------------
+
+  test("llm_e4_temperature_mix matches a driver-side replay and upsamples the tail") {
+    def rt7(x: Double) = { val y = math.sqrt(x) * 1e7; y - (y % 1.0) }
+    val bysrc = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("source", "text").collect()
+      .groupBy(_.getString(0)).map { case (src, rs) =>
+        src -> (rs.length.toLong,
+          rs.map(r => Option(r.getString(1)).map(_.split(" ", -1).length.toLong)
+            .getOrElse(0L)).sum)
+      }
+    val rsum = bysrc.values.map(v => rt7(v._2.toDouble)).sum
+    val tsum = bysrc.values.map(_._2).sum.toDouble
+    val got = run("llm_e4_temperature_mix").collect()
+    got.length shouldBe bysrc.size
+    got.foreach { r =>
+      val src = r.getAs[String]("source")
+      val (nd, nt) = bysrc(src)
+      withClue(s"source $src:") {
+        r.getAs[Long]("n_docs") shouldBe nd
+        r.getAs[Long]("n_tokens") shouldBe nt
+        r.getAs[Double]("p_sample") shouldBe q4(rt7(nt.toDouble) / rsum)
+        r.getAs[Double]("boost") shouldBe q4((rt7(nt.toDouble) / rsum) / (nt / tsum))
+      }
+    }
+    // the temperature rule's point: the smallest source is boosted above
+    // its natural share, the largest damped below it
+    val boosts = got.map(r => r.getAs[Long]("n_tokens") -> r.getAs[Double]("boost"))
+    boosts.minBy(_._1)._2 should be > 1.0
+    boosts.maxBy(_._1)._2 should be < 1.0
+  }
+
+  // ------------------------------------------------------------------
   // llm_e2_semdedup
   // ------------------------------------------------------------------
 
