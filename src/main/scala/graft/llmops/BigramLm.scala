@@ -113,18 +113,19 @@ object BigramLm {
     * bounded. The md5-mod construction makes it corpus/mod, so a
     * deployment that scales the corpus without scaling the modulus
     * would silently grow per-lang sort partitions; rather than degrade
-    * opaquely, the query counts the sample (one cheap aggregate,
-    * memoized per (session, dir)) and fails fast past
-    * `graft.ccnetSample.maxRows` (default 1,000,000 — far above any
-    * real calibration set; CCNet used ~tens of thousands per lang)
-    * with the knob named. */
+    * opaquely, the query fails fast past `graft.ccnetSample.maxRows`
+    * (default 1,000,000 — far above any real calibration set; CCNet
+    * used ~tens of thousands per lang) with the knob named. The check
+    * rides the cuts job the query pays for anyway: the cuts aggregate
+    * carries each lang's sample count, and the collected cuts rows
+    * (#langs — the same boundedness that justifies broadcasting them)
+    * are summed driver-side, so no extra corpus pass runs just to
+    * validate (round-17 advice; the earlier eager `samp.count()`
+    * executed the whole scoring pipeline once more per (session, dir)). */
   private val ccnetSampleMaxConf = "graft.ccnetSample.maxRows"
-  private def requireBoundedSample(s: SparkSession, dir: String, samp: DataFrame): Unit = {
+  private def requireBoundedSample(s: SparkSession, rows: Long): Unit = {
     val maxRows =
       s.conf.getOption(ccnetSampleMaxConf).map(_.toLong).getOrElse(1000000L)
-    val rows = graft.SessionMemo.value(s, dir, "ccnet_sample_rows") {
-      samp.count()
-    }
     require(rows <= maxRows,
       s"CCNet calibration sample holds $rows docs, beyond $ccnetSampleMaxConf=$maxRows: " +
         "llm_e4_ccnet_buckets ranks cutoffs over the SAMPLE and broadcasts " +
@@ -197,13 +198,12 @@ object BigramLm {
       val samp = a.filter(col("avg_neg_logprob").isNotNull &&
         conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
           .cast("long") % ccnetSampleMod === 0)
-      requireBoundedSample(s, dir, samp)
       // both windows run over the calibration sample ONLY — bounded by
-      // the sampling contract, enforced above, never corpus-proportional
+      // the sampling contract (enforced below), never corpus-proportional
       val order = Window.partitionBy(col("lang"))
         .orderBy(col("avg_neg_logprob"), col("doc_id"))
       val whole = Window.partitionBy(col("lang"))
-      val cuts = samp
+      val cutsAgg = samp
         .withColumn("rn", row_number().over(order).cast("long"))
         .withColumn("n", count(lit(1)).over(whole))
         .groupBy(col("lang"))
@@ -212,7 +212,24 @@ object BigramLm {
           max(when(col("rn") === expr("(n + 2) div 3"), col("avg_neg_logprob")))
             .as("cut1"),
           max(when(col("rn") === expr("(2 * n + 2) div 3"), col("avg_neg_logprob")))
-            .as("cut2"))
+            .as("cut2"),
+          // per-lang sample size, carried so the boundary contract can
+          // be validated from THIS job instead of a separate count pass
+          max(col("n")).as("n_samp"))
+      // cuts collect driver-side: #langs rows, the exact boundedness that
+      // already justified broadcasting them (ProductQuant's bounded-collect
+      // family); memoized per (session, dir) so reconstruction is free
+      val cutRows = graft.SessionMemo.value(s, dir, "ccnet_cuts") {
+        cutsAgg.collect().toSeq
+      }
+      val sampleRows = graft.SessionMemo.value(s, dir, "ccnet_sample_rows") {
+        cutRows.map(_.getAs[Long]("n_samp")).sum
+      }
+      requireBoundedSample(s, sampleRows)
+      import scala.jdk.CollectionConverters._
+      // re-attach as a LOCAL literal relation: the labeling plan now has
+      // zero Window operators by construction (CurationSpec pins this)
+      val cuts = s.createDataFrame(cutRows.asJava, cutsAgg.schema).drop("n_samp")
       a.join(broadcast(cuts), Seq("lang"), "left")
         .select(col("doc_id"), col("lang"), col("avg_neg_logprob"),
           when(col("avg_neg_logprob").isNull || col("cut1").isNull, "unscored")

@@ -53,6 +53,24 @@ class CurationSpec extends SparkSpec {
     plan should include("BroadcastHashJoin")
   }
 
+  test("llm_e4_mincount_prune plan: the rank window's input is the vocab df " +
+    "aggregate, never corpus rows") {
+    // the scale-bearing half of the contract (r16 advice): a regression
+    // that re-points the window at the token stream must FAIL here, not
+    // just keep the broadcast assert green
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val opt = run("llm_e4_mincount_prune").queryExecution.optimizedPlan
+    val wins = opt.collect { case w: LWindow => w }
+    wins should have size 1
+    val aggBelow = wins.head.child.collectFirst {
+      case a: Aggregate if a.groupingExpressions.map(_.sql.toLowerCase)
+        .exists(_.contains("tok")) => a
+    }
+    withClue("window must sit on the tok-keyed df aggregate:") {
+      aggBelow.isDefined shouldBe true
+    }
+  }
+
   // ------------------------------------------------------------------
   // llm_e4_ccnet_buckets
   // ------------------------------------------------------------------
@@ -109,8 +127,13 @@ class CurationSpec extends SparkSpec {
   }
 
   test("llm_e4_ccnet_buckets plan: cutoffs broadcast; no corpus-wide window") {
+    // since r17 the sample-scoped rank window runs in the eager cuts job
+    // and cutoffs re-attach as a collected local relation, so the
+    // labeling plan must contain NO Window operator at all — a regression
+    // reintroducing a corpus-wide per-lang sort fails structurally here
     val plan = run("llm_e4_ccnet_buckets").queryExecution.executedPlan.toString
     plan should include("BroadcastHashJoin")
+    (plan should not).include("Window")
   }
 
   // ------------------------------------------------------------------

@@ -96,9 +96,9 @@ class ProductQuantSpec extends SparkSpec {
     }
     // recall vs exact euclidean top-10. Direct-coded IVF-PQ held a 0.4
     // floor at 16 cells / 4 probes; RESIDUAL coding (round 8) measures
-    // 0.93 on this corpus — the floor tightens to 0.6, margin kept for
-    // future testdata regeneration, and a silent revert to raw-vector
-    // codes would trip it.
+    // 0.93 on this corpus — floor raised 0.6 -> 0.85 (r16 verdict) so a
+    // quantizer regression FAILS instead of passing with degraded
+    // recall; ~0.08 margin kept for future testdata regeneration.
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
     val q = emb.filter(col("vec_id") < 10)
@@ -116,7 +116,7 @@ class ProductQuantSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val got = rows.map(r => (r.getLong(0), r.getAs[Long]("neighbor_id")))
     val recall = got.count(exact10.contains).toDouble / got.length
-    withClue(s"ivfpq recall@3-in-exact-10 = $recall") { recall should be >= 0.6 }
+    withClue(s"ivfpq recall@3-in-exact-10 = $recall") { recall should be >= 0.85 }
   }
 
   test("ivfpq: the cell filter prunes the compressed scan") {

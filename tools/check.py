@@ -23,6 +23,13 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def _spark_hidden(f, base):
+    """True if any path component below base starts with `.` or `_` —
+    Spark's InMemoryFileIndex hides both, so the oracle must too."""
+    rel = os.path.relpath(f, base)
+    return any(c.startswith((".", "_")) for c in rel.split(os.sep))
+
+
 def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -72,7 +79,13 @@ def main(sf_dir, out_dir, allow_type_boundary=False):
                 # the read), Python's glob skips them — mirroring the
                 # engine's hidden-file filter + `*.parquet` suffix contract
                 # (dirty-directory axis; see T.apply's pathGlobFilter)
-                fs = sorted(glob.glob(f"{p}/*.parquet"))
+                # Spark also hides `_`-prefixed paths (e.g. `_temporary/`,
+                # `_SUCCESS`-adjacent junk), not just dotfiles: drop any
+                # file with a `.`- or `_`-prefixed path component so the
+                # oracle sees exactly the engine's file set (round-17
+                # ADVICE: a `_junk.parquet` reached DuckDB but not Spark)
+                fs = sorted(f for f in glob.glob(f"{p}/*.parquet")
+                            if not _spark_hidden(f, p))
                 con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                             f"read_parquet({fs!r}, union_by_name=1)")
             else:
@@ -80,7 +93,9 @@ def main(sf_dir, out_dir, allow_type_boundary=False):
                 # round 16): partition values come back from the dir names;
                 # canon() sorts columns by name, so the partition column
                 # surfacing last is invisible to the compare
-                fs = sorted(glob.glob(f"{p}/**/*.parquet", recursive=True))
+                fs = sorted(f for f in
+                            glob.glob(f"{p}/**/*.parquet", recursive=True)
+                            if not _spark_hidden(f, p))
                 con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                             f"read_parquet({fs!r}, hive_partitioning=1)")
         elif os.path.exists(p):
