@@ -556,6 +556,7 @@ object Registry {
       events.Skew.queries ++
       events.Temporal.queries ++
       llmops.BigramLm.queries ++
+      llmops.BpeMerges.queries ++
       llmops.Dsir.queries ++
       llmops.LlmOps.queries ++
       llmops.SemDedup.queries ++
