@@ -1097,6 +1097,92 @@ object LlmOps {
         .orderBy("doc_id")
     })
 
+  /** Arbitrary-length repeated-substring report — the generalization of
+    * [[e2RepeatedSpans]] from fixed-`spanN` windows to maximal repeated
+    * REGIONS (Lee et al. 2022 "Deduplicating Training Data Makes
+    * Language Models Better" semantics at the coverage level): per
+    * document, the maximal contiguous runs of token positions covered
+    * by any cross-document repeated `spanN`-window, each with its
+    * arbitrary run length and the run's text. Two overlapping or
+    * touching windows chain into one run (break when the next covered
+    * start exceeds the previous by more than `spanN`), so a 40-token
+    * boilerplate block shared by two docs comes out as ONE 40-token
+    * span, not 33 separate 8-token rows — the shape the suffix-array
+    * formulation reports, recovered here from the n-gram index the
+    * engine already maintains (every substring of length L >= spanN
+    * that repeats covers exactly its L - spanN + 1 window starts, all
+    * repeated, all overlapping).
+    *
+    * 100 TB shape: windows join the repeated index on the span
+    * fingerprint ([[e2SpanCut]]'s shape — key-partitioned, AQE
+    * broadcasts a tiny index); the gaps-and-islands pass shuffles once
+    * on doc_id with per-doc windows (bounded by document length, never
+    * corpus-wide); the text re-attach is a doc_id-keyed join — BY KEY,
+    * so a key-corrupted corpus fans out identically on both engines
+    * (the simhash/semdedup discipline), and the final order includes
+    * span_text to stay total under that fan-out. */
+  private val e2LongRepeats = GraftQuery(
+    "llm_e2_long_repeats",
+    s"maximal repeated regions: merged runs of repeated $spanN-token windows (E2)",
+    Some(s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      w AS (
+        SELECT doc_id, i - 1 AS i0, md5(array_to_string(t[i:i+${spanN - 1}], ' ')) AS span_md5
+        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - ${spanN - 1})) AS i FROM t
+              WHERE len(t) >= $spanN)),
+      idx AS (
+        SELECT span_md5 FROM w GROUP BY span_md5
+        HAVING count(DISTINCT doc_id) > 1),
+      cov AS (SELECT DISTINCT doc_id, i0 FROM w JOIN idx USING (span_md5)),
+      brk AS (
+        SELECT doc_id, i0,
+               CASE WHEN lag(i0) OVER (PARTITION BY doc_id ORDER BY i0) IS NULL
+                      OR i0 - lag(i0) OVER (PARTITION BY doc_id ORDER BY i0) > $spanN
+                    THEN 1 ELSE 0 END AS b
+        FROM cov),
+      grp AS (
+        SELECT doc_id, i0,
+               SUM(b) OVER (PARTITION BY doc_id ORDER BY i0
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+        FROM brk),
+      agg AS (
+        SELECT doc_id,
+               CAST(MIN(i0) AS BIGINT) AS start_pos,
+               CAST(MAX(i0) - MIN(i0) + $spanN AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_windows
+        FROM grp GROUP BY doc_id, run_id)
+      SELECT a.doc_id, a.start_pos, a.n_tokens, a.n_windows,
+             array_to_string(t.t[a.start_pos + 1 : a.start_pos + a.n_tokens], ' ')
+               AS span_text
+      FROM agg a JOIN t USING (doc_id)
+      ORDER BY doc_id, start_pos, span_text"""),
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cov = spanWindows(s, dir)
+        .join(repeatedSpanIndex(s, dir).select(col("span_md5")), Seq("span_md5"))
+        .select(col("doc_id"), col("i")).distinct()
+      val ord = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      val runs = cov
+        .withColumn("b",
+          when(lag(col("i"), 1).over(ord).isNull ||
+            col("i") - lag(col("i"), 1).over(ord) > spanN, 1).otherwise(0))
+        .withColumn("run_id", sum(col("b")).over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("doc_id"), col("run_id"))
+        .agg(
+          min(col("i")).cast("long").as("start_pos"),
+          (max(col("i")) - min(col("i")) + spanN).cast("long").as("n_tokens"),
+          count(lit(1)).as("n_windows"))
+      runs
+        .join(docs(s, dir).select(col("doc_id"), toks(col("text")).as("t")),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("start_pos"), col("n_tokens"), col("n_windows"),
+          concat_ws(" ", expr(
+            "slice(t, cast(start_pos + 1 AS INT), cast(n_tokens AS INT))"))
+            .as("span_text"))
+        .orderBy(col("doc_id"), col("start_pos"), col("span_text"))
+    })
+
   // ---------------------------------------------------------------------
   // E3: similarity search over embeddings
   // ---------------------------------------------------------------------
@@ -2296,7 +2382,7 @@ object LlmOps {
 
   def queries: Seq[GraftQuery] = Seq(
     e1, e1Stats, e1Incremental, e2Jaccard, e2MinHash, e2SimHash, e2EmbedCosine, e2Clusters,
-    e2DedupApply, e2ClusterSafeSplit, e2Decontam, e2BloomDecontam, e2RepeatedSpans, e2SpanCut, e3TopK, e3Ann, e3Ivf, e3EvalNN, e3KnnClassify, e3Centroids,
+    e2DedupApply, e2ClusterSafeSplit, e2Decontam, e2BloomDecontam, e2RepeatedSpans, e2SpanCut, e2LongRepeats, e3TopK, e3Ann, e3Ivf, e3EvalNN, e3KnnClassify, e3Centroids,
     e4Terms, e4Quality,
     e4LangId, e4Fingerprint, e4Rolling, e4Repetition, e4Chunk, e4Mix, e4Scrub,
     e4Surprisal, e4Split, e4Pack, e4PackEff, e4Cascade, e4Novelty)

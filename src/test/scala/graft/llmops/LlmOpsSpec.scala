@@ -249,6 +249,41 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("long repeats: planted arbitrary-length blocks come out as single maximal runs") {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_test_longrep"
+    // unique filler per (doc, position) so NOTHING repeats by accident;
+    // shared blocks sa (20 tokens), sb (12 tokens), sc (7 tokens < spanN)
+    def fill(d: String, n: Int, from: Int = 0) =
+      (from until from + n).map(i => f"$d$i%03d")
+    val sa = (1 to 20).map(i => f"sa$i%02d")
+    val sb = (1 to 12).map(i => f"sb$i%02d")
+    val sc = (1 to 7).map(i => f"sc$i%02d")
+    val docs = Seq(
+      (1L, (fill("a", 5) ++ sa ++ fill("a", 5, 5)).mkString(" ")),   // sa at 5..24
+      (2L, (fill("b", 11) ++ sa ++ fill("b", 3, 11)).mkString(" ")), // sa at 11..30
+      (3L, (sa ++ fill("c", 10) ++ sb).mkString(" ")),               // sa at 0, sb at 30
+      (4L, (fill("d", 4) ++ sb).mkString(" ")),                      // sb at 4
+      (5L, (fill("e", 6) ++ sc ++ fill("e", 6, 6)).mkString(" ")),   // sc: sub-spanN
+      (6L, (fill("f", 6) ++ sc ++ fill("f", 6, 6)).mkString(" ")))
+    docs.map { case (id, t) => (id, t, "en", "fixture", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Registry.byName("llm_e2_long_repeats").run(spark, dir)
+      .select($"doc_id", $"start_pos", $"n_tokens", $"n_windows", $"span_text")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    val saText = sa.mkString(" ")
+    val sbText = sb.mkString(" ")
+    // each 20-token sa block is ONE maximal run (13 chained windows),
+    // never 13 separate 8-token rows; sb likewise (5 windows); the
+    // 7-token sc block is below spanN and must NOT be reported at all
+    got shouldBe Seq(
+      (1L, 5L, 20L, 13L, saText),
+      (2L, 11L, 20L, 13L, saText),
+      (3L, 0L, 20L, 13L, saText),
+      (3L, 30L, 12L, 5L, sbText),
+      (4L, 4L, 12L, 5L, sbText))
+  }
+
   test("text scrub masks lexicon terms and redacts planted email/IPv4 patterns") {
     val dir = s"${sys.props("java.io.tmpdir")}/graft_test_scrub"
     Seq(
