@@ -59,8 +59,10 @@ object BpeMerges {
     * oracle unrolls to k static CTE rounds. */
   private[llmops] val mergeK = 8
 
-  /** The word-frequency training table (seq = space-joined char symbols,
-    * freq): the single corpus-sized pass, memoized per (session, dir). */
+  /** The word-frequency training table (word, seq = space-joined char
+    * symbols, freq): the single corpus-sized pass, memoized per
+    * (session, dir); `word` is kept so the encode pass can join the
+    * corpus word stream back to its subword count. */
   private def bpeWords(s: SparkSession, dir: String): DataFrame =
     graft.SessionMemo.materialized(s, dir, "bpe_words") {
       docs(s, dir)
@@ -68,9 +70,23 @@ object BpeMerges {
         .select(explode(split(col("text"), " ", -1)).as("word"))
         .filter(col("word").rlike("^[a-z]+$"))
         .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-        .select(rtrim(regexp_replace(col("word"), "(.)", "$1 ")).as("seq"),
+        .select(col("word"),
+          rtrim(regexp_replace(col("word"), "(.)", "$1 ")).as("seq"),
           col("freq"))
     }
+
+  /** Leftmost-greedy application of one merge to the space-joined
+    * symbol string in `seq`, as a narrow fold projection over the
+    * pre-split array `s0` — shared by training and encode so both
+    * apply ONE definition of a merge. */
+  private def foldMerge(l: String, r: String): org.apache.spark.sql.Column =
+    aggregate(
+      slice(col("s0"), lit(2), size(col("s0")) - 1),
+      element_at(col("s0"), 1),
+      (acc, x) =>
+        when(regexp_extract(acc, "[^ ]+$", 0) === lit(l) && x === lit(r),
+          regexp_replace(acc, "[^ ]+$", l + r))
+          .otherwise(concat(acc, lit(" "), x)))
 
   /** One learned merge: (step, lhs, rhs, merged, pair_count). */
   private[llmops] final case class Merge(
@@ -109,15 +125,7 @@ object BpeMerges {
           // l/r/merged are driver literals, so the plan stays linear in k
           cur = cur
             .select(split(col("seq"), " ", -1).as("s0"), col("freq"))
-            .select(
-              aggregate(
-                slice(col("s0"), lit(2), size(col("s0")) - 1),
-                element_at(col("s0"), 1),
-                (acc, x) =>
-                  when(regexp_extract(acc, "[^ ]+$", 0) === lit(l) && x === lit(r),
-                    regexp_replace(acc, "[^ ]+$", l + r))
-                    .otherwise(concat(acc, lit(" "), x))).as("seq"),
-              col("freq"))
+            .select(foldMerge(l, r).as("seq"), col("freq"))
           i += 1
         }
       }
@@ -180,5 +188,102 @@ object BpeMerges {
     Some(oracleSql),
     (s, dir) => mergesFrame(s, dir))
 
-  def queries: Seq[GraftQuery] = Seq(merges)
+  /** BPE ENCODE — apply the learned merge table to the corpus and
+    * report per-document subword statistics (n_words, n_subwords,
+    * fertility = subwords/word on the q4 grid): the tokenizer's
+    * deployment half, and the metric (fertility) every tokenizer
+    * evaluation reports. Non-ascii words pass through as one opaque
+    * token each (byte-fallback posture); docs with no words (null or
+    * whitespace-only text) report 0/0 with NULL fertility — total,
+    * nothing dropped.
+    *
+    * 100 TB shape: the k merge folds run over the VOCAB-BOUNDED word
+    * table, never the corpus — each distinct word is encoded exactly
+    * once (the production trick: encode cost is O(vocab), corpus cost
+    * is a word-keyed join to the encoded table, AQE-broadcastable);
+    * the per-doc aggregation is the one doc_id-keyed shuffle.
+    *
+    * The oracle is GENERATED ([[GraftQuery.oracleGen]]): the learned
+    * merges are data-dependent driver values (deterministic and
+    * memoized per (session, dir) — the PQ-codebook pattern), embedded
+    * into the unrolled fold CTEs as literals. */
+  private def encodedVocab(s: SparkSession, dir: String): DataFrame = {
+    var enc = bpeWords(s, dir).select(col("word"), col("seq"))
+    learnedMerges(s, dir).foreach { m =>
+      enc = enc
+        .select(col("word"), split(col("seq"), " ", -1).as("s0"))
+        .select(col("word"), foldMerge(m.lhs, m.rhs).as("seq"))
+    }
+    enc.select(col("word"),
+      size(split(col("seq"), " ", -1)).cast("long").as("n_sub"))
+  }
+
+  private def encodeFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = docs(s, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("word"))
+      .filter(length(col("word")) > 0)
+    val agg = w
+      .join(encodedVocab(s, dir), Seq("word"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(coalesce(col("n_sub"), lit(1L))).as("n_subwords"))
+    docs(s, dir).select(col("doc_id")).distinct()
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_subwords"), lit(0L)).as("n_subwords"),
+        when(col("n_words").isNull, lit(null).cast("double"))
+          .otherwise(LlmOps.q4(col("n_subwords").cast("double") / col("n_words")))
+          .as("fertility"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def encodeOracleSql(s: SparkSession, dir: String): String = {
+    val ms = learnedMerges(s, dir)
+    val folds = ms.zipWithIndex.map { case (m, ix) =>
+      s"""enc${ix + 1} AS (
+        SELECT w, list_reduce(string_split(seq, ' '), (acc, x) -> CASE
+          WHEN regexp_extract(acc, '[^ ]+$$') = '${m.lhs}' AND x = '${m.rhs}'
+          THEN regexp_replace(acc, '[^ ]+$$', '${m.merged}')
+          ELSE acc || ' ' || x END) AS seq
+        FROM enc$ix)"""
+    }
+    val chain = if (folds.isEmpty) "" else folds.mkString(",\n      ", ",\n      ", "")
+    s"""
+      WITH words AS (
+        SELECT doc_id, w FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM documents WHERE text IS NOT NULL)
+        WHERE len(w) > 0),
+      enc0 AS (
+        SELECT w, rtrim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS seq
+        FROM (SELECT DISTINCT w FROM words WHERE regexp_matches(w, '^[a-z]+$$')))$chain,
+      enc AS (
+        SELECT w, CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_sub
+        FROM enc${ms.length}),
+      a AS (
+        SELECT words.doc_id, COUNT(*) AS n_words,
+               CAST(SUM(coalesce(enc.n_sub, 1)) AS BIGINT) AS n_subwords
+        FROM words LEFT JOIN enc ON words.w = enc.w
+        GROUP BY words.doc_id)
+      SELECT d.doc_id,
+             coalesce(a.n_words, 0) AS n_words,
+             coalesce(a.n_subwords, 0) AS n_subwords,
+             CASE WHEN a.n_words IS NULL THEN NULL
+                  ELSE ${LlmOps.q4Sql("CAST(a.n_subwords AS DOUBLE) / a.n_words")}
+             END AS fertility
+      FROM (SELECT DISTINCT doc_id FROM documents) d
+      LEFT JOIN a ON d.doc_id = a.doc_id
+      ORDER BY d.doc_id"""
+  }
+
+  private val encode = GraftQuery(
+    "llm_e4_bpe_encode",
+    "BPE encode: learned merges applied via the vocab table, per-doc fertility (E4)",
+    None,
+    (s, dir) => encodeFrame(s, dir),
+    oracleGen = Some(encodeOracleSql))
+
+  def queries: Seq[GraftQuery] = Seq(merges, encode)
 }

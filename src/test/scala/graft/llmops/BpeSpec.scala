@@ -91,6 +91,68 @@ class BpeSpec extends SparkSpec {
     got.take(2) shouldBe Seq((1, "x", "y", "xy", 2L), (2, "x", "z", "xz", 2L))
   }
 
+  test("llm_e4_bpe_encode matches a driver-side replay of merge application") {
+    def applyMerge(syms: Vector[String], l: String, r: String): Vector[String] = {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toVector
+    }
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)))
+    val words = docs.flatMap(_._2.toSeq.flatMap(_.split(" ", -1)))
+      .filter(_.matches("^[a-z]+$"))
+      .groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+    val merges = replay(words, BpeMerges.mergeK)
+    def nSub(w: String): Long =
+      if (!w.matches("^[a-z]+$")) 1L
+      else merges.foldLeft(w.toVector.map(_.toString)) {
+        case (syms, (_, l, r, _, _)) => applyMerge(syms, l, r)
+      }.length.toLong
+    val expected = docs.map { case (id, t) =>
+      val ws = t.toSeq.flatMap(_.split(" ", -1)).filter(_.nonEmpty)
+      if (ws.isEmpty) id -> ((0L, 0L, None: Option[Double]))
+      else {
+        val sub = ws.map(nSub).sum
+        val fert = { val y = sub.toDouble / ws.length * 10000.0 + 0.5; (y - (y % 1.0)) / 10000.0 }
+        id -> ((ws.length.toLong, sub, Some(fert)))
+      }
+    }.toMap
+    val got = run("llm_e4_bpe_encode").collect()
+    got.length shouldBe expected.size
+    got.foreach { r =>
+      val id = r.getLong(0)
+      withClue(s"doc $id:") {
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))) shouldBe expected(id)
+      }
+    }
+  }
+
+  test("llm_e4_bpe_encode is total: a wordless doc reports 0/0 with NULL fertility") {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_bpe_wordless"
+    Seq((1L, "ab ab xy", "en", "fx", 8L), (2L, null.asInstanceOf[String], "en", "fx", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = run("llm_e4_bpe_encode", dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    got(2L) shouldBe ((0L, 0L, None))
+    got(1L)._1 shouldBe 3L
+  }
+
+  test("llm_e4_bpe_encode plan: merge folds run on the memoized vocab, not corpus rows") {
+    // the vocab branch reads the persisted bpe_words frame — encode cost
+    // is O(vocab); the corpus side is only a word-keyed join + doc agg
+    val plan = run("llm_e4_bpe_encode").queryExecution.executedPlan.toString
+    plan should include("InMemoryTableScan")
+  }
+
   test("llm_e4_bpe_merges plan: the emitted frame is a k-row local relation") {
     // the corpus never flows through the output plan — training ran in
     // bounded jobs (one memoized corpus pass + vocab-bounded rounds),
