@@ -113,7 +113,11 @@ def main() -> None:
         return r / cal_ratio if cal_ratio else r
 
     gate = "normalized " if cal_ratio else ""
-    movers = [(k, norm(nq[k] / max(oq[k], 1e-9))) for k in common]
+    # clamp BOTH sides to 1ms: per-query values are rounded to 1ms, so a
+    # sub-millisecond line lands as 0.0 and a bare ratio is 0 or inf —
+    # log() in the sort below blew up on exactly that (r18); below-
+    # resolution measurements are noise, not movers
+    movers = [(k, norm(max(nq[k], 1e-3) / max(oq[k], 1e-3))) for k in common]
     movers = [(k, r) for k, r in movers if r > 1.5 or r < 1 / 1.5]
     movers.sort(key=lambda kr: -abs(math.log(kr[1])))
     if movers:
