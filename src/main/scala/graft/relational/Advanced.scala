@@ -35,8 +35,9 @@ object Advanced {
       FROM lineitem
       GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
       ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""),
-    (s, dir) =>
-      T(s, dir, "lineitem")
+    (s, dir) => {
+      val src = T(s, dir, "lineitem")
+      val main = src
         .groupingSets(
           Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
           col("l_returnflag"), col("l_linestatus"))
@@ -45,8 +46,19 @@ object Advanced {
           dsum(col("l_quantity")).as("sum_qty"))
         .select(col("l_returnflag"), col("l_linestatus"), col("gid"),
           col("n_items"), col("sum_qty"))
-        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
-          col("l_linestatus").asc_nulls_first))
+      // empty-input standard `()` row (gid = GROUPING(flag,status) = 3)
+      // — see q_rollup_order_stats' scaladoc (r18)
+      val out =
+        if (src.isEmpty)
+          main.unionByName(src
+            .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+            .select(lit(null).cast("string").as("l_returnflag"),
+              lit(null).cast("string").as("l_linestatus"),
+              lit(3L).as("gid"), col("n_items"), col("sum_qty")))
+        else main
+      out.orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+    })
 
   /** max_by/min_by selector aggregates (DuckDB arg_max/arg_min). The
     * ordering value is made unique BY CONSTRUCTION — a zero-padded

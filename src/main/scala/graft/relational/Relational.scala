@@ -236,7 +236,16 @@ object Relational {
         .orderBy("o_custkey", "o_orderkey")
     })
 
-  /** ROLLUP hierarchy aggregation (beyond reference — §2.4 note). */
+  /** ROLLUP hierarchy aggregation (beyond reference — §2.4 note).
+    *
+    * Empty-input boundary (r18, found by the first FULL-oracle run of
+    * the empty axis): the SQL standard's `()` grouping set aggregates
+    * an empty input to ONE row (count 0, NULL sums) — DuckDB and
+    * Postgres emit it, but Spark's Expand-based rollup/cube/grouping
+    * sets emit NOTHING (Expand produces output per input row, and
+    * there are none). A one-row `isEmpty` probe at construction guards
+    * a union branch carrying the standard row, so the non-empty plan —
+    * the only one that exists at scale — stays single-scan. */
   private val qRollup = GraftQuery(
     "q_rollup_order_stats",
     "GROUP BY ROLLUP with subtotals + grand total (§2.4)",
@@ -246,12 +255,22 @@ object Relational {
       FROM orders
       GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
       ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""),
-    (s, dir) =>
-      T(s, dir, "orders")
+    (s, dir) => {
+      val src = T(s, dir, "orders")
+      val main = src
         .rollup(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_spend"))
-        .orderBy(col("o_orderstatus").asc_nulls_first,
-          col("o_orderpriority").asc_nulls_first))
+      val out =
+        if (src.isEmpty)
+          main.unionByName(src
+            .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_spend"))
+            .select(lit(null).cast("string").as("o_orderstatus"),
+              lit(null).cast("string").as("o_orderpriority"),
+              col("n_orders"), col("total_spend")))
+        else main
+      out.orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+    })
 
   /** COUNT(DISTINCT) + plain count in one aggregate (§2.4). */
   private val qDistinctAgg = GraftQuery(
@@ -414,8 +433,9 @@ object Relational {
       FROM orders
       GROUP BY CUBE(o_orderstatus, o_orderpriority)
       ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority"""),
-    (s, dir) =>
-      T(s, dir, "orders")
+    (s, dir) => {
+      val src = T(s, dir, "orders")
+      val main = src
         .cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(
           grouping(col("o_orderstatus")).cast("int").as("g_status"),
@@ -424,7 +444,18 @@ object Relational {
           dsum(col("o_totalprice")).as("total_spend"))
         .select(col("o_orderstatus"), col("o_orderpriority"),
           col("g_status"), col("g_priority"), col("n_orders"), col("total_spend"))
-        .orderBy("g_status", "g_priority", "o_orderstatus", "o_orderpriority"))
+      // empty-input standard `()` row — see qRollup's scaladoc (r18)
+      val out =
+        if (src.isEmpty)
+          main.unionByName(src
+            .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_spend"))
+            .select(lit(null).cast("string").as("o_orderstatus"),
+              lit(null).cast("string").as("o_orderpriority"),
+              lit(1).as("g_status"), lit(1).as("g_priority"),
+              col("n_orders"), col("total_spend")))
+        else main
+      out.orderBy("g_status", "g_priority", "o_orderstatus", "o_orderpriority")
+    })
 
   /** Register orders/lineitem as parquet tables bucketed (8 buckets,
     * sorted) on the join key — the co-located-join layout a real

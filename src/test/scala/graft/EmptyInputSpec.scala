@@ -46,4 +46,23 @@ class EmptyInputSpec extends SparkSpec {
     }
     withClue(failures.mkString("\n")) { failures shouldBe empty }
   }
+
+  test("rollup/cube/grouping-sets emit the SQL-standard () row on empty input") {
+    // Spark's Expand-based grouping sets produce output per INPUT row,
+    // so an empty input used to yield zero rows where the standard (and
+    // DuckDB/Postgres) emit the one grand-total row: count 0, NULL sums
+    // (r18; found by the first full-oracle run of the empty axis). The
+    // isEmpty-probed union branch in each query supplies it.
+    val roll = Registry.byName("q_rollup_order_stats").run(spark, emptyDir).collect()
+    roll.length shouldBe 1
+    roll.head.isNullAt(0) shouldBe true
+    roll.head.getLong(2) shouldBe 0L
+    roll.head.isNullAt(3) shouldBe true
+    val cube = Registry.byName("q_cube_order_stats").run(spark, emptyDir).collect()
+    cube.length shouldBe 1
+    (cube.head.getInt(2), cube.head.getInt(3)) shouldBe ((1, 1))
+    val gs = Registry.byName("q_grouping_sets").run(spark, emptyDir).collect()
+    gs.length shouldBe 1
+    gs.head.getLong(2) shouldBe 3L // GROUPING(flag, status) of the () set
+  }
 }
