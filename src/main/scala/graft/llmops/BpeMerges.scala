@@ -165,8 +165,8 @@ object BpeMerges {
               FROM (SELECT string_split(seq, ' ') AS s, freq FROM w${n - 1})
               WHERE len(s) >= 2)
         GROUP BY l, r),
-      m$n AS (SELECT l, r, cnt FROM p$n ORDER BY cnt DESC, l, r LIMIT 1),
-      w$n AS (
+      m$n AS MATERIALIZED (SELECT l, r, cnt FROM p$n ORDER BY cnt DESC, l, r LIMIT 1),
+      w$n AS MATERIALIZED (
         SELECT CASE WHEN m.l IS NULL THEN w.seq ELSE
           list_reduce(string_split(w.seq, ' '), (acc, x) -> CASE
             WHEN regexp_extract(acc, '[^ ]+$$') = m.l AND x = m.r
@@ -178,7 +178,7 @@ object BpeMerges {
       s"SELECT $n AS step, l AS lhs, r AS rhs, l || r AS merged, cnt AS pair_count FROM m$n"
     }.mkString("\n        UNION ALL ")
     s"""
-      WITH w0 AS (
+      WITH w0 AS MATERIALIZED (
         SELECT rtrim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq,
                CAST(COUNT(*) AS BIGINT) AS freq
         FROM (SELECT unnest(string_split(text, ' ')) AS word
