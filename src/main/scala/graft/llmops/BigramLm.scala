@@ -121,7 +121,14 @@ object BigramLm {
     * (#langs — the same boundedness that justifies broadcasting them)
     * are summed driver-side, so no extra corpus pass runs just to
     * validate (round-17 advice; the earlier eager `samp.count()`
-    * executed the whole scoring pipeline once more per (session, dir)). */
+    * executed the whole scoring pipeline once more per (session, dir)).
+    * Deliberate consequence: the guard is POST-HOC — an oversized sample
+    * finishes the per-lang sort once before the require throws. That is
+    * the chosen trade (validation rides the job the query pays anyway);
+    * a deployment that wants fail-fast instead can afford a
+    * `samp.limit(maxRows + 1).count()` probe before the window job —
+    * bounded by construction — at the cost of one extra job per
+    * construction on the always-healthy path. */
   private val ccnetSampleMaxConf = "graft.ccnetSample.maxRows"
   private def requireBoundedSample(s: SparkSession, rows: Long): Unit = {
     val maxRows =

@@ -245,7 +245,14 @@ object Relational {
     * sets emit NOTHING (Expand produces output per input row, and
     * there are none). A one-row `isEmpty` probe at construction guards
     * a union branch carrying the standard row, so the non-empty plan —
-    * the only one that exists at scale — stays single-scan. */
+    * the only one that exists at scale — stays single-scan. The probe
+    * is an EAGER extra job, and deliberately so: every lazy alternative
+    * considered (a count-0-filtered grand aggregate unioned in, or a
+    * literal row anti-joined against `limit(1)`) re-aggregates or
+    * re-scans the source INSIDE the plan — a second full pass at 100 TB
+    * — whereas `isEmpty` is `limit(1)` over the scan: it reads one row
+    * and stops. Cheapest of the options at scale; same for the cube and
+    * grouping-sets twins below and in Advanced. */
   private val qRollup = GraftQuery(
     "q_rollup_order_stats",
     "GROUP BY ROLLUP with subtotals + grand total (§2.4)",

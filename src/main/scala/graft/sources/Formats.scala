@@ -185,24 +185,45 @@ object Formats {
       ORDER BY file"""),
     (s, dir) => {
       val path = scratch(dir, "docs_salvage")
-      val base = java.nio.file.Paths.get(path)
-      dropTree(base)
-      java.nio.file.Files.createDirectories(base)
-      val docs = T(s, dir, "documents").select(col("doc_id"), col("lang"))
-      (0 until salvageN).foreach { i =>
-        val tmp = s"$path/_build_$i"
-        docs.filter(col("doc_id") % salvageN === i).coalesce(1)
-          .write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
-          .getOrElse(sys.error(s"salvage fixture: no part file under $tmp"))
-        java.nio.file.Files.move(part.toPath, base.resolve(s"p$i.parquet"),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        dropTree(java.nio.file.Paths.get(tmp))
+      // Fixture build: ONCE per (session, dir) via the memo — a re-run of
+      // the query must not destructively dropTree+rebuild under another
+      // plan's in-flight lazy read — and through Hadoop FileSystem APIs,
+      // not java.io, so driver-built bytes land on whatever filesystem
+      // the scratch scheme resolves to (the same FS the executor-side
+      // probe and scan read). Cross-PROCESS runs are disjoint by the
+      // pid-keyed scratch root, so no multi-writer case remains.
+      graft.SessionMemo.value(s, dir, "salvage_fixture") {
+        val basePath = new org.apache.hadoop.fs.Path(path)
+        val fs = basePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(basePath, true)
+        fs.mkdirs(basePath)
+        val docs = T(s, dir, "documents").select(col("doc_id"), col("lang"))
+        (0 until salvageN).foreach { i =>
+          val tmp = new org.apache.hadoop.fs.Path(s"$path/_build_$i")
+          docs.filter(col("doc_id") % salvageN === i).coalesce(1)
+            .write.mode("overwrite").parquet(tmp.toString)
+          val part = fs.listStatus(tmp).map(_.getPath)
+            .find(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("."))
+            .getOrElse(sys.error(s"salvage fixture: no part file under $tmp"))
+          if (!fs.rename(part, new org.apache.hadoop.fs.Path(basePath, s"p$i.parquet")))
+            sys.error(s"salvage fixture: rename failed for $part")
+          fs.delete(tmp, true)
+        }
+        // Hadoop output streams are create/append only (no random write):
+        // corrupt the last 8 bytes (footer length + PAR1 magic) by
+        // read-modify-rewrite — the shard is one coalesced part file of a
+        // bounded residue slice, so the full-file copy is small by
+        // construction.
+        val victim = new org.apache.hadoop.fs.Path(basePath, s"p$salvageCorruptIdx.parquet")
+        val len = fs.getFileStatus(victim).getLen.toInt
+        val bytes = new Array[Byte](len)
+        val in = fs.open(victim)
+        try in.readFully(0, bytes) finally in.close()
+        System.arraycopy("GARBAGE!".getBytes("UTF-8"), 0, bytes, len - 8, 8)
+        val out = fs.create(victim, true)
+        try out.write(bytes) finally out.close()
+        path
       }
-      val raf = new java.io.RandomAccessFile(s"$path/p$salvageCorruptIdx.parquet", "rw")
-      try { raf.seek(raf.length() - 8); raf.write("GARBAGE!".getBytes("UTF-8")) }
-      finally raf.close()
       import s.implicits._
       val status = s.createDataset((0 until salvageN).map(i => s"p$i.parquet"))
         .repartition(salvageN)
@@ -231,12 +252,6 @@ object Formats {
           coalesce(col("n_rows"), lit(0L)).as("n_rows"))
         .orderBy(col("file"))
     })
-
-  private def dropTree(p: java.nio.file.Path): Unit =
-    if (java.nio.file.Files.exists(p)) {
-      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .forEach(pth => { java.nio.file.Files.deleteIfExists(pth); () })
-    }
 
   def queries: Seq[GraftQuery] =
     Seq(csvRoundtrip, orcRoundtrip, jsonlPermissive, parquetSalvage)

@@ -28,7 +28,12 @@ class RegistrySpec extends AnyFunSuite with Matchers {
       // DISTINCT FROM b` (round-16 oracles use it in rejoins)
       val sql = rawSql.replaceAll("(?i)extract\\s*\\([^)]*\\)", "")
         .replaceAll("(?i)IS\\s+NOT\\s+DISTINCT\\s+FROM", "IS_NOT_DISTINCT_OP")
-      val ctes = "(?i)\\b([a-zA-Z_][a-zA-Z0-9_]*)\\s*(?:\\([a-zA-Z0-9_,\\s]*\\))?\\s+AS\\s*\\(".r
+      // `AS MATERIALIZED (` / `AS NOT MATERIALIZED (` are valid DuckDB
+      // CTE modifiers (the BPE oracle materializes its per-round CTEs to
+      // stop 2^k inlined rescans) — the declaration regex must accept them
+      // or the CTE name leaks into the unknown-table check (round-17 miss)
+      val ctes = ("(?i)\\b([a-zA-Z_][a-zA-Z0-9_]*)\\s*(?:\\([a-zA-Z0-9_,\\s]*\\))?" +
+        "\\s+AS\\s*(?:(?:NOT\\s+)?MATERIALIZED\\s*)?\\(").r
         .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
       fromJoin.findAllMatchIn(sql).map(_.group(1).toLowerCase)
         .filterNot(ctes).filterNot(Set("unnest", "generate_series", "read_parquet"))

@@ -24,10 +24,19 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def _spark_hidden(f, base):
-    """True if any path component below base starts with `.` or `_` —
-    Spark's InMemoryFileIndex hides both, so the oracle must too."""
+    """True if Spark's file index would hide any path component below
+    base. Mirrors HadoopFSUtils.shouldFilterOutPathName EXACTLY (not a
+    blanket '.'/'_' prefix test): '_'-prefixed names are kept when they
+    contain '=' (partition dirs for a '_'-named column) or start with
+    '_metadata'/'_common_metadata'; '._COPYING_' temps are hidden."""
     rel = os.path.relpath(f, base)
-    return any(c.startswith((".", "_")) for c in rel.split(os.sep))
+    for c in rel.split(os.sep):
+        exclude = ((c.startswith("_") and "=" not in c)
+                   or c.startswith(".") or c.endswith("._COPYING_"))
+        include = c.startswith("_common_metadata") or c.startswith("_metadata")
+        if exclude and not include:
+            return True
+    return False
 
 
 def norm(v):
