@@ -561,6 +561,7 @@ object Registry {
       llmops.LlmOps.queries ++
       llmops.SemDedup.queries ++
       llmops.VocabPrune.queries ++
+      llmops.UnigramLm.queries ++
       llmops.Mixture.queries ++
       llmops.TextRanking.queries ++
       llmops.Retrieval.queries ++

@@ -63,7 +63,7 @@ object BpeMerges {
     * symbols, freq): the single corpus-sized pass, memoized per
     * (session, dir); `word` is kept so the encode pass can join the
     * corpus word stream back to its subword count. */
-  private def bpeWords(s: SparkSession, dir: String): DataFrame =
+  private[llmops] def bpeWords(s: SparkSession, dir: String): DataFrame =
     graft.SessionMemo.materialized(s, dir, "bpe_words") {
       docs(s, dir)
         .filter(col("text").isNotNull)

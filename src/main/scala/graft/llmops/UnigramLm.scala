@@ -1,0 +1,307 @@
+package graft.llmops
+
+import graft.GraftQuery
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Unigram-LM tokenizer TRAINING (extension family E4) — the
+  * SentencePiece complement of [[BpeMerges]] (Kudo 2018, "Subword
+  * Regularization: Improving Neural Network Translation Models with
+  * Multiple Subword Candidates"): seed a substring vocabulary, then
+  * alternate (E) best-path segmentation of the word table under the
+  * current piece log-probabilities with (prune + M) dropping the
+  * lowest-usage pieces and re-estimating probabilities — hard-EM, the
+  * deterministic member of Kudo's family (soft EM's forward-backward
+  * expected counts are real-valued and engine-order-sensitive; the
+  * Viterbi counts are integers, so every round is exactly
+  * reproducible on both engines).
+  *
+  * Semantics pinned by the contract query:
+  *  - training words = the BPE pre-tokenizer's word table
+  *    ([[BpeMerges.bpeWords]]: whitespace tokens matching `^[a-z]+$`,
+  *    frequency-weighted) restricted to length <= [[maxWordLen]] — the
+  *    length cap is a contract constant (production raises it) that
+  *    lets the Viterbi DP unroll to [[maxWordLen]] STATIC position
+  *    columns on both engines: no recursion, no UDF, the same
+  *    expression tree in Spark and in the generated DuckDB SQL.
+  *  - seed vocabulary = every single character (segmentation stays
+  *    total) plus the top-[[seedMultiV]] multi-char substrings of
+  *    length <= [[maxPieceLen]] by (occurrence count DESC, piece ASC);
+  *    seed log-probs from raw substring counts.
+  *  - piece scores live on the 1e-7 integer ln grid ([[LlmOps.ln7]]'s
+  *    contract): DP path scores are sums of <= [[maxWordLen]]
+  *    integer-valued doubles, so comparisons are EXACT in any
+  *    partitioning on any engine; the one division (grid -> logp)
+  *    happens at output.
+  *  - Viterbi tie-break: candidate last-pieces are tried LONGEST
+  *    FIRST and replaced only by a STRICTLY better score, so equal
+  *    paths resolve to the longest-final-piece segmentation — a total
+  *    deterministic order shared by both engines' expression trees.
+  *  - each of the [[emRounds]] rounds drops the floor(multi/4)
+  *    lowest-usage multi-char pieces by (usage ASC, piece ASC) —
+  *    single characters are never dropped — then re-estimates
+  *    log-probs with add-one smoothing (Viterbi usage can be zero;
+  *    ln(0) must not enter the grid).
+  *
+  * 100 TB shape: the ONE corpus-sized pass is the shared memoized
+  * word-frequency table ([[BpeMerges.bpeWords]] — also BPE's); every
+  * round runs on the VOCAB-BOUNDED word table (a static-width DP
+  * projection + a piece-keyed aggregation) and exchanges piece-count
+  * rows with the driver (vocabulary-sized — the CCNet/DSIR/BPE
+  * constant-exchange shape), re-applied as plan literals. The emitted
+  * vocabulary is a driver-held local relation.
+  *
+  * Reference scope note: the reference pipeline
+  * (`/root/reference/process_batch.py`) consumes tokenized text but
+  * never learns a tokenizer; this op (like BPE) is part of the
+  * mandated LLM-pipeline extension surface.
+  */
+object UnigramLm {
+
+  /** Longest candidate piece the DP considers. */
+  private[llmops] val maxPieceLen = 4
+
+  /** Training-word length cap — the constant that makes the DP
+    * statically unrollable (positions 1..maxWordLen). */
+  private[llmops] val maxWordLen = 8
+
+  /** Multi-char seed pieces kept (single chars always enter). */
+  private[llmops] val seedMultiV = 32
+
+  /** EM(prune) rounds the contract query unrolls. */
+  private[llmops] val emRounds = 3
+
+  /** Driver mirror of [[LlmOps.ln7]] — the same `Math.log` the Spark
+    * `ln` expression executes on this JVM, truncated onto the same
+    * 1e-7 integer grid, so driver-computed piece scores and any
+    * Spark-computed twin are bit-identical. */
+  private def ln7d(x: Double): Double = {
+    val y = math.log(x) * 1.0e7
+    y - (y % 1.0)
+  }
+
+  private def trainWords(s: SparkSession, dir: String): DataFrame =
+    BpeMerges.bpeWords(s, dir)
+      .select(col("word"), col("freq"))
+      .filter(length(col("word")) <= maxWordLen)
+
+  /** All substrings of `word` with length 1..maxPieceLen, one element
+    * per OCCURRENCE (a repeated substring counts each position). */
+  private def substrExpr: String =
+    "flatten(transform(sequence(1, length(word)), i -> " +
+      s"transform(sequence(i, least(length(word), i + ${maxPieceLen - 1})), " +
+      "j -> substring(word, i, j - i + 1))))"
+
+  /** A trained vocabulary entry: piece, its Viterbi usage count from
+    * the final E-step (word-frequency-weighted), and its grid
+    * log-prob (integer-valued double; divide by 1e7 for the logp). */
+  private[llmops] final case class VocabEntry(piece: String, nUses: Long, lpGrid: Double)
+
+  /** One Viterbi E-step: segment every training word under the piece
+    * log-prob map (plan literal), emitting (word, freq, seg) with seg
+    * the space-joined best path. Statically unrolled DP: position i's
+    * state is struct(sc, seg); candidates are the <= maxPieceLen
+    * last-piece lengths, tried longest first, strictly-greater
+    * replaces. Single chars are always in the vocabulary, so every
+    * position is reachable. */
+  private def segmented(w: DataFrame, lp: Map[String, Double]): DataFrame = {
+    val lpLit = typedLit(lp)
+    var df = w
+    for (i <- 1 to maxWordLen) {
+      val cands = (math.min(i, maxPieceLen) to 1 by -1).map { len =>
+        val j = i - len
+        val piece = substring(col("word"), j + 1, len)
+        val look = element_at(lpLit, piece)
+        val prevOk = if (j == 0) lit(true) else col(s"p$j").isNotNull
+        val prevSc: Column = if (j == 0) lit(0.0) else col(s"p$j").getField("sc")
+        val seg =
+          if (j == 0) piece
+          else concat(col(s"p$j").getField("seg"), lit(" "), piece)
+        when(prevOk && look.isNotNull,
+          struct((prevSc + look).as("sc"), seg.as("seg")))
+      }
+      val best = cands.reduce((b, c) =>
+        when(b.isNull, c)
+          .when(c.isNull, b)
+          .when(c.getField("sc") > b.getField("sc"), c)
+          .otherwise(b))
+      df = df.withColumn(s"p$i", best)
+    }
+    val segSel = (1 to maxWordLen).foldLeft(lit(null).cast("string")) { (acc, i) =>
+      when(length(col("word")) === i, col(s"p$i").getField("seg")).otherwise(acc)
+    }
+    df.select(col("word"), col("freq"), segSel.as("seg"))
+  }
+
+  /** Train the vocabulary: seed + [[emRounds]] hard-EM prune rounds.
+    * Driver state is vocabulary-sized rows per round; memoized per
+    * (session, dir) so reconstruction is free. */
+  private[llmops] def trainedVocab(s: SparkSession, dir: String): Seq[VocabEntry] =
+    graft.SessionMemo.value(s, dir, "unigram_vocab") {
+      val w = trainWords(s, dir)
+      val pieceCnt = w
+        .select(col("freq"), explode(expr(substrExpr)).as("piece"))
+        .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+        .persist()
+      val chars = pieceCnt.filter(length(col("piece")) === 1)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val multi = pieceCnt.filter(length(col("piece")) > 1)
+        .orderBy(col("cnt").desc, col("piece")).limit(seedMultiV)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      pieceCnt.unpersist()
+      val seed = (chars ++ multi).toSeq
+      if (seed.isEmpty) Seq.empty[VocabEntry]
+      else {
+        val seedTotal = seed.map(_._2).sum
+        // (piece, usage-or-seed-count, grid lp)
+        var vocab: Seq[(String, Long, Double)] =
+          seed.map { case (p, c) => (p, c, ln7d(c.toDouble) - ln7d(seedTotal.toDouble)) }
+        for (_ <- 1 to emRounds) {
+          val lpMap = vocab.map(v => v._1 -> v._3).toMap
+          val used = segmented(w, lpMap)
+            .select(col("freq"), explode(split(col("seg"), " ", -1)).as("piece"))
+            .groupBy(col("piece")).agg(sum(col("freq")).as("u"))
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          val usage = vocab.map(v => v._1 -> used.getOrElse(v._1, 0L)).toMap
+          val multiPieces = vocab.map(_._1).filter(_.length > 1)
+          val dropK = multiPieces.size / 4
+          val dropped = multiPieces.sortBy(p => (usage(p), p)).take(dropK).toSet
+          val survivors = vocab.map(_._1).filterNot(dropped)
+          val totalU = survivors.map(usage).sum + survivors.size
+          vocab = survivors.map(p =>
+            (p, usage(p), ln7d(usage(p) + 1.0) - ln7d(totalU.toDouble)))
+        }
+        vocab.map { case (p, u, g) => VocabEntry(p, u, g) }
+      }
+    }
+
+  private def vocabFrame(s: SparkSession, dir: String): DataFrame = {
+    val rows = trainedVocab(s, dir)
+      .sortBy(_.piece)
+      .map(v => Row(v.piece, v.nUses, v.lpGrid / 1.0e7))
+    val schema = StructType(Seq(
+      StructField("piece", StringType, nullable = false),
+      StructField("n_uses", LongType, nullable = false),
+      StructField("logp", DoubleType, nullable = false)))
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(rows.asJava, schema).orderBy(col("piece"))
+  }
+
+  // -------------------------------------------------------------------
+  // Generated DuckDB oracle: the identical seed + rounds, positions and
+  // rounds both statically unrolled; per-round CTEs MATERIALIZED (an
+  // inlined round chain re-scans the base 2^k times — the BPE lesson).
+  // -------------------------------------------------------------------
+
+  private def ln7Sql(e: String): String = LlmOps.ln7Sql(e)
+
+  /** The DP candidate for position `i`, last-piece length `len`, as a
+    * SQL expression over word + p1..p{i-1} and the round's vocab CTE. */
+  private def candSql(vcte: String, i: Int, len: Int): String = {
+    val j = i - len
+    val piece = s"substr(word, ${j + 1}, $len)"
+    val look = s"(SELECT lp FROM $vcte vv WHERE vv.piece = $piece)"
+    val prevOk = if (j == 0) "TRUE" else s"p$j IS NOT NULL"
+    val prevSc = if (j == 0) "0.0" else s"struct_extract(p$j, 'sc')"
+    val seg =
+      if (j == 0) piece
+      else s"struct_extract(p$j, 'seg') || ' ' || $piece"
+    s"""CASE WHEN $prevOk AND $look IS NOT NULL
+        THEN struct_pack(sc := $prevSc + $look, seg := $seg) END"""
+  }
+
+  /** One round's DP + usage + prune + M-step CTE chain. `r` is the
+    * round index (vocab v{r-1} in, v{r} out). */
+  private def roundSql(r: Int): String = {
+    val prevV = s"v${r - 1}"
+    val posCtes = (1 to maxWordLen).map { i =>
+      val lens = math.min(i, maxPieceLen) to 1 by -1
+      val candCols = lens
+        .map(len => s"${candSql(prevV, i, len)} AS c${i}_$len")
+        .mkString(",\n          ")
+      val fold = lens.map(len => s"c${i}_$len").reduce { (b, c) =>
+        s"""CASE WHEN ($b) IS NULL THEN $c WHEN $c IS NULL THEN ($b)
+            WHEN struct_extract($c, 'sc') > struct_extract(($b), 'sc') THEN $c
+            ELSE ($b) END"""
+      }
+      val helperCols = lens.map(len => s"c${i}_$len").mkString(", ")
+      s"""d${r}_${i}a AS (
+        SELECT *,
+          $candCols
+        FROM d${r}_${i - 1}),
+      d${r}_$i AS (
+        SELECT * EXCLUDE ($helperCols), $fold AS p$i FROM d${r}_${i}a)"""
+    }.mkString(",\n      ")
+    val segCase = (1 to maxWordLen)
+      .map(i => s"WHEN ${i} THEN struct_extract(p$i, 'seg')")
+      .mkString(" ")
+    s"""d${r}_0 AS (SELECT word, freq FROM w0),
+      $posCtes,
+      seg$r AS MATERIALIZED (
+        SELECT freq, CASE len(word) $segCase END AS seg FROM d${r}_$maxWordLen),
+      u$r AS MATERIALIZED (
+        SELECT v.piece, CAST(coalesce(SUM(t.freq), 0) AS BIGINT) AS u
+        FROM $prevV v LEFT JOIN (
+          SELECT freq, unnest(string_split(seg, ' ')) AS piece FROM seg$r) t
+        ON t.piece = v.piece
+        GROUP BY v.piece),
+      s$r AS (
+        SELECT piece, u FROM u$r WHERE len(piece) = 1
+        UNION ALL
+        SELECT piece, u FROM (
+          SELECT piece, u, row_number() OVER (ORDER BY u, piece) AS rn,
+                 count(*) OVER () AS m
+          FROM u$r WHERE len(piece) > 1)
+        WHERE rn > m // 4),
+      v$r AS MATERIALIZED (
+        SELECT piece, u,
+          ${ln7Sql("(u + 1)")} -
+          ${ln7Sql(s"(SELECT CAST(SUM(u) AS BIGINT) + COUNT(*) FROM s$r)")} AS lp
+        FROM s$r)"""
+  }
+
+  private def oracleSql: String = {
+    val rounds = (1 to emRounds).map(roundSql).mkString(",\n      ")
+    s"""
+      WITH w0 AS MATERIALIZED (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS word
+              FROM documents WHERE text IS NOT NULL)
+        WHERE regexp_matches(word, '^[a-z]+$$') AND len(word) <= $maxWordLen
+        GROUP BY 1),
+      pc AS MATERIALIZED (
+        SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
+        FROM (
+          SELECT substr(word, i, l) AS piece, freq
+          FROM (SELECT word, freq, unnest(generate_series(1, len(word))) AS i
+                FROM w0) a,
+               (SELECT unnest(generate_series(1, $maxPieceLen)) AS l) b
+          WHERE i + l - 1 <= len(word))
+        GROUP BY piece),
+      seedsel AS (
+        SELECT piece, cnt FROM pc WHERE len(piece) = 1
+        UNION ALL
+        SELECT piece, cnt FROM (
+          SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+          FROM pc WHERE len(piece) > 1)
+        WHERE rn <= $seedMultiV),
+      v0 AS MATERIALIZED (
+        SELECT piece, cnt AS u,
+          ${ln7Sql("cnt")} -
+          ${ln7Sql("(SELECT CAST(SUM(cnt) AS BIGINT) FROM seedsel)")} AS lp
+        FROM seedsel),
+      $rounds
+      SELECT piece, u AS n_uses, lp / 10000000.0 AS logp
+      FROM v$emRounds
+      ORDER BY piece"""
+  }
+
+  private val train = GraftQuery(
+    "llm_e4_unigram_lm",
+    s"unigram-LM (SentencePiece-style) tokenizer training: seed top-$seedMultiV substrings, $emRounds hard-EM prune rounds on the ln7 grid (E4)",
+    Some(oracleSql),
+    (s, dir) => vocabFrame(s, dir))
+
+  def queries: Seq[GraftQuery] = Seq(train)
+}
