@@ -400,6 +400,34 @@ def write_encdrift(tabs, out):
                        use_dictionary=False, data_page_version='2.0')
 
 
+def write_encdrift2(tabs, out):
+    """Codec/row-group drift axis (seventeenth): the harsher sibling of
+    encdrift — per-file COLUMN-ORDER permutation (two writers, two
+    select orders: parquet resolves columns by name, but a reader that
+    trusted physical position would silently transpose), LZ4_RAW (the
+    codec parquet standardized after the hadoop-framed LZ4 mess — a
+    newer-writer file in an older dir), 1-row row groups with 64-byte
+    data pages (a streaming writer flushing per record — maximal
+    per-row-group overhead), and the two drifts COMPOSED in one file
+    (reversed order + uncompressed + dictionary off + page v2). The
+    logical surface must be byte-identical to the clean dir."""
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    for n, t in tabs.items():
+        d = f'{out}/{n}'
+        os.makedirs(d, exist_ok=True)
+        q = max(1, len(t) // 4)
+        rev = list(reversed(t.column_names))
+        pq.write_table(t.slice(0, q), f'{d}/p0.parquet', compression='lz4')
+        pq.write_table(t.slice(q, q).select(rev), f'{d}/p1.parquet')
+        pq.write_table(t.slice(2 * q, q), f'{d}/p2.parquet',
+                       compression='zstd', row_group_size=1,
+                       data_page_size=64)
+        pq.write_table(t.slice(3 * q).select(rev), f'{d}/p3.parquet',
+                       compression='none', use_dictionary=False,
+                       data_page_version='2.0')
+
+
 def write_combo14(tabs, out):
     """Fourteen-layer composition: the combo12 ROW-level degeneracies
     (nulls, non-finite, magnitudes, unicode, moderate wild clocks,
@@ -445,6 +473,7 @@ AXES = {
     'widthevo': None,   # dir-structured writer, see write_widthevo
     'dirty': None,      # dir-structured writer, see write_dirty
     'encdrift': None,   # dir-structured writer, see write_encdrift
+    'encdrift2': None,  # dir-structured writer, see write_encdrift2
     'combo14': None,    # dir-structured writer, see write_combo14
 }
 
@@ -465,6 +494,8 @@ def main():
             write_dirty(base, out)
         elif name == 'encdrift':
             write_encdrift(base, out)
+        elif name == 'encdrift2':
+            write_encdrift2(base, out)
         elif name == 'combo14':
             write_combo14(base, out)
         else:
