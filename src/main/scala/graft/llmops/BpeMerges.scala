@@ -97,12 +97,21 @@ object BpeMerges {
     * Driver state is k rows total; memoized per (session, dir) so
     * reconstruction (Verify's oracle pass, repeated specs) is free. */
   private[llmops] def learnedMerges(s: SparkSession, dir: String): Seq[Merge] =
-    graft.SessionMemo.value(s, dir, "bpe_merges") {
+    learnedMerges(s, dir, mergeK)
+
+  /** [[learnedMerges]] at an arbitrary round count `k` — the
+    * [[BpeProbe]] stress path (the CONTRACT stays at [[mergeK]]; the
+    * probe proves the per-round cost stays flat in k, i.e. the
+    * localCheckpoint lineage truncation holds). Per-k memo key, so
+    * stress rounds never collide with the contract's table. */
+  private[llmops] def learnedMerges(s: SparkSession, dir: String, k: Int): Seq[Merge] =
+    graft.SessionMemo.value(s, dir,
+      if (k == mergeK) "bpe_merges" else s"bpe_merges_k$k") {
       var cur = bpeWords(s, dir)
       val out = scala.collection.mutable.ArrayBuffer[Merge]()
       var i = 1
       var exhausted = false
-      while (i <= mergeK && !exhausted) {
+      while (i <= k && !exhausted) {
         val pick = cur
           .select(split(col("seq"), " ", -1).as("s"), col("freq"))
           .filter(size(col("s")) >= 2)
