@@ -131,7 +131,7 @@ object UnigramLm {
     val segSel = (1 to maxWordLen).foldLeft(lit(null).cast("string")) { (acc, i) =>
       when(length(col("word")) === i, col(s"p$i").getField("seg")).otherwise(acc)
     }
-    df.select(col("word"), col("freq"), segSel.as("seg"))
+    df.select(w.columns.map(col).toSeq :+ segSel.as("seg"): _*)
   }
 
   /** Train the vocabulary: seed + [[emRounds]] hard-EM prune rounds.
@@ -211,14 +211,16 @@ object UnigramLm {
         THEN struct_pack(sc := $prevSc + $look, seg := $seg) END"""
   }
 
-  /** One round's DP + usage + prune + M-step CTE chain. `r` is the
-    * round index (vocab v{r-1} in, v{r} out). */
-  private def roundSql(r: Int): String = {
-    val prevV = s"v${r - 1}"
-    val posCtes = (1 to maxWordLen).map { i =>
+  /** The statically-unrolled DP CTE chain: positions 1..maxWordLen
+    * over `<p>_0` (which must provide `word` plus any carried
+    * columns), vocab lookups against `vcte`(piece, lp). Emits CTE
+    * pairs `<p>_1a`,`<p>_1` .. `<p>_{maxWordLen}`. Shared by the
+    * training rounds and the encode oracle. */
+  private def dpChainSql(p: String, vcte: String): String =
+    (1 to maxWordLen).map { i =>
       val lens = math.min(i, maxPieceLen) to 1 by -1
       val candCols = lens
-        .map(len => s"${candSql(prevV, i, len)} AS c${i}_$len")
+        .map(len => s"${candSql(vcte, i, len)} AS c${i}_$len")
         .mkString(",\n          ")
       val fold = lens.map(len => s"c${i}_$len").reduce { (b, c) =>
         s"""CASE WHEN ($b) IS NULL THEN $c WHEN $c IS NULL THEN ($b)
@@ -226,18 +228,26 @@ object UnigramLm {
             ELSE ($b) END"""
       }
       val helperCols = lens.map(len => s"c${i}_$len").mkString(", ")
-      s"""d${r}_${i}a AS (
+      s"""${p}_${i}a AS (
         SELECT *,
           $candCols
-        FROM d${r}_${i - 1}),
-      d${r}_$i AS (
-        SELECT * EXCLUDE ($helperCols), $fold AS p$i FROM d${r}_${i}a)"""
+        FROM ${p}_${i - 1}),
+      ${p}_$i AS (
+        SELECT * EXCLUDE ($helperCols), $fold AS p$i FROM ${p}_${i}a)"""
     }.mkString(",\n      ")
-    val segCase = (1 to maxWordLen)
-      .map(i => s"WHEN ${i} THEN struct_extract(p$i, 'seg')")
+
+  private def segCaseSql: String =
+    (1 to maxWordLen)
+      .map(i => s"WHEN $i THEN struct_extract(p$i, 'seg')")
       .mkString(" ")
+
+  /** One round's DP + usage + prune + M-step CTE chain. `r` is the
+    * round index (vocab v{r-1} in, v{r} out). */
+  private def roundSql(r: Int): String = {
+    val prevV = s"v${r - 1}"
+    val segCase = segCaseSql
     s"""d${r}_0 AS (SELECT word, freq FROM w0),
-      $posCtes,
+      ${dpChainSql(s"d$r", prevV)},
       seg$r AS MATERIALIZED (
         SELECT freq, CASE len(word) $segCase END AS seg FROM d${r}_$maxWordLen),
       u$r AS MATERIALIZED (
@@ -303,5 +313,107 @@ object UnigramLm {
     Some(oracleSql),
     (s, dir) => vocabFrame(s, dir))
 
-  def queries: Seq[GraftQuery] = Seq(train)
+  // -------------------------------------------------------------------
+  // Encode: apply the trained vocabulary to the corpus (the tokenizer's
+  // deployment half, mirroring llm_e4_bpe_encode for comparability)
+  // -------------------------------------------------------------------
+
+  /** Per-doc unigram-LM tokenization statistics: n_words, n_pieces,
+    * fertility — Viterbi under the TRAINED vocabulary. Words outside
+    * the training contract (non-ascii, or longer than [[maxWordLen]])
+    * pass through as one opaque token each, the byte-fallback posture
+    * BPE encode also takes; docs with no words report 0/0 with NULL
+    * fertility.
+    *
+    * 100 TB shape (the bpe_encode shape): the DP runs over the
+    * VOCAB-BOUNDED distinct-word table — each distinct word is
+    * segmented exactly once; corpus cost is a word-keyed join to the
+    * encoded table plus the one per-doc aggregation shuffle. The
+    * oracle is GENERATED: the trained vocabulary is a deterministic
+    * memoized driver value (the PQ-codebook pattern), embedded as a
+    * literal VALUES relation under the same statically-unrolled DP. */
+  private def encodeFrame(s: SparkSession, dir: String): DataFrame = {
+    val lpMap = trainedVocab(s, dir).map(v => v.piece -> v.lpGrid).toMap
+    val d = graft.T(s, dir, "documents")
+    val w = d
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("word"))
+      .filter(length(col("word")) > 0)
+    val encodable = w.select(col("word")).distinct()
+      .filter(col("word").rlike("^[a-z]+$") && length(col("word")) <= maxWordLen)
+    val encoded =
+      if (lpMap.isEmpty) encodable.select(col("word"), lit(1L).as("n_sub"))
+      else segmented(encodable, lpMap)
+        .select(col("word"),
+          size(split(col("seg"), " ", -1)).cast("long").as("n_sub"))
+    val agg = w
+      .join(encoded, Seq("word"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(coalesce(col("n_sub"), lit(1L))).as("n_pieces"))
+    d.select(col("doc_id")).distinct()
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
+        when(col("n_words").isNull, lit(null).cast("double"))
+          .otherwise(LlmOps.q4(col("n_pieces").cast("double") / col("n_words")))
+          .as("fertility"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def encodeOracleSql(s: SparkSession, dir: String): String = {
+    val vocab = trainedVocab(s, dir)
+    // the trained vocabulary as a literal relation; lp is an
+    // integer-grid double, rendered exactly (values are integral)
+    val encCtes =
+      if (vocab.isEmpty)
+        // no trained vocabulary (no trainable words): every encodable
+        // word falls back to one opaque token, like the engine
+        "encn AS (SELECT word, CAST(1 AS BIGINT) AS n_sub FROM e_0)"
+      else {
+        val vals = vocab
+          .map(v => s"('${v.piece}', ${f"${v.lpGrid}%.1f"})").mkString(", ")
+        s"""vf(piece, lp) AS (VALUES $vals),
+      ${dpChainSql("e", "vf")},
+      segf AS (
+        SELECT word, CASE len(word) $segCaseSql END AS seg FROM e_$maxWordLen),
+      encn AS (
+        SELECT word, CAST(len(string_split(seg, ' ')) AS BIGINT) AS n_sub
+        FROM segf)"""
+      }
+    s"""
+      WITH words AS (
+        SELECT doc_id, w FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM documents WHERE text IS NOT NULL)
+        WHERE len(w) > 0),
+      e_0 AS (
+        SELECT DISTINCT w AS word FROM words
+        WHERE regexp_matches(w, '^[a-z]+$$') AND len(w) <= $maxWordLen),
+      $encCtes,
+      a AS (
+        SELECT words.doc_id, COUNT(*) AS n_words,
+               CAST(SUM(coalesce(encn.n_sub, 1)) AS BIGINT) AS n_pieces
+        FROM words LEFT JOIN encn ON words.w = encn.word
+        GROUP BY words.doc_id)
+      SELECT d.doc_id,
+             coalesce(a.n_words, 0) AS n_words,
+             coalesce(a.n_pieces, 0) AS n_pieces,
+             CASE WHEN a.n_words IS NULL THEN NULL
+                  ELSE ${LlmOps.q4Sql("CAST(a.n_pieces AS DOUBLE) / a.n_words")}
+             END AS fertility
+      FROM (SELECT DISTINCT doc_id FROM documents) d
+      LEFT JOIN a ON d.doc_id = a.doc_id
+      ORDER BY d.doc_id"""
+  }
+
+  private val encode = GraftQuery(
+    "llm_e4_unigram_encode",
+    "unigram-LM encode: trained vocabulary applied via Viterbi over the distinct-word table, per-doc fertility (E4)",
+    None,
+    (s, dir) => encodeFrame(s, dir),
+    oracleGen = Some(encodeOracleSql))
+
+  def queries: Seq[GraftQuery] = Seq(train, encode)
 }

@@ -42,8 +42,9 @@ class UnigramLmSpec extends SparkSpec {
     dp(word.length).get._2
   }
 
-  /** Full training replay, independent of the engine's DP encoding. */
-  private def replay(words: Map[String, Long]): Seq[(String, Long, Double)] = {
+  /** Full training replay, independent of the engine's DP encoding;
+    * returns (piece, usage, GRID log-prob). */
+  private def replayGrid(words: Map[String, Long]): Seq[(String, Long, Double)] = {
     val ws = words.filter { case (w, _) => w.length <= UnigramLm.maxWordLen }
     val pieceCnt = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
     ws.foreach { case (w, f) =>
@@ -70,19 +71,26 @@ class UnigramLmSpec extends SparkSpec {
       vocab = survivors.map(p =>
         (p, usage(p), ln7d(usage(p) + 1.0) - ln7d(totalU.toDouble)))
     }
-    vocab.map { case (p, u, g) => (p, u, g / 1.0e7) }.sortBy(_._1)
+    vocab.map { case (p, u, g) => (p, u, g) }.sortBy(_._1)
   }
+
+  /** [[replayGrid]] with logp on the output (grid / 1e7) scale. */
+  private def replay(words: Map[String, Long]): Seq[(String, Long, Double)] =
+    replayGrid(words).map { case (p, u, g) => (p, u, g / 1.0e7) }
+
+  private def corpusWords(dir: String): Map[String, Long] =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select("text").collect()
+      .flatMap(r => Option(r.getString(0)).toSeq.flatMap(_.split(" ", -1)))
+      .filter(_.matches("^[a-z]+$"))
+      .groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
 
   private def got(dir: String): Seq[(String, Long, Double)] =
     run("llm_e4_unigram_lm", dir).collect().toSeq
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
 
   test("llm_e4_unigram_lm matches a full driver-side replay") {
-    val words = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select("text").collect()
-      .flatMap(r => Option(r.getString(0)).toSeq.flatMap(_.split(" ", -1)))
-      .filter(_.matches("^[a-z]+$"))
-      .groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+    val words = corpusWords(sfDir)
     val expected = replay(words)
     val g = got(sfDir)
     g shouldBe expected
@@ -116,6 +124,42 @@ class UnigramLmSpec extends SparkSpec {
     byPiece.get("abab") shouldBe Some(3L)
     byPiece("a") shouldBe 0L
     byPiece("b") shouldBe 0L
+  }
+
+  test("llm_e4_unigram_encode matches a driver-side replay") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)))
+    val lp = replayGrid(corpusWords(sfDir)).map(v => (v._1, v._3)).toMap
+    def nSub(w: String): Long =
+      if (!w.matches("^[a-z]+$") || w.length > UnigramLm.maxWordLen) 1L
+      else viterbi(w, lp).length.toLong
+    val expected = docs.map { case (id, t) =>
+      val ws = t.toSeq.flatMap(_.split(" ", -1)).filter(_.nonEmpty)
+      if (ws.isEmpty) id -> ((0L, 0L, None: Option[Double]))
+      else {
+        val pieces = ws.map(nSub).sum
+        val fert = {
+          val y = pieces.toDouble / ws.length * 10000.0 + 0.5
+          (y - (y % 1.0)) / 10000.0
+        }
+        id -> ((ws.length.toLong, pieces, Some(fert)))
+      }
+    }.toMap
+    val got = run("llm_e4_unigram_encode").collect()
+    got.length shouldBe expected.size
+    got.foreach { r =>
+      val id = r.getLong(0)
+      withClue(s"doc $id:") {
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))) shouldBe expected(id)
+      }
+    }
+    // non-vacuous: real fertility values exist, and the vocabulary does
+    // more than char-split somewhere (fertility < word length everywhere
+    // would need per-doc char counts; piece reuse is already pinned by
+    // the training replay's multi-char-usage assertion)
+    got.exists(r => r.getLong(1) > 0 && !r.isNullAt(3)) shouldBe true
   }
 
   test("plan: the emitted vocabulary is a local relation, corpus never in the output plan") {
