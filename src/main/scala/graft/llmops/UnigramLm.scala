@@ -109,7 +109,16 @@ object UnigramLm {
     val lpLit = typedLit(lp)
     var df = w
     for (i <- 1 to maxWordLen) {
-      val cands = (math.min(i, maxPieceLen) to 1 by -1).map { len =>
+      val lens = math.min(i, maxPieceLen) to 1 by -1
+      // candidates land as their OWN helper columns first (the oracle's
+      // d_{i}a CTE trick, mirrored): the best-of fold references each
+      // candidate 3x, and folding over inline trees replicates every
+      // candidate subtree 3^(candidates-1) times — measured as multi-MB
+      // task binaries and ~6s of per-plan analysis/codegen overhead on a
+      // 31-row word table before this split. Folding over ATTRIBUTES
+      // keeps the tree linear (CollapseProject does not inline non-cheap
+      // aliases referenced more than once).
+      lens.foreach { len =>
         val j = i - len
         val piece = substring(col("word"), j + 1, len)
         val look = element_at(lpLit, piece)
@@ -118,15 +127,17 @@ object UnigramLm {
         val seg =
           if (j == 0) piece
           else concat(col(s"p$j").getField("seg"), lit(" "), piece)
-        when(prevOk && look.isNotNull,
-          struct((prevSc + look).as("sc"), seg.as("seg")))
+        df = df.withColumn(s"c${i}_$len",
+          when(prevOk && look.isNotNull,
+            struct((prevSc + look).as("sc"), seg.as("seg"))))
       }
-      val best = cands.reduce((b, c) =>
+      val best = lens.map(len => col(s"c${i}_$len")).reduce((b, c) =>
         when(b.isNull, c)
           .when(c.isNull, b)
           .when(c.getField("sc") > b.getField("sc"), c)
           .otherwise(b))
       df = df.withColumn(s"p$i", best)
+        .drop(lens.map(len => s"c${i}_$len"): _*)
     }
     val segSel = (1 to maxWordLen).foldLeft(lit(null).cast("string")) { (acc, i) =>
       when(length(col("word")) === i, col(s"p$i").getField("seg")).otherwise(acc)
