@@ -252,6 +252,17 @@ object T {
       normalize(spark, name, frame)
     }
 
+  /** Memoized per-(session, dir, table) emptiness probe for the
+    * empty-input `()` grouping-set branch (see q_rollup_order_stats'
+    * scaladoc): `isEmpty` is `limit(1)` over the scan — it reads one
+    * row and stops — but it IS an eager driver job, and rollup/cube/
+    * grouping-sets each paid it on every construction (3× per bench
+    * pass). Memoizing per table collapses that to one probe per
+    * (session, dir) for the lifetime of the session; SessionMemo.clear
+    * drops it with the table frames when a dir is regenerated. */
+  def tableIsEmpty(spark: SparkSession, dir: String, name: String): Boolean =
+    SessionMemo.value(spark, dir, s"empty:$name")(apply(spark, dir, name).isEmpty)
+
   /** Register every driver table as a temp view (named exactly as in
     * the oracle SQL: lineitem, orders, …) and the graft SQL functions —
     * after this one call the whole engine is reachable from SQL TEXT

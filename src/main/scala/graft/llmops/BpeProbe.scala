@@ -29,7 +29,10 @@ import org.apache.spark.sql.SparkSession
 object BpeProbe {
 
   def main(args: Array[String]): Unit = {
-    val (dirArgs, kArgs) = args.partition(a => new java.io.File(a).isDirectory)
+    // k args are whatever parses as an integer; everything else is a dir
+    // candidate (a numeric arg that happens to name a directory is still
+    // a k — path-vs-k must not depend on filesystem state)
+    val (kArgs, dirArgs) = args.partition(a => a.toIntOption.isDefined)
     val dir = dirArgs.headOption
       .orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
       .getOrElse("/root/testdata/sf0.1")
@@ -46,6 +49,13 @@ object BpeProbe {
     try {
       // the one corpus-sized pass, shared by every k — pay it up front
       BpeMerges.bpeWords(spark, dir).count()
+      // untimed warm-up training pass on a cold JVM: without it JIT +
+      // codegen warm-up inflates wall(kLo) and systematically loosens
+      // the wall(kHi)/wall(kLo) linearity gate. Trained under its own
+      // (throwaway) per-k memo key — the smallest k NOT in the timed
+      // set — so no timed point can memo-hit it.
+      val warmK = Iterator.from(ks.min).find(k => !ks.contains(k)).get
+      BpeMerges.learnedMerges(spark, dir, warmK)
       val points = ks.map { k =>
         val t0 = System.nanoTime()
         val merges = BpeMerges.learnedMerges(spark, dir, k)

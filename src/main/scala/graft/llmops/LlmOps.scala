@@ -142,8 +142,8 @@ object LlmOps {
 
   // incoming-batch membership rule for incremental dedup: doc_id % 10 == 7
   // models the daily ingest slice; production passes the real batch table.
-  private val incomingMod = 10
-  private val incomingRem = 7
+  private[llmops] val incomingMod = 10
+  private[llmops] val incomingRem = 7
 
   /** Incremental ingest dedup (E1's daily-batch shape): classify each doc
     * of an incoming batch against the existing corpus — `dup_of_corpus`
@@ -749,14 +749,23 @@ object LlmOps {
         .orderBy("da", "db")
     })
 
-  /** Min-label propagation connected components over an undirected edge
-    * set: every node starts labeled with itself; each round pushes labels
-    * across edges and keeps the min; fixpoint after diameter rounds. Each
-    * round is one shuffle; the driver only ever reads a one-row aggregate
-    * (sum of labels — strictly decreasing until the fixpoint), never the
-    * data. This is the simple form of the large-star/small-star algorithm
-    * used for dedup-cluster collapse at corpus scale; dup-cluster graphs
-    * have tiny diameters so the round count stays low. */
+  /** Min-label propagation connected components with POINTER JUMPING
+    * (path halving) over an undirected edge set: every node starts
+    * labeled with itself; each round (a) pushes labels across edges and
+    * keeps the min, then (b) re-labels every node with its label's OWN
+    * label — valid because a node's label only ever decreases, so
+    * label(label(v)) <= label(v), and label(v) is always a node id in
+    * v's component. The halving step makes label chains collapse
+    * geometrically, so `maxIter` rounds cover graph diameters on the
+    * order of 2^maxIter rather than maxIter — a plain-propagation loop
+    * capped at 20 silently mislabels any chain-shaped near-dup graph
+    * (template corpora) deeper than 20, which is exactly the failure
+    * the [[require]] below and this doubling exist to preclude. The
+    * driver only ever reads a one-row aggregate per round (sum of
+    * labels — strictly decreasing until the fixpoint), never the data.
+    * Large-star/small-star family, as used for dedup-cluster collapse
+    * at corpus scale; dup-cluster graphs have tiny diameters so the
+    * round count stays low in practice. */
   def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIter: Int = 20): DataFrame = {
     // nodes: (doc_id); edges: (da, db) — made undirected here. The edge
     // set is persisted: it is re-joined every round, and its lineage (an
@@ -765,7 +774,15 @@ object LlmOps {
     val und = edges.select(col("da").as("src"), col("db").as("dst"))
       .unionByName(edges.select(col("db").as("src"), col("da").as("dst")))
       .persist()
-    var labels = nodes.select(col("doc_id"), col("doc_id").as("label")).persist()
+    // Eager localCheckpoint, NOT persist: each round's self-join
+    // references pushedMin twice, so round i+1's LOGICAL plan embeds
+    // round i's labels four times — without per-round lineage truncation
+    // the plan tree grows 4^rounds and AQE's plan-string rendering alone
+    // OOMs (measured: 2 GiB plan string on a 120-node chain). persist()
+    // caches data but keeps lineage; localCheckpoint cuts it, making
+    // per-round plan size CONSTANT (the BpeMerges iteration lesson).
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("label"))
+      .localCheckpoint(true)
     // null-safe 1-row read: sum over an EMPTY frame is SQL NULL, and
     // getLong would NPE — an empty corpus must yield empty labels, not
     // a crash
@@ -780,16 +797,35 @@ object LlmOps {
       val prev = labels
       val pushed = und.join(labels, col("src") === col("doc_id"))
         .select(col("dst").as("doc_id"), col("label"))
-      labels = labels.unionByName(pushed)
+      // (a) edge push + min
+      val pushedMin = labels.unionByName(pushed)
         .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
         .persist()
+      // (b) path halving: label <- label's label. Inner join is total —
+      // every label is a node id and pushedMin carries one row per node
+      // — and the parent's label is <= the child's (monotonicity), so
+      // this only ever lowers labels. Two shuffles of a narrow
+      // (long, long) frame buy geometric chain collapse.
+      labels = pushedMin.as("c")
+        .join(pushedMin.as("p"), col("c.label") === col("p.doc_id"))
+        .select(col("c.doc_id"), col("p.label").as("label"))
+        .localCheckpoint(true)
       val s = labelSum(labels)
+      pushedMin.unpersist()
       prev.unpersist()
       converged = s == prevSum
       prevSum = s
       iter += 1
     }
     und.unpersist()
+    // Labels only ever decrease element-wise, so an unchanged sum IS the
+    // fixpoint; exiting at maxIter without it would hand back wrong
+    // cluster ids with no signal (a chain-shaped near-dup graph with
+    // diameter > maxIter — pathological template corpora — is exactly
+    // the case that must fail loudly, not silently).
+    require(converged,
+      s"connectedComponents did not reach the label fixpoint in $maxIter rounds " +
+        "(graph diameter exceeds maxIter); raise maxIter or densify the edge set")
     labels
   }
 
@@ -837,15 +873,26 @@ object LlmOps {
     * transitive-closure CTE is fine at oracle scale. Exact-dup edges
     * join on the 256-bit content hash, not raw text: the shuffle
     * carries 32-byte keys instead of whole document bodies (sha256
-    * collisions are not a practical concern). */
+    * collisions are not a practical concern).
+    *
+    * Exact-dup edges are a STAR per hash group (canonical = min doc_id,
+    * one edge canonical→member), never the pairwise self-join: a
+    * boilerplate string duplicated k times must contribute k-1 edges,
+    * not k(k-2)/2 — at web-corpus scale k reaches ~10⁶ (that is WHY
+    * one dedups) and the quadratic form emits ~5·10¹¹ rows from a
+    * single group onto one shuffle key. The star spans the same
+    * connected component (every member reaches the canonical in one
+    * hop), so labels are unchanged, and exact groups now converge in
+    * ≤2 propagation rounds instead of scaling with pair depth. */
   private def dedupClusters(s: SparkSession, dir: String): DataFrame =
     memoized(s, dir, "dedup_clusters") {
       val d = docs(s, dir)
       val h = d.select(col("doc_id"), sha2(col("text"), 256).as("content_hash"))
-      val exact = h.as("a").join(h.as("b"),
-          col("a.content_hash") === col("b.content_hash") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      val canon = h.groupBy(col("content_hash"))
+        .agg(min(col("doc_id")).as("canonical"))
+      val exact = h.join(canon, "content_hash")
+        .filter(col("doc_id") =!= col("canonical"))
+        .select(col("canonical").as("da"), col("doc_id").as("db"))
       // the pair set is shared with llm_e2_ngram_jaccard_pairs via the
       // session memo — do NOT unpersist it here
       val near = jaccardPairs(s, dir).select(col("da"), col("db"))

@@ -53,9 +53,10 @@ import org.apache.spark.sql.types._
   * vocabulary is a driver-held local relation.
   *
   * Reference scope note: the reference pipeline
-  * (`/root/reference/process_batch.py`) consumes tokenized text but
-  * never learns a tokenizer; this op (like BPE) is part of the
-  * mandated LLM-pipeline extension surface.
+  * (`/root/reference/call-debias.py`) sends raw record text to its
+  * annotator and never tokenizes, let alone learns a tokenizer; this
+  * op (like BPE) is part of the mandated LLM-pipeline extension
+  * surface.
   */
 object UnigramLm {
 
@@ -384,7 +385,11 @@ object UnigramLm {
         "encn AS (SELECT word, CAST(1 AS BIGINT) AS n_sub FROM e_0)"
       else {
         val vals = vocab
-          .map(v => s"('${v.piece}', ${f"${v.lpGrid}%.1f"})").mkString(", ")
+          // locale-proof literal (repo convention, see SemDedup.dlit): the
+          // f-interpolator is locale-sensitive and renders ',' decimals on
+          // comma-decimal JVMs, corrupting the VALUES relation
+          .map(v => s"('${v.piece}', CAST('${java.lang.Double.toString(v.lpGrid)}' AS DOUBLE))")
+          .mkString(", ")
         s"""vf(piece, lp) AS (VALUES $vals),
       ${dpChainSql("e", "vf")},
       segf AS (

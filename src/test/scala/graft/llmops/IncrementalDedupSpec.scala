@@ -41,8 +41,10 @@ class IncrementalDedupSpec extends SparkSpec {
       .toMap
     rows.foreach { r =>
       val d = r.getAs[Long]("delta_id"); val b = r.getAs[Long]("base_id")
-      assert(d % 10 == 7, s"delta_id $d must be in the incoming split")
-      assert(b % 10 != 7, s"base_id $b must be in the base split")
+      assert(d % LlmOps.incomingMod == LlmOps.incomingRem,
+        s"delta_id $d must be in the incoming split")
+      assert(b % LlmOps.incomingMod != LlmOps.incomingRem,
+        s"base_id $b must be in the base split")
       val j = r.getAs[Double]("jaccard")
       assert(j >= 0.5 && j <= 1.0)
       val est = r.getAs[Double]("est_jaccard")

@@ -159,6 +159,42 @@ class LlmOpsSpec extends SparkSpec {
     labels shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 10L -> 10L)
   }
 
+  test("connected components: pointer jumping covers diameters far past maxIter") {
+    // a 120-node path has diameter 119 — six times the round cap — so
+    // plain per-hop propagation would exit unconverged (and now throws);
+    // path halving must collapse it to the min label within ~log2 rounds
+    val n = 120L
+    val nodes = (1L to n).toDF("doc_id")
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("da", "db")
+    val labels = LlmOps.connectedComponents(nodes, edges, maxIter = 20)
+      .as[(Long, Long)].collect().toMap
+    labels.values.toSet shouldBe Set(1L)
+    labels.keySet shouldBe (1L to n).toSet
+  }
+
+  test("a heavy exact-duplicate group collapses to its min doc_id (star edges)") {
+    // web-corpus shape: ONE boilerplate string duplicated many times.
+    // The exact-edge build must emit a star (k-1 edges, canonical = min
+    // doc_id), not the k(k-1)/2 pairwise join — this fixture is the
+    // regression pin for that contract: 300 copies + 5 distinct docs,
+    // every copy labeled with the min id, distinct docs untouched.
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_test_heavygroup"
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "mu", "nu")
+    def sentence(): String = Seq.fill(30)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val boiler = sentence()
+    val texts = Seq.fill(300)(boiler) ++ Seq.fill(5)(sentence())
+    texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "fixture", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val clusters = Registry.byName("llm_e2_dedup_clusters").run(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    clusters.size shouldBe 305
+    (0L until 300L).foreach(i => clusters(i) shouldBe 0L)
+  }
+
   test("dedup clusters put planted exact+near dups in one cluster") {
     val clusters = Registry.byName("llm_e2_dedup_clusters").run(spark, plantedDir)
       .as[(Long, Long)].collect().toMap
