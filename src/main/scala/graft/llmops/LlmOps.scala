@@ -781,6 +781,11 @@ object LlmOps {
     // OOMs (measured: 2 GiB plan string on a 120-node chain). persist()
     // caches data but keeps lineage; localCheckpoint cuts it, making
     // per-round plan size CONSTANT (the BpeMerges iteration lesson).
+    // Cluster caveat: localCheckpoint blocks live on executors, so an
+    // executor loss mid-loop fails the job (no lineage to recompute
+    // from) — a long-running production deployment should point
+    // sc.setCheckpointDir at durable storage and use checkpoint()
+    // instead; the truncation requirement is the same either way.
     var labels = nodes.select(col("doc_id"), col("doc_id").as("label"))
       .localCheckpoint(true)
     // null-safe 1-row read: sum over an EMPTY frame is SQL NULL, and
