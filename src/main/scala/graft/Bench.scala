@@ -205,7 +205,7 @@ object Bench {
     }
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString }
-    def r3(v: Double): String = f"$v%.3f"
+    def r3(v: Double): String = T.jdec(v, 3)
     def qsJson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => s""""${esc(k)}":${r3(v)}""" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")

@@ -197,11 +197,11 @@ object DupProbe {
         else None
       SessionMemo.clear(spark)
       def rec(n: Long): String =
-        if (plantedTruth == 0) "null" else f"${n.toDouble / plantedTruth}%.4f"
+        if (plantedTruth == 0) "null" else T.jdec(n.toDouble / plantedTruth, 4)
       val unc = uncapped.map { case ((c, p), w) =>
-        s""","uncapped_candidates":$c,"uncapped_sec":${f"$w%.3f"},"recall_candidates_uncapped":${rec(p)}"""
+        s""","uncapped_candidates":$c,"uncapped_sec":${T.jdec(w, 3)},"recall_candidates_uncapped":${rec(p)}"""
       }.getOrElse("")
-      s""""k$k":{"n_dup":$nDup,"wall_jaccard_sec":${f"$wallJac%.3f"},"wall_lsh_sec":${f"$wallLsh%.3f"},"capped_candidates":$capped,"lsh_candidates":$lshPairs,"clique_pairs_analytic":$cliquePairs,"planted_true_pairs":$plantedTruth,"exact_dedup_covered_pairs":$cliquePairs,"recall_jaccard_capped":${rec(plantedJac)},"recall_lsh_capped":${rec(plantedLsh)},"recall_candidates_capped":${rec(plantedCapped)}$unc,"dir":"$dir"}"""
+      s""""k$k":{"n_dup":$nDup,"wall_jaccard_sec":${T.jdec(wallJac, 3)},"wall_lsh_sec":${T.jdec(wallLsh, 3)},"capped_candidates":$capped,"lsh_candidates":$lshPairs,"clique_pairs_analytic":$cliquePairs,"planted_true_pairs":$plantedTruth,"exact_dedup_covered_pairs":$cliquePairs,"recall_jaccard_capped":${rec(plantedJac)},"recall_lsh_capped":${rec(plantedLsh)},"recall_candidates_capped":${rec(plantedCapped)}$unc,"dir":"$dir"}"""
     }
     println(s"""{"metric":"dup_probe","cap":$cap,"ks":${ks.mkString("[", ",", "]")},"points":${rows.mkString("{", ",", "}")},"base":"$baseDir"}""")
     spark.stop()

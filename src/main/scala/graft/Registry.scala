@@ -252,6 +252,20 @@ object T {
       normalize(spark, name, frame)
     }
 
+  /** Locale-proof fixed-decimal rendering for the probes'/bench's JSON
+    * lines. The f-interpolator (and argless String.format) format
+    * through the JVM's DEFAULT locale, so a comma-decimal locale (e.g.
+    * de_DE) renders `"value":169,711` — invalid JSON — in every emitted
+    * metric line. Same defect class as the generated-oracle literals
+    * (SemDedup.dlit / UnigramLm): all machine-read number rendering
+    * must be locale-pinned. Non-finite falls back to Double.toString
+    * (JSON-invalid either way, but preserved for debuggability). */
+  def jdec(v: Double, scale: Int): String =
+    if (java.lang.Double.isFinite(v))
+      java.math.BigDecimal.valueOf(v)
+        .setScale(scale, java.math.RoundingMode.HALF_UP).toPlainString
+    else java.lang.Double.toString(v)
+
   /** Memoized per-(session, dir, table) emptiness probe for the
     * empty-input `()` grouping-set branch (see q_rollup_order_stats'
     * scaladoc): `isEmpty` is `limit(1)` over the scan — it reads one
@@ -259,7 +273,13 @@ object T {
     * grouping-sets each paid it on every construction (3× per bench
     * pass). Memoizing per table collapses that to one probe per
     * (session, dir) for the lifetime of the session; SessionMemo.clear
-    * drops it with the table frames when a dir is regenerated. */
+    * drops it with the table frames when a dir is regenerated.
+    * Staleness contract is deliberately THE SAME as the memoized
+    * `table:` frames themselves: a dir rewritten in place mid-session
+    * without clear() already serves a stale file listing to every
+    * query (the resolved scan pins its InMemoryFileIndex), so the
+    * cached emptiness bit adds no new staleness class — clear() is the
+    * one regeneration protocol for both. */
   def tableIsEmpty(spark: SparkSession, dir: String, name: String): Boolean =
     SessionMemo.value(spark, dir, s"empty:$name")(apply(spark, dir, name).isEmpty)
 

@@ -225,7 +225,7 @@ object ScaleProbe {
         }
       }
     }
-    def r3(v: Double) = f"$v%.3f"
+    def r3(v: Double) = T.jdec(v, 3)
     val qJson = rows.map { p =>
       val esc = p.escalated.map { case (b2n, s2, ok2) =>
         s""","shuffle_b2N":$b2n,"bytes_slope_next":${r3(s2)},"phase_change":$ok2"""

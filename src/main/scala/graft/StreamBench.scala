@@ -83,9 +83,9 @@ object StreamBench {
       try { q.processAllAvailable() } finally q.stop()
     }
 
-    def r1(v: Double) = f"$v%.1f"
+    def r1(v: Double) = T.jdec(v, 1)
     def line(name: String, sec: Double): String =
-      s""""$name":{"sec":${f"$sec%.3f"},"rows_per_sec":${r1(nRows / sec)},"sec_per_batch":${f"${sec / chunks}%.3f"}}"""
+      s""""$name":{"sec":${T.jdec(sec, 3)},"rows_per_sec":${r1(nRows / sec)},"sec_per_batch":${T.jdec(sec / chunks, 3)}}"""
     val json =
       s"""{"metric":"stream_throughput","rows":$nRows,"chunks":$chunks,"pipelines":{${line("quality_gate", gateSec)},${line("hourly_stats", aggSec)}},"sf":"$sfDir"}"""
     println(json)

@@ -67,11 +67,11 @@ object BpeProbe {
       val ratio = wallOf(kHi) / wallOf(kLo)
       val bound = (kHi.toDouble / kLo) * 1.5
       val ok = ratio <= bound
-      val walls = points.map(p => s""""k${p._1}":${f"${p._2}%.3f"}""").mkString(",")
+      val walls = points.map(p => s""""k${p._1}":${graft.T.jdec(p._2, 3)}""").mkString(",")
       val found = points.map(p => s""""k${p._1}":${p._3}""").mkString(",")
       println(s"""{"metric":"bpe_merge_stress","unit":"sec","sf_dir":"$dir",""" +
         s""""walls":{$walls},"merges_found":{$found},""" +
-        s""""ratio_${kHi}_$kLo":${f"$ratio%.3f"},"linear_bound":${f"$bound%.3f"},""" +
+        s""""ratio_${kHi}_$kLo":${graft.T.jdec(ratio, 3)},"linear_bound":${graft.T.jdec(bound, 3)},""" +
         s""""sublinear_per_round":$ok}""")
       if (!ok) sys.exit(1)
     } finally {

@@ -774,20 +774,33 @@ object LlmOps {
     val und = edges.select(col("da").as("src"), col("db").as("dst"))
       .unionByName(edges.select(col("db").as("src"), col("da").as("dst")))
       .persist()
-    // Eager localCheckpoint, NOT persist: each round's self-join
-    // references pushedMin twice, so round i+1's LOGICAL plan embeds
-    // round i's labels four times — without per-round lineage truncation
-    // the plan tree grows 4^rounds and AQE's plan-string rendering alone
-    // OOMs (measured: 2 GiB plan string on a 120-node chain). persist()
-    // caches data but keeps lineage; localCheckpoint cuts it, making
-    // per-round plan size CONSTANT (the BpeMerges iteration lesson).
-    // Cluster caveat: localCheckpoint blocks live on executors, so an
-    // executor loss mid-loop fails the job (no lineage to recompute
-    // from) — a long-running production deployment should point
-    // sc.setCheckpointDir at durable storage and use checkpoint()
-    // instead; the truncation requirement is the same either way.
-    var labels = nodes.select(col("doc_id"), col("doc_id").as("label"))
-      .localCheckpoint(true)
+    // Pin-and-rebase lineage truncation: each round's self-join
+    // references its input twice, so round i+1's LOGICAL plan would
+    // embed round i's labels four times — without per-round truncation
+    // the plan tree grows 4^rounds and AQE's plan-string rendering
+    // alone OOMs (measured: 2 GiB plan string on a 120-node chain).
+    // persist() alone caches data but keeps lineage (the BpeMerges
+    // iteration lesson). localCheckpoint truncates, but its blocks are
+    // NOT freed by Dataset.unpersist (they belong to an internal RDD
+    // outside the cache manager) — up to maxIter corpus-sized label
+    // frames would sit in executor storage until the driver GC runs the
+    // ContextCleaner (periodic-GC default: 30 min). So: persist +
+    // materialize, then REBASE the frame the next round consumes on the
+    // materialized RDD (createDataFrame over pinned.rdd = a leaf
+    // LogicalRDD plan, constant size) while keeping the PINNED handle,
+    // whose unpersist() deterministically frees the round's blocks.
+    // Cluster caveat: once a pinned round is freed, earlier lineage is
+    // gone, so an executor loss mid-loop fails the job — a long-running
+    // production deployment should point sc.setCheckpointDir at durable
+    // storage and checkpoint() each round instead; the truncation
+    // requirement is the same either way.
+    def pinTruncated(df: DataFrame): (DataFrame, DataFrame) = {
+      val pinned = df.persist()
+      pinned.count()
+      (pinned.sparkSession.createDataFrame(pinned.rdd, pinned.schema), pinned)
+    }
+    var (labels, pin) =
+      pinTruncated(nodes.select(col("doc_id"), col("doc_id").as("label")))
     // null-safe 1-row read: sum over an EMPTY frame is SQL NULL, and
     // getLong would NPE — an empty corpus must yield empty labels, not
     // a crash
@@ -799,25 +812,24 @@ object LlmOps {
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      val prev = labels
       val pushed = und.join(labels, col("src") === col("doc_id"))
         .select(col("dst").as("doc_id"), col("label"))
       // (a) edge push + min
-      val pushedMin = labels.unionByName(pushed)
-        .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
-        .persist()
+      val (pm, pmPin) = pinTruncated(labels.unionByName(pushed)
+        .groupBy(col("doc_id")).agg(min(col("label")).as("label")))
       // (b) path halving: label <- label's label. Inner join is total —
-      // every label is a node id and pushedMin carries one row per node
-      // — and the parent's label is <= the child's (monotonicity), so
-      // this only ever lowers labels. Two shuffles of a narrow
-      // (long, long) frame buy geometric chain collapse.
-      labels = pushedMin.as("c")
-        .join(pushedMin.as("p"), col("c.label") === col("p.doc_id"))
-        .select(col("c.doc_id"), col("p.label").as("label"))
-        .localCheckpoint(true)
-      val s = labelSum(labels)
-      pushedMin.unpersist()
-      prev.unpersist()
+      // every label is a node id and pm carries one row per node — and
+      // the parent's label is <= the child's (monotonicity), so this
+      // only ever lowers labels. Two shuffles of a narrow (long, long)
+      // frame buy geometric chain collapse.
+      val (nl, nlPin) = pinTruncated(pm.as("c")
+        .join(pm.as("p"), col("c.label") === col("p.doc_id"))
+        .select(col("c.doc_id"), col("p.label").as("label")))
+      val s = labelSum(nl)
+      pmPin.unpersist()
+      pin.unpersist()
+      labels = nl
+      pin = nlPin
       converged = s == prevSum
       prevSum = s
       iter += 1
@@ -831,7 +843,9 @@ object LlmOps {
     require(converged,
       s"connectedComponents did not reach the label fixpoint in $maxIter rounds " +
         "(graph diameter exceeds maxIter); raise maxIter or densify the edge set")
-    labels
+    // return the PINNED frame, not the rebased leaf view: the caller's
+    // unpersist() must actually free the final round's blocks
+    pin
   }
 
   /** The cluster-label CTE both dedup oracles share: exact + near-dup
@@ -889,15 +903,28 @@ object LlmOps {
     * connected component (every member reaches the canonical in one
     * hop), so labels are unchanged, and exact groups now converge in
     * ≤2 propagation rounds instead of scaling with pair depth. */
+  /** Exact-dup STAR edges over a (doc_id, content_hash) frame:
+    * canonical = min doc_id per hash group, one (canonical, member)
+    * edge per non-canonical member — k-1 edges for a k-group, linear
+    * where the pairwise self-join is quadratic (see [[dedupClusters]]).
+    * Spelled as a window min over the hash partition: ONE shuffle of
+    * the narrow hash frame and no join (the groupBy-then-join-back
+    * spelling shuffles the frame for the aggregate and again for the
+    * re-attach unless AQE happens to reuse the exchange). Shape-pinned
+    * by LlmOpsSpec ("star edges are linear...": exactly k-1 edges, all
+    * anchored at the min). */
+  private[llmops] def exactStarEdges(h: DataFrame): DataFrame = {
+    val perHash = Window.partitionBy(col("content_hash"))
+    h.withColumn("canonical", min(col("doc_id")).over(perHash))
+      .filter(col("doc_id") =!= col("canonical"))
+      .select(col("canonical").as("da"), col("doc_id").as("db"))
+  }
+
   private def dedupClusters(s: SparkSession, dir: String): DataFrame =
     memoized(s, dir, "dedup_clusters") {
       val d = docs(s, dir)
-      val h = d.select(col("doc_id"), sha2(col("text"), 256).as("content_hash"))
-      val canon = h.groupBy(col("content_hash"))
-        .agg(min(col("doc_id")).as("canonical"))
-      val exact = h.join(canon, "content_hash")
-        .filter(col("doc_id") =!= col("canonical"))
-        .select(col("canonical").as("da"), col("doc_id").as("db"))
+      val exact = exactStarEdges(
+        d.select(col("doc_id"), sha2(col("text"), 256).as("content_hash")))
       // the pair set is shared with llm_e2_ngram_jaccard_pairs via the
       // session memo — do NOT unpersist it here
       val near = jaccardPairs(s, dir).select(col("da"), col("db"))

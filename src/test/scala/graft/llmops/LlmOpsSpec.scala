@@ -172,6 +172,20 @@ class LlmOpsSpec extends SparkSpec {
     labels.keySet shouldBe (1L to n).toSet
   }
 
+  test("star edges are linear: k-1 edges per duplicate group, all anchored at the min") {
+    // the SHAPE pin for the star contract (the cluster-label test below
+    // cannot distinguish star from pairwise — both yield the same
+    // labels): a 300-member hash group must emit exactly 299 edges,
+    // every one (min, member); a singleton group emits none
+    val h = ((0L until 300L).map(i => (i, "h1")) :+ (1000L, "h2"))
+      .toDF("doc_id", "content_hash")
+    val edges = LlmOps.exactStarEdges(h)
+      .as[(Long, Long)].collect().sortBy(_._2)
+    edges.length shouldBe 299
+    edges.map(_._1).toSet shouldBe Set(0L)
+    edges.map(_._2).toList shouldBe (1L until 300L).toList
+  }
+
   test("a heavy exact-duplicate group collapses to its min doc_id (star edges)") {
     // web-corpus shape: ONE boilerplate string duplicated many times.
     // The exact-edge build must emit a star (k-1 edges, canonical = min
