@@ -192,6 +192,53 @@ object T {
     * reused); [[SessionMemo.clear]] drops the entries so a regenerated
     * testdata dir is re-listed on the next run. Frames are returned
     * normalized to [[canonical]] — see the contract note there. */
+  /** Layout-adaptive scan rebalance (optimization guide §2.5 "one huge
+    * unsplittable file … repartition immediately after the read") —
+    * OPT-IN per call site, never blanket. A parquet scan parallelizes
+    * at ROW-GROUP granularity, so a table whose files carry one giant
+    * row group each (the driver testdata is exactly this shape — every
+    * sf dir table is a single-file, single-row-group parquet) executes
+    * its whole scan STAGE on one core: every expression fused above the
+    * scan (hashing, decimal products, string rendering) runs serially
+    * while the other N-1 cores idle. The rebalance breaks that stage
+    * with one round-robin exchange of the pruned input columns so the
+    * heavy map work parallelizes.
+    *
+    * WHY opt-in: an r19 A/B of the same exchange applied at the shared
+    * table read (all 10 tables, every query) showed it is an
+    * anti-optimization for aggregate-first plans — it ships raw rows
+    * that map-side partial aggregation would have collapsed (guide
+    * §2.3 "aggregate before you shuffle"): llm_e1_exact_dedup 0.34 →
+    * 0.78 s (full text shuffled ahead of the sha2 groupBy),
+    * q_constraint_audit 2.3 → 4.3 s, q_profile_stats 2.0 → 3.1 s,
+    * q_skew_diagnosis 0.8 → 2.0 s. It pays ONLY where the per-row map
+    * work above the scan dwarfs a narrow-row shuffle:
+    * q_table_fingerprint 2.5 → 1.6 s, q_fingerprint_drilldown 2.5 →
+    * 1.7 s, q_corr_matrix 1.9 → 1.5 s (same-JVM interleaved A/B ×3,
+    * identical results). Those sites call this; nothing else does.
+    *
+    * The guard is LAYOUT-derived, not scale-tuned: rebalance only when
+    * the resolved scan yields fewer than half the cluster's cores
+    * (defaultParallelism, so the same code adapts to any core count)
+    * AND the input is big enough that a shuffle beats a serial map
+    * stage (plan-stats bytes > graft.read.rebalanceMinBytes, default
+    * 512 KiB). On a production lake (row groups ≈ 128 MB, parts ≫
+    * cores) the condition is false and this is a no-op. Round-robin
+    * repartition keeps Spark's sort-before-repartition retry
+    * determinism, and every registry result is partition-invariant by
+    * construction (Verify's local[7] invariance audit is the gate). */
+  def scanRebalanced(spark: SparkSession, df: DataFrame): DataFrame = {
+    if (!spark.conf.get("graft.read.rebalance", "true").toBoolean) return df
+    val cores = spark.sparkContext.defaultParallelism
+    val minBytes = spark.conf.get("graft.read.rebalanceMinBytes",
+      (512L * 1024).toString).toLong
+    val parts = df.rdd.getNumPartitions // plans only; no job
+    if (parts * 2 < cores &&
+        df.queryExecution.optimizedPlan.stats.sizeInBytes > minBytes)
+      df.repartition(cores)
+    else df
+  }
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     SessionMemo.value(spark, dir, s"table:$name") {
       // mergeSchema: a long-lived table dir mixes files written before

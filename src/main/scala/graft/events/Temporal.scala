@@ -93,10 +93,20 @@ object Temporal {
       val sess = sessionized(s, dir)
         .groupBy(col("user_id"), col("session_id"))
         .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
+      // ±1 deltas via a 2-element GENERATOR, not a self-union: the union
+      // spelling references `sess` twice, and Spark re-executes the whole
+      // sessionize→aggregate pipeline per branch (only the bottom shuffle
+      // is reused) — one explode emits both rows from ONE session-rollup
+      // pass. Same rows, same types; r19 A/B at sf0.1: 3.0-3.6 s → 2.2-2.8 s,
+      // identical output. At scale this halves the session-frame passes
+      // feeding the delta stream.
       val deltas = sess
-        .select(col("user_id"), col("session_id"), col("s_start").as("ts"), lit(1).as("delta"))
-        .union(sess.select(
-          col("user_id"), col("session_id"), col("s_end").as("ts"), lit(-1).as("delta")))
+        .select(col("user_id"), col("session_id"),
+          explode(array(
+            struct(col("s_start").as("ts"), lit(1).as("delta")),
+            struct(col("s_end").as("ts"), lit(-1).as("delta")))).as("e"))
+        .select(col("user_id"), col("session_id"),
+          col("e.ts").as("ts"), col("e.delta").as("delta"))
         .withColumn("hour", date_trunc("hour", col("ts")))
       // phase 1: per-hour partial sums — one row per hour, so the single
       // ORDER BY hour window below runs over a time-span-sized frame

@@ -156,13 +156,16 @@ object UnigramLm {
         .select(col("freq"), explode(expr(substrExpr)).as("piece"))
         .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
         .persist()
-      val chars = pieceCnt.filter(length(col("piece")) === 1)
-        .collect().map(r => (r.getString(0), r.getLong(1)))
-      val multi = pieceCnt.filter(length(col("piece")) > 1)
-        .orderBy(col("cnt").desc, col("piece")).limit(seedMultiV)
-        .collect().map(r => (r.getString(0), r.getLong(1)))
+      // ONE collect for both seed classes (chars ∪ top-K multis) — the
+      // two-collect spelling paid two driver-scheduled jobs over the
+      // same persisted frame; a union of the two filters is one job,
+      // and seed-list ORDER is immaterial downstream (all consumers are
+      // sums, maps, or deterministic per-element sorts).
+      val seed = pieceCnt.filter(length(col("piece")) === 1)
+        .unionByName(pieceCnt.filter(length(col("piece")) > 1)
+          .orderBy(col("cnt").desc, col("piece")).limit(seedMultiV))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
       pieceCnt.unpersist()
-      val seed = (chars ++ multi).toSeq
       if (seed.isEmpty) Seq.empty[VocabEntry]
       else {
         val seedTotal = seed.map(_._2).sum

@@ -206,8 +206,14 @@ object Profile {
       // against Σx/Σy. Identity on representable data; keeps the raw
       // cast below exact (inputs are guaranteed in-range past the
       // filter), where Spark nulls and DuckDB throws on poison.
-      val a = lineitem(s, dir)
-        .filter(numericCols.map(c => T.moneyRange(col(c))).reduce(_ && _))
+      // layout-adaptive scan rebalance (T.scanRebalanced — opt-in,
+      // no-op at production row-group counts): the ten exact decimal
+      // products/sums above this scan are the query's heavy map work;
+      // projected to the 4 consumed columns before the exchange.
+      // Measured 1.9 → 1.5 s at sf0.1/local[32], identical moments.
+      val a = T.scanRebalanced(s, lineitem(s, dir)
+          .select((col("l_returnflag") +: numericCols.map(col)): _*)
+          .filter(numericCols.map(c => T.moneyRange(col(c))).reduce(_ && _)))
         .groupBy(col("l_returnflag").as("rf")).agg(
         count(lit(1)).cast("double").as("n"),
         sum(dec("l_quantity")).cast("double").as("sq"),
