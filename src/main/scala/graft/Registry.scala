@@ -228,6 +228,7 @@ object T {
     * determinism, and every registry result is partition-invariant by
     * construction (Verify's local[7] invariance audit is the gate). */
   def scanRebalanced(spark: SparkSession, df: DataFrame): DataFrame = {
+    if (df.isStreaming) return df // no partition probe on streaming plans
     if (!spark.conf.get("graft.read.rebalance", "true").toBoolean) return df
     val cores = spark.sparkContext.defaultParallelism
     val minBytes = spark.conf.get("graft.read.rebalanceMinBytes",

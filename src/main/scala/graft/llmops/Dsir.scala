@@ -85,18 +85,29 @@ object Dsir {
           (conv(substring(md5(
             concat(element_at(col("t"), col("pos")), lit(" "), col("tk"))), 1, 8), 16, 10)
             .cast("long") % dsirB).as("b"))
+      // ONE pass over the bigram stream: the occurrence stream is first
+      // collapsed to (doc_id, lang, bucket, k) — the model pass and the
+      // scoring pass both derive from that collapsed frame, where the
+      // previous spelling re-ran the scan + explode + md5 projection
+      // once per consumer (two full corpus passes; r19 isolate at
+      // sf0.1: median 2.10 → 1.82 s, identical output). Exactness: every
+      // summand is an integral-valued double on the ln7 grid, so
+      // Σ_occurrences v ≡ Σ_groups k·v exactly (integer sums below 2^53
+      // are associative in IEEE doubles).
+      val g = occ.groupBy(col("doc_id"), col("lang"), col("b"))
+        .agg(count(lit(1)).as("k"))
       // one aggregation yields BOTH models: raw = every occurrence,
       // target = the lang-slice, counted side by side per bucket
-      val model = occ.groupBy(col("b")).agg(
-        count(lit(1)).as("cr"),
-        count(when(col("lang") === dsirTargetLang, 1)).as("ct"))
+      val model = g.groupBy(col("b")).agg(
+        sum(col("k")).as("cr"),
+        sum(when(col("lang") === dsirTargetLang, col("k")).otherwise(0L)).as("ct"))
       val tot = model.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
-      occ.join(broadcast(model), Seq("b"))
+      g.join(broadcast(model), Seq("b"))
         .groupBy(col("doc_id"))
         .agg(
-          count(lit(1)).as("n_bigrams"),
-          sum(LlmOps.ln7((col("ct") + 1).cast("double"))
-            - LlmOps.ln7((col("cr") + 1).cast("double"))).as("sum7"))
+          sum(col("k")).as("n_bigrams"),
+          sum(col("k") * (LlmOps.ln7((col("ct") + 1).cast("double"))
+            - LlmOps.ln7((col("cr") + 1).cast("double")))).as("sum7"))
         .crossJoin(broadcast(tot))
         .select(col("doc_id"), col("n_bigrams"),
           LlmOps.q4((col("sum7")
